@@ -1,0 +1,367 @@
+"""Command-line interface mirroring the reference's option surface.
+
+reference: src/cli.cc (254 long options, enum-indexed table, per-command
+permitted-option handling) and src/vsearch.cc dispatch_command.  Options are
+declared in a table (name -> Parameters field + type) and parsed getopt_long
+style: every option takes a required argument except the flag set below.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional
+
+from .params import INT64_MAX, Masking, Parameters
+
+PROG_NAME = "vsearch"
+PROG_VERSION = "v2.31.0_tpu"
+
+# commands (option name == Parameters field suffix)
+COMMANDS = [
+    "allpairs_global", "chimeras_denovo", "cluster_fast", "cluster_size",
+    "cluster_smallmem", "cluster_unoise", "cut", "derep_fulllength",
+    "derep_id", "derep_prefix", "derep_smallmem", "fasta2fastq",
+    "fastq_chars", "fastq_convert", "fastq_eestats", "fastq_eestats2",
+    "fastq_filter", "fastq_join", "fastq_mergepairs", "fastq_stats",
+    "fastx_filter", "fastx_getseq", "fastx_getseqs", "fastx_getsubseq",
+    "fastx_mask", "fastx_revcomp", "fastx_subsample", "fastx_syncpairs",
+    "fastx_uniques", "makeudb_usearch", "maskfasta", "orient", "rereplicate",
+    "search_exact", "sff_convert", "shuffle", "sintax", "sortbylength",
+    "sortbysize", "uchime2_denovo", "uchime3_denovo", "uchime_denovo",
+    "uchime_ref", "udb2fasta", "udbinfo", "udbstats", "usearch_global",
+]
+
+# options whose Parameters field takes the raw string
+STR_OPTS = [
+    "alnout", "biomout", "blast6out", "borderline", "centroids", "chimeras",
+    "clusters", "consout", "db", "dbmatched", "dbnotmatched", "eetabbedout",
+    "fastaout", "fastaout_discarded", "fastaout_discarded_rev",
+    "fastaout_notmerged_fwd", "fastaout_notmerged_rev", "fastaout_rev",
+    "fastapairs", "fastqout", "fastqout_discarded", "fastqout_discarded_rev",
+    "fastqout_notmerged_fwd", "fastqout_notmerged_rev", "fastqout_rev",
+    "label", "label_field", "label_suffix", "label_word", "label_words",
+    "labels", "lcaout", "log", "matched", "mothur_shared_out", "msaout",
+    "nonchimeras", "notmatched", "notmatchedfq", "otutabout", "output",
+    "profile", "qsegout", "relabel", "reverse", "sample", "samout",
+    "tabbedout", "tsegout", "uc", "uchimealns", "uchimeout", "userout",
+    "cut_pattern", "join_padgap", "join_padgapq", "read_separators",
+    "fastaout_orphans", "fastaout_orphans_rev", "fastqout_orphans",
+    "fastqout_orphans_rev", "pattern",
+]
+
+INT_OPTS = [
+    "alignwidth", "chimeras_length_min", "chimeras_parents_max",
+    "chimeras_parts", "cons_truncate", "fasta_width", "fastq_ascii",
+    "fastq_asciiout", "fastq_maxdiffs", "fastq_maxlen", "fastq_maxmergelen",
+    "fastq_maxns", "fastq_minlen", "fastq_minmergelen", "fastq_minovlen",
+    "fastq_minqual", "fastq_qmax", "fastq_qmaxout", "fastq_qmin",
+    "fastq_qminout", "fastq_stripleft", "fastq_stripright", "fastq_tail",
+    "fastq_trunclen", "fastq_trunclen_keep", "fastq_truncqual", "fulldp",
+    "iddef", "idprefix", "idsuffix", "length_cutoffs_increment",
+    "length_cutoffs_longest", "length_cutoffs_shortest", "match",
+    "maxaccepts", "maxdiffs", "maxgaps", "maxhits", "maxqsize",
+    "maxrejects", "maxseqlength", "maxsize", "maxsubs", "maxuniquesize",
+    "mincols", "mindiffs", "minseqlength", "minsize", "mintsize",
+    "minuniquesize", "minwordmatches", "mismatch", "randseed", "rowlen",
+    "sample_size", "slots", "subseq_end", "subseq_start", "threads", "topn",
+    "uchimeout5", "wordlength",
+]
+
+FLOAT_OPTS = [
+    "abskew", "chimeras_diff_pct", "dn", "fastq_maxdiffpct", "fastq_maxee",
+    "fastq_maxee_rate", "fastq_truncee", "fastq_truncee_rate", "id",
+    "lca_cutoff", "max_unmasked_pct", "maxid", "maxqt", "maxsizeratio",
+    "maxsl", "mid", "min_unmasked_pct", "mindiv", "minh", "minqt",
+    "minsizeratio", "minsl", "query_cov", "sample_pct", "sintax_cutoff",
+    "target_cov", "unoise_alpha", "weak_id", "xn",
+]
+
+FLAG_OPTS = [
+    "bzip2_decompress", "centroid_sizeout", "clusterout_id",
+    "clusterout_sort", "eeout", "fasta_score", "fastq_allowmergestagger",
+    "fastq_eeout", "fastq_nostagger", "fastq_qout_max", "gzip_decompress",
+    "hardmask", "label_substr_match", "lengthout", "n_mismatch",
+    "no_progress", "notrunclabels", "quiet", "relabel_keep", "relabel_md5",
+    "relabel_self", "relabel_sha1", "samheader", "sff_clip", "sintax_random",
+    "sizein", "sizeorder", "sizeout", "uc_allhits", "xee", "xlength",
+    "xsize", "acceptall", "leftjust", "rightjust", "output_no_hits",
+    "self", "selfid", "top_hits_only", "usersort",
+]
+# reference: these int64 "flag" options are plain no-argument toggles in the
+# CLI (cli.cc option table second column = false)
+_INT_FLAGS = {"acceptall", "leftjust", "rightjust", "output_no_hits", "self",
+              "selfid", "top_hits_only", "usersort"}
+
+
+class CliError(Exception):
+    pass
+
+
+def parse_gap_penalty_string(arg: str, is_open: bool,
+                             params: Parameters) -> None:
+    """reference: cli.cc args_get_gap_penalty_string (:179-330)."""
+    max_gap_penalty = 32767 // 5
+    cursor = 0
+    prefix = "gap_open" if is_open else "gap_extension"
+    while cursor < len(arg):
+        is_infinite = False
+        num = ""
+        while cursor < len(arg) and (arg[cursor].isdigit()
+                                     or (arg[cursor] == "-" and not num)):
+            num += arg[cursor]
+            cursor += 1
+        if num:
+            pen = int(num)
+            if pen < 0 or pen > max_gap_penalty:
+                raise CliError(
+                    "A finite gap penalty must be in the range 0 to %d; "
+                    "use '*' to declare an infinite penalty" % max_gap_penalty)
+        elif cursor < len(arg) and arg[cursor] == "*":
+            pen = 2**31 - 1
+            is_infinite = True
+            cursor += 1
+        else:
+            raise CliError("Invalid gap penalty argument (%s)" % arg[cursor:])
+
+        set_E = set_I = set_L = set_R = set_Q = set_T = False
+        while cursor < len(arg) and arg[cursor] != "/":
+            c = arg[cursor]
+            if c == "E":
+                set_E = True
+            elif c == "I":
+                set_I = True
+            elif c == "L":
+                set_L = True
+            elif c == "R":
+                set_R = True
+            elif c == "Q":
+                set_Q = True
+            elif c == "T":
+                set_T = True
+            else:
+                raise CliError("Invalid char '%s' in gap penalty string" % c)
+            cursor += 1
+        if cursor < len(arg) and arg[cursor] == "/":
+            cursor += 1
+        if set_E and (set_L or set_R):
+            raise CliError("Invalid gap penalty string (E and L or R)")
+        if set_E:
+            set_L = set_R = True
+        if not (set_L or set_I or set_R):
+            set_L = set_I = set_R = True
+        if not (set_Q or set_T):
+            set_Q = set_T = True
+        for qt, enabled_qt in (("query", set_Q), ("target", set_T)):
+            if not enabled_qt:
+                continue
+            for pos, enabled in (("left", set_L), ("interior", set_I),
+                                 ("right", set_R)):
+                if not enabled:
+                    continue
+                setattr(params, "opt_%s_%s_%s" % (prefix, qt, pos), pen)
+                setattr(params, "opt_%s_%s_%s_infinite" % (prefix, qt, pos),
+                        is_infinite)
+
+
+def parse_args(argv: List[str]) -> Parameters:
+    params = Parameters()
+    params.opt_quiet = False
+    params.opt_no_progress = not sys.stderr.isatty()
+    params.command_line = " ".join([PROG_NAME] + argv)
+    params.prog_header = ("%s %s_linux_x86_64" % (PROG_NAME, PROG_VERSION))
+
+    command: Optional[str] = None
+    option_seen: Dict[str, bool] = {}
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise CliError("Unrecognized argument: %s" % arg)
+        name = arg[2:]
+        option_seen[name] = True
+
+        def take_value() -> str:
+            nonlocal i
+            i += 1
+            if i >= len(argv):
+                raise CliError("Option --%s requires an argument" % name)
+            return argv[i]
+
+        if name in COMMANDS:
+            if command is not None:
+                raise CliError("Two commands specified")
+            command = name
+            setattr(params, "opt_" + name, take_value())
+        elif name in ("help", "h"):
+            command = "help"
+        elif name in ("version", "v"):
+            command = "version"
+        elif name == "gapopen":
+            parse_gap_penalty_string(take_value(), True, params)
+        elif name == "gapext":
+            parse_gap_penalty_string(take_value(), False, params)
+        elif name == "strand":
+            v = take_value()
+            if v == "plus":
+                params.opt_strand = False
+            elif v == "both":
+                params.opt_strand = True
+            else:
+                raise CliError(
+                    "The argument to --strand must be plus or both")
+        elif name in ("qmask", "dbmask"):
+            v = take_value()
+            try:
+                masking = Masking[v]
+            except KeyError:
+                raise CliError("Invalid masking mode %s" % v)
+            setattr(params, "opt_" + name, masking)
+        elif name == "userfields":
+            from .core.results import parse_userfields
+            params.opt_userfields = parse_userfields(take_value())
+        elif name == "ee_cutoffs":
+            params.opt_ee_cutoffs = [float(x) for x in take_value().split(",")]
+        elif name in STR_OPTS:
+            setattr(params, "opt_" + name, take_value())
+        elif name in INT_OPTS:
+            setattr(params, "opt_" + name, int(take_value()))
+        elif name in FLOAT_OPTS:
+            setattr(params, "opt_" + name, float(take_value()))
+        elif name in FLAG_OPTS:
+            if name in _INT_FLAGS:
+                setattr(params, "opt_" + name, 1)
+            else:
+                setattr(params, "opt_" + name, True)
+        else:
+            raise CliError("Unknown option: --%s" % name)
+        i += 1
+
+    if command is None:
+        raise CliError("No command specified")
+    params._command = command  # type: ignore[attr-defined]
+    apply_command_defaults(option_seen, params)
+    return params
+
+
+def apply_command_defaults(option_seen: Dict[str, bool],
+                           params: Parameters) -> None:
+    """reference: cli.cc apply_command_defaults (:4451-4522), preceded by the
+    wordlength default from validate_option_values (cli.cc:4185-4201) which
+    runs before the fixups so minwordmatches resolves from the actual word
+    length."""
+    if params.opt_wordlength == 0:
+        params.opt_wordlength = 12 if params.opt_orient is not None else 8
+    params.apply_defaults_fixups()
+
+    if params.opt_minsize == 0:
+        params.opt_minsize = 8 if params.opt_cluster_unoise is not None else 1
+
+    if not option_seen.get("abskew"):
+        if params.opt_chimeras_denovo is not None:
+            params.opt_abskew = 1.0
+        elif params.opt_uchime3_denovo is not None:
+            params.opt_abskew = 16.0
+        else:
+            params.opt_abskew = 2.0
+
+    if params.opt_minseqlength < 0:
+        if any(getattr(params, "opt_" + c) is not None for c in (
+                "cluster_fast", "cluster_size", "cluster_smallmem",
+                "cluster_unoise", "derep_fulllength", "derep_id",
+                "derep_prefix", "makeudb_usearch", "sintax",
+                "usearch_global")):
+            params.opt_minseqlength = 32
+        else:
+            params.opt_minseqlength = 1
+
+    if params.opt_sintax is not None:
+        params.opt_notrunclabels = True
+
+
+def dispatch(params: Parameters) -> None:
+    """reference: vsearch.cc dispatch_command (:607-800)."""
+    command = params._command  # type: ignore[attr-defined]
+    if command == "version":
+        print("%s %s" % (PROG_NAME, PROG_VERSION))
+        return
+    if command == "help":
+        print("Usage: vsearch_tpu --<command> <file> [options]")
+        return
+    if command == "usearch_global":
+        from .commands.usearch_global import usearch_global
+        usearch_global(params)
+    elif command in ("derep_fulllength", "derep_id", "fastx_uniques"):
+        from .commands.derep import derep
+        derep(params, command)
+    elif command == "derep_prefix":
+        from .commands.derep import derep_prefix
+        derep_prefix(params)
+    elif command == "sortbysize":
+        from .commands.sort import sortbysize
+        sortbysize(params)
+    elif command == "sortbylength":
+        from .commands.sort import sortbylength
+        sortbylength(params)
+    elif command == "shuffle":
+        from .commands.sort import shuffle
+        shuffle(params)
+    elif command in ("cluster_fast", "cluster_size", "cluster_smallmem",
+                     "cluster_unoise"):
+        from .commands.cluster import cluster_command
+        cluster_command(params, command)
+    elif command in ("uchime_denovo", "uchime2_denovo", "uchime3_denovo",
+                     "uchime_ref", "chimeras_denovo"):
+        from .commands.chimera import chimera_command
+        chimera_command(params, command)
+    elif command == "fastq_mergepairs":
+        from .commands.mergepairs import fastq_mergepairs
+        fastq_mergepairs(params)
+    elif command in ("fastq_filter", "fastx_filter"):
+        from .commands.filter import filter_command
+        filter_command(params, command)
+    elif command == "allpairs_global":
+        from .commands.allpairs import allpairs_global
+        allpairs_global(params)
+    elif command == "search_exact":
+        from .commands.search_exact import search_exact
+        search_exact(params)
+    elif command == "fastx_mask":
+        from .commands.fastx_ops import fastx_mask
+        fastx_mask(params)
+    elif command == "maskfasta":
+        from .commands.fastx_ops import maskfasta
+        maskfasta(params)
+    elif command == "fastx_revcomp":
+        from .commands.fastx_ops import fastx_revcomp
+        fastx_revcomp(params)
+    elif command == "fastx_subsample":
+        from .commands.fastx_ops import fastx_subsample
+        fastx_subsample(params)
+    elif command == "rereplicate":
+        from .commands.fastx_ops import rereplicate
+        rereplicate(params)
+    elif command == "sintax":
+        from .commands.sintax import sintax
+        sintax(params)
+    elif command == "orient":
+        from .commands.orient import orient
+        orient(params)
+    else:
+        raise CliError("Command %s not implemented yet" % command)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    try:
+        params = parse_args(argv)
+        dispatch(params)
+    except CliError as exc:
+        print("Fatal error: %s" % exc, file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

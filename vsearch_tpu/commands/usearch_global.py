@@ -1,0 +1,237 @@
+"""usearch_global command driver.
+
+Mirrors reference src/commands/usearch_global.cpp: output-file handling,
+per-query result emission (in deterministic query order — equal to the
+reference's single-thread order), summary statistics, dbmatched/otutab
+post-passes.
+"""
+
+from __future__ import annotations
+
+import sys
+from contextlib import ExitStack
+from typing import IO, Dict, List, Optional
+
+from ..params import Parameters
+from ..db import Database
+from ..io import fastx as fastx_io
+from ..core import results
+from ..core.search import SearchContext
+from ..core.otutable import OtuTable
+
+
+def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
+    if path is None:
+        return None
+    if path == "-":
+        return sys.stdout.buffer
+    return stack.enter_context(open(path, "wb"))
+
+
+def usearch_global(params: Parameters) -> None:
+    with ExitStack() as stack:
+        fp_alnout = _open(stack, params.opt_alnout)
+        if fp_alnout is not None:
+            fp_alnout.write(params.command_line.encode() + b"\n")
+            fp_alnout.write(params.prog_header.encode() + b"\n")
+        fp_samout = _open(stack, params.opt_samout)
+        fp_userout = _open(stack, params.opt_userout)
+        fp_blast6out = _open(stack, params.opt_blast6out)
+        fp_uc = _open(stack, params.opt_uc)
+        fp_fastapairs = _open(stack, params.opt_fastapairs)
+        fp_qsegout = _open(stack, params.opt_qsegout)
+        fp_tsegout = _open(stack, params.opt_tsegout)
+        fp_matched = _open(stack, params.opt_matched)
+        fp_notmatched = _open(stack, params.opt_notmatched)
+        fp_dbmatched = _open(stack, params.opt_dbmatched)
+        fp_dbnotmatched = _open(stack, params.opt_dbnotmatched)
+        fp_otutabout = _open(stack, params.opt_otutabout)
+        fp_mothur = _open(stack, params.opt_mothur_shared_out)
+        fp_biomout = _open(stack, params.opt_biomout)
+        fp_lcaout = _open(stack, params.opt_lcaout)
+
+        db = Database()
+        db.read(params.opt_db, params)
+        if fp_samout is not None:
+            results.show_samheader(fp_samout, params, params.opt_db, db)
+        ctx = SearchContext.build(params, db)
+
+        otutab = OtuTable() if (fp_otutabout or fp_mothur or fp_biomout) else None
+        dbmatched = [0] * db.seqcount
+        qmatches = 0
+        queries = 0
+        qmatches_abundance = 0
+        queries_abundance = 0
+        count_matched = 0
+        count_notmatched = 0
+
+        for rec in fastx_io.read_fastx(params.opt_usearch_global, params):
+            hits, qseq_masked, qseq_rc = ctx.search_query(
+                rec.header, rec.sequence, rec.abundance, rec.seqno)
+            queries += 1
+            queries_abundance += rec.abundance
+            if hits:
+                qmatches += 1
+                qmatches_abundance += rec.abundance
+
+            toreport = min(params.opt_maxhits, len(hits))
+            query_head = rec.header
+            qseqlen = len(qseq_masked)
+
+            if fp_alnout is not None:
+                results.show_alnout(fp_alnout, params, hits[:toreport],
+                                    query_head, qseq_masked, qseqlen, db)
+            if fp_lcaout is not None:
+                results_show_lcaout(fp_lcaout, params, hits[:toreport],
+                                    query_head, db)
+            if fp_samout is not None:
+                results.show_samout(fp_samout, params, hits[:toreport],
+                                    query_head, qseq_masked, qseq_rc, db)
+            if toreport:
+                top_hit_id = hits[0].id
+                if otutab is not None:
+                    otutab.add(query_head, db.getheader(hits[0].target),
+                               rec.abundance)
+                for t in range(toreport):
+                    hp = hits[t]
+                    if params.opt_top_hits_only and hp.id < top_hit_id:
+                        break
+                    if fp_fastapairs is not None:
+                        results.show_fastapairs_one(
+                            fp_fastapairs, params, hp, query_head,
+                            qseq_masked, qseq_rc, db)
+                    if fp_qsegout is not None:
+                        results.show_qsegout_one(fp_qsegout, params, hp,
+                                                 query_head, qseq_masked,
+                                                 qseqlen, qseq_rc)
+                    if fp_tsegout is not None:
+                        results.show_tsegout_one(fp_tsegout, params, hp, db)
+                    if fp_uc is not None and (t == 0 or params.opt_uc_allhits):
+                        results.show_uc_one(fp_uc, params, hp, query_head,
+                                            qseqlen, hp.target, db)
+                    if fp_userout is not None:
+                        results.show_userout_one(fp_userout, params, hp,
+                                                 query_head, qseq_masked,
+                                                 qseqlen, qseq_rc, db)
+                    if fp_blast6out is not None:
+                        results.show_blast6_one(fp_blast6out, params, hp,
+                                                query_head, qseqlen, db)
+            else:
+                if otutab is not None:
+                    otutab.add(query_head, None, rec.abundance)
+                if fp_uc is not None:
+                    results.show_uc_one(fp_uc, params, None, query_head,
+                                        qseqlen, 0, db)
+                if params.opt_output_no_hits:
+                    if fp_userout is not None:
+                        results.show_userout_one(fp_userout, params, None,
+                                                 query_head, qseq_masked,
+                                                 qseqlen, qseq_rc, db)
+                    if fp_blast6out is not None:
+                        results.show_blast6_one(fp_blast6out, params, None,
+                                                query_head, qseqlen, db)
+
+            if hits:
+                count_matched += 1
+                if fp_matched is not None:
+                    fastx_io.fasta_print_general(
+                        fp_matched, params, qseq_masked, query_head,
+                        rec.abundance, count_matched)
+            else:
+                count_notmatched += 1
+                if fp_notmatched is not None:
+                    fastx_io.fasta_print_general(
+                        fp_notmatched, params, qseq_masked, query_head,
+                        rec.abundance, count_notmatched)
+
+            for hp in hits:
+                if hp.accepted or hp.weak:
+                    dbmatched[hp.target] += (rec.abundance
+                                             if params.opt_sizein else 1)
+
+        if not params.opt_quiet:
+            msg = "Matching unique query sequences: %d of %d" % (qmatches, queries)
+            if queries > 0:
+                msg += " (%.2f%%)" % (100.0 * qmatches / queries)
+            print(msg, file=sys.stderr)
+
+        if otutab is not None:
+            for i in range(db.seqcount):
+                if dbmatched[i] == 0:
+                    otutab.add(None, db.getheader(i), 0)
+            if fp_biomout is not None:
+                otutab.print_biomout(fp_biomout, params)
+            if fp_otutabout is not None:
+                otutab.print_otutabout(fp_otutabout, params)
+            if fp_mothur is not None:
+                otutab.print_mothur_shared_out(fp_mothur, params)
+
+        if fp_dbmatched is not None or fp_dbnotmatched is not None:
+            count_m = 0
+            count_n = 0
+            for i in range(db.seqcount):
+                if dbmatched[i]:
+                    count_m += 1
+                    if fp_dbmatched is not None:
+                        fastx_io.fasta_print_general(
+                            fp_dbmatched, params, db.getsequence(i),
+                            db.getheader(i), dbmatched[i], count_m)
+                else:
+                    count_n += 1
+                    if fp_dbnotmatched is not None:
+                        fastx_io.fasta_print_general(
+                            fp_dbnotmatched, params, db.getsequence(i),
+                            db.getheader(i), db.getabundance(i), count_n)
+
+
+def results_show_lcaout(out, params: Parameters, hits, query_head: bytes,
+                        db) -> None:
+    """reference: results.cpp:545-687 (Boyer-Moore majority LCA vote)."""
+    from ..core.tax import tax_split, TAX_LEVELS, TAXONOMIC_FIELDS
+    out.write(query_head + b"\t")
+    if not hits:
+        out.write(b"\n")
+        return
+    votes = [0] * TAX_LEVELS
+    cand = [-1] * TAX_LEVELS
+    cand_splits: List[Optional[list]] = [None] * TAX_LEVELS
+    level_match = [0] * TAX_LEVELS
+
+    top_hit_id = hits[0].id
+    tophitcount = 0
+    for hp in hits:
+        if params.opt_top_hits_only and hp.id < top_hit_id:
+            break
+        tophitcount += 1
+        seqno = hp.target
+        new_split = tax_split(db.getheader(seqno))
+        for k in range(TAX_LEVELS):
+            if votes[k] == 0:
+                cand[k] = seqno
+                votes[k] = 1
+                cand_splits[k] = new_split
+            else:
+                match = all(cand_splits[k][j] == new_split[j]
+                            for j in range(k + 1))
+                if match:
+                    votes[k] += 1
+                else:
+                    votes[k] -= 1
+    for hp in hits[:tophitcount]:
+        new_split = tax_split(db.getheader(hp.target))
+        for k in range(TAX_LEVELS):
+            if all(cand_splits[k][j] == new_split[j] for j in range(k + 1)):
+                level_match[k] += 1
+
+    if tophitcount == 0:
+        out.write(b"\n")
+        return
+    comma = False
+    for j in range(TAX_LEVELS):
+        if 1.0 * level_match[j] / tophitcount < params.opt_lca_cutoff:
+            break
+        if cand_splits[j] is not None and len(cand_splits[j][j]) > 0:
+            out.write((b"," if comma else b"") + TAXONOMIC_FIELDS[j:j + 1]
+                      + b":" + cand_splits[j][j])
+            comma = True
+    out.write(b"\n")

@@ -1,0 +1,123 @@
+"""K-mer database index.
+
+Mirrors the role of reference src/core/dbindex.{cpp,hpp}: map each (indexed)
+database sequence's unique k-mer set so that per-query shared-k-mer counts can
+be computed.  Two representations are kept:
+
+* a host CSR postings layout (kmer -> sorted list of index positions) used to
+  build the device tensors and as the counting fallback, and
+* a packed-bit incidence matrix shipped to the device (HBM): shape
+  (4^w, ceil(capacity/32)) uint32, where bit n of row k says sequence with
+  index position n contains k-mer k.  This is the TPU-native analogue of the
+  reference's bitmap/postings split (dbindex.cpp:211-236) — on TPU the packed
+  bitmap is used for *every* k-mer, and per-query counts become gathered-row
+  popcount accumulation feeding a top-k (see ops/score.py).
+
+Supports incremental add_sequence for the clustering path (dbindex.cpp:121-148):
+the host CSR grows per append; device tensors are refreshed in batches by the
+cluster driver.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .params import Masking, Parameters
+from .ops import kmer as kmer_ops
+
+
+class KmerIndex:
+    def __init__(self, wordlength: int) -> None:
+        self.wordlength = wordlength
+        self.hashsize = 1 << (2 * wordlength)
+        self.mapping: List[int] = []      # index position -> seqno
+        self.lengths: List[int] = []      # index position -> sequence length
+        self._kmer_lists: List[np.ndarray] = []  # per index position, sorted u32
+        self._csr_dirty = True
+        self._csr_indptr: Optional[np.ndarray] = None
+        self._csr_postings: Optional[np.ndarray] = None
+
+    @property
+    def count(self) -> int:
+        return len(self.mapping)
+
+    def add_sequence(self, seqno: int, db, seqmask: Masking) -> None:
+        """reference: dbindex.cpp:121-148 (unique kmers of one sequence)."""
+        kmers = kmer_ops.unique_kmer_set(db.getsequence(seqno),
+                                         self.wordlength, seqmask)
+        self.mapping.append(seqno)
+        self.lengths.append(db.getsequencelen(seqno))
+        self._kmer_lists.append(kmers)
+        self._csr_dirty = True
+
+    def add_all_sequences(self, db, seqmask: Masking) -> None:
+        for seqno in range(db.seqcount):
+            self.add_sequence(seqno, db, seqmask)
+
+    # -- host counting ----------------------------------------------------
+
+    def _build_csr(self) -> None:
+        """kmer -> postings of index positions, ordered by add order."""
+        if not self._csr_dirty:
+            return
+        counts = np.zeros(self.hashsize + 1, dtype=np.int64)
+        for kmers in self._kmer_lists:
+            counts[kmers + 1] += 1
+        indptr = np.cumsum(counts)
+        postings = np.empty(int(indptr[-1]), dtype=np.int32)
+        cursor = indptr[:-1].copy()
+        for pos, kmers in enumerate(self._kmer_lists):
+            slots = cursor[kmers]
+            postings[slots] = pos
+            cursor[kmers] += 1
+        self._csr_indptr = indptr
+        self._csr_postings = postings
+        self._csr_dirty = False
+
+    def counts_for_query(self, query_kmers: np.ndarray) -> np.ndarray:
+        """Shared-unique-kmer counts per index position (host path).
+
+        Equivalent to search_topscores' counter loop (searchcore.cpp:260-340):
+        each unique query k-mer contributes +1 to every DB sequence containing
+        it.  Saturation at 32767 cannot trigger for amplicon-scale queries
+        (count <= #unique query kmers), so plain int32 is exact.
+        """
+        self._build_csr()
+        if self.count == 0 or query_kmers.size == 0:
+            return np.zeros(self.count, dtype=np.int32)
+        indptr = self._csr_indptr
+        postings = self._csr_postings
+        starts = indptr[query_kmers]
+        ends = indptr[query_kmers + 1]
+        total = int((ends - starts).sum())
+        if total == 0:
+            return np.zeros(self.count, dtype=np.int32)
+        # gather all postings runs and histogram them
+        idx = np.concatenate([postings[s:e] for s, e in zip(starts, ends)])
+        counts = np.bincount(idx, minlength=self.count)
+        return np.minimum(counts, 32767).astype(np.int32)
+
+    # -- top-K with reference tie-break -----------------------------------
+
+    def topscores(self, counts: np.ndarray, tophits: int,
+                  minmatches: int) -> List:
+        """Top-``tophits`` candidates ordered best-first.
+
+        Order: count desc, length asc, seqno asc — the total order of
+        minheap_compare (minheap.cpp:111-146); only index positions with
+        count >= minmatches participate (searchcore.cpp:320-337).
+
+        Returns list of (seqno, count).
+        """
+        eligible = np.nonzero(counts >= minmatches)[0]
+        if eligible.size == 0:
+            return []
+        lengths = np.asarray(self.lengths, dtype=np.int64)[eligible]
+        seqnos = np.asarray(self.mapping, dtype=np.int64)[eligible]
+        ccounts = counts[eligible]
+        # np.lexsort: last key is primary
+        order = np.lexsort((seqnos, lengths, -ccounts))
+        order = order[:tophits]
+        return [(int(seqnos[i]), int(ccounts[i])) for i in order]
