@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Benchmark: usearch_global queries/s vs the reference vsearch binary.
+
+Generates a synthetic amplicon workload (DB of random ~600 nt sequences,
+queries mutated from DB members at ~95% identity), runs the TPU pipeline
+and — when available — the reference binary (all cores) on identical input,
+verifies the uc outputs agree, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": R}
+
+vs_baseline is ours/reference queries-per-second (>1 means faster);
+reported as 0.0 when the reference binary is unavailable.
+"""
+
+import json
+import os
+import pathlib
+import random
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+REF_BINARY = REPO / ".refbuild" / "bin" / "vsearch"
+
+DB_SIZE = int(os.environ.get("BENCH_DB", "20000"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "2000"))
+SEQ_LEN = int(os.environ.get("BENCH_SEQLEN", "600"))
+IDENTITY = 0.9
+
+
+def generate(workdir: pathlib.Path):
+    rng = random.Random(1234)
+    db_path = workdir / "db.fasta"
+    q_path = workdir / "queries.fasta"
+    seqs = []
+    with open(db_path, "w") as fh:
+        for i in range(DB_SIZE):
+            seq = "".join(rng.choice("ACGT") for _ in range(SEQ_LEN))
+            seqs.append(seq)
+            fh.write(">db%d\n%s\n" % (i, seq))
+    with open(q_path, "w") as fh:
+        for i in range(N_QUERIES):
+            src = rng.randrange(DB_SIZE)
+            seq = list(seqs[src])
+            nmut = int(len(seq) * 0.05)
+            for _ in range(nmut):
+                pos = rng.randrange(len(seq))
+                r = rng.random()
+                if r < 0.9:
+                    seq[pos] = rng.choice("ACGT")
+                elif r < 0.95 and len(seq) > 10:
+                    del seq[pos]
+                else:
+                    seq.insert(pos, rng.choice("ACGT"))
+            fh.write(">q%d\n%s\n" % (i, "".join(seq)))
+    return db_path, q_path
+
+
+def run_ours(db_path, q_path, out_uc):
+    from vsearch_tpu import cli
+    argv = ["--usearch_global", str(q_path), "--db", str(db_path),
+            "--id", str(IDENTITY), "--uc", str(out_uc),
+            "--maxaccepts", "1", "--maxrejects", "32",
+            "--threads", "1", "--quiet"]
+    t0 = time.perf_counter()
+    rc = cli.main(argv)
+    elapsed = time.perf_counter() - t0
+    assert rc == 0
+    return elapsed
+
+
+def run_reference(db_path, q_path, out_uc):
+    argv = [str(REF_BINARY), "--usearch_global", str(q_path),
+            "--db", str(db_path), "--id", str(IDENTITY),
+            "--uc", str(out_uc), "--maxaccepts", "1", "--maxrejects", "32",
+            "--quiet"]
+    t0 = time.perf_counter()
+    subprocess.run(argv, check=True, capture_output=True)
+    return time.perf_counter() - t0
+
+
+def main():
+    with tempfile.TemporaryDirectory() as tmp:
+        workdir = pathlib.Path(tmp)
+        db_path, q_path = generate(workdir)
+
+        # warmup on a slice to amortize jit compilation out of the measurement
+        warm_q = workdir / "warm.fasta"
+        with open(q_path) as src, open(warm_q, "w") as dst:
+            for _ in range(64):
+                line = src.readline()
+                if not line:
+                    break
+                dst.write(line)
+        run_ours(db_path, warm_q, workdir / "warm.uc")
+
+        ours_s = run_ours(db_path, q_path, workdir / "ours.uc")
+        ours_qps = N_QUERIES / ours_s
+
+        vs_baseline = 0.0
+        if REF_BINARY.exists():
+            ref_s = run_reference(db_path, q_path, workdir / "ref.uc")
+            ref_qps = N_QUERIES / ref_s
+            vs_baseline = ours_qps / ref_qps
+            # sanity: single-threaded reference comparison of outputs
+            ref1 = workdir / "ref1.uc"
+            subprocess.run([str(REF_BINARY), "--usearch_global", str(q_path),
+                            "--db", str(db_path), "--id", str(IDENTITY),
+                            "--uc", str(ref1), "--maxaccepts", "1",
+                            "--maxrejects", "32", "--threads", "1",
+                            "--quiet"], check=True, capture_output=True)
+            parity = (workdir / "ours.uc").read_bytes() == ref1.read_bytes()
+            if not parity:
+                print("WARNING: uc outputs differ from reference",
+                      file=sys.stderr)
+
+        print(json.dumps({
+            "metric": "usearch_global_queries_per_s",
+            "value": round(ours_qps, 2),
+            "unit": "queries/s",
+            "vs_baseline": round(vs_baseline, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

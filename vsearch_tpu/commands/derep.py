@@ -1,0 +1,263 @@
+"""Dereplication commands: derep_fulllength / derep_id / fastx_uniques /
+derep_prefix.
+
+reference: src/core/derep.cpp (streaming exact dedup via hash of the
+normalized sequence; sort by abundance desc, label asc, first-seen asc),
+src/commands/derep_prefix.cpp (prefix collapsing).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Dict, List, Optional
+
+from ..params import Parameters
+from ..io import fastx as fastx_io
+from ..utils.digest import normalize
+from ..utils.maps import reverse_complement
+
+
+class _Cluster:
+    __slots__ = ("header", "seq", "qual", "size", "count", "seqno_first",
+                 "members", "strands")
+
+    def __init__(self, header: bytes, seq: bytes, qual: Optional[bytes],
+                 size: int, seqno: int) -> None:
+        self.header = header
+        self.seq = seq
+        self.qual = bytearray(qual) if qual is not None else None
+        self.size = size
+        self.count = 1
+        self.seqno_first = seqno
+        self.members: List[bytes] = []   # headers of subsequent members
+        self.strands: List[int] = []
+
+
+def _q2p(symbol: int, params: Parameters) -> float:
+    """reference: derep.cpp convert_quality_symbol_to_probability"""
+    q = symbol - params.opt_fastq_ascii
+    if q < 2:
+        return 0.75
+    return 10.0 ** (-q / 10.0)
+
+
+def _p2q(p: float, params: Parameters) -> int:
+    q = int(math.trunc(-10.0 * math.log10(p)))
+    q = min(q, params.opt_fastq_qmaxout)
+    q = max(q, params.opt_fastq_qminout)
+    return q + params.opt_fastq_asciiout
+
+
+def derep(params: Parameters, command: str) -> None:
+    """reference: derep.cpp derep() (:255-930)."""
+    filename = getattr(params, "opt_" + command)
+    use_header = command == "derep_id"
+    is_uniques = command == "fastx_uniques"
+
+    input_is_fastq = fastx_io.is_fastq(filename)
+    if input_is_fastq and not is_uniques:
+        raise ValueError(
+            "FASTQ input is only allowed with the fastx_uniques command")
+
+    if is_uniques:
+        out_fasta = params.opt_fastaout
+        if (params.opt_uc is None and params.opt_fastaout is None
+                and params.opt_fastqout is None
+                and params.opt_tabbedout is None):
+            raise ValueError(
+                "Output file for dereplication with fastx_uniques must be "
+                "specified with --fastaout, --fastqout, --tabbedout, or --uc")
+    else:
+        out_fasta = params.opt_output
+        if params.opt_output is None and params.opt_uc is None:
+            raise ValueError("Output file for dereplication must be "
+                             "specified with --output or --uc")
+
+    table: Dict[bytes, _Cluster] = {}
+    clusters: List[_Cluster] = []
+    sequencecount = 0
+    sumsize = 0
+    maxsize = 0
+    discarded_short = discarded_long = 0
+
+    for rec in fastx_io.read_fastx(filename, params):
+        seqlen = len(rec.sequence)
+        if seqlen < params.opt_minseqlength:
+            discarded_short += 1
+            continue
+        if seqlen > params.opt_maxseqlength:
+            discarded_long += 1
+            continue
+        seq_norm = normalize(rec.sequence)
+        key = seq_norm + (b"\x00" + rec.header if use_header else b"")
+        abundance = rec.abundance if params.opt_sizein else 1
+        sumsize += abundance
+
+        cluster = table.get(key)
+        strand = 0
+        if cluster is None and params.opt_strand:
+            rc_norm = normalize(reverse_complement(rec.sequence))
+            rc_key = rc_norm + (b"\x00" + rec.header if use_header else b"")
+            cluster = table.get(rc_key)
+            if cluster is not None:
+                strand = 1
+
+        if cluster is not None:
+            cluster.members.append(rec.header)
+            cluster.strands.append(strand)
+            s1, s2 = cluster.size, abundance
+            if params.opt_fastqout is not None and cluster.qual is not None \
+                    and rec.quality is not None:
+                for i in range(seqlen):
+                    p1 = _q2p(cluster.qual[i], params)
+                    p2 = _q2p(rec.quality[i], params)
+                    if params.opt_fastq_qout_max:
+                        p3 = min(p1, p2)
+                    else:
+                        p3 = (p1 * s1 + p2 * s2) / (s1 + s2)
+                    cluster.qual[i] = _p2q(p3, params)
+            cluster.size = s1 + s2
+            cluster.count += 1
+        else:
+            cluster = _Cluster(rec.header, rec.sequence, rec.quality,
+                               abundance, sequencecount)
+            table[key] = cluster
+            clusters.append(cluster)
+        maxsize = max(maxsize, cluster.size)
+        sequencecount += 1
+
+    # sort: abundance desc, label asc, first-seen asc (derep_compare_full)
+    clusters.sort(key=lambda c: (-c.size, c.header, c.seqno_first))
+
+    if not params.opt_quiet:
+        n = len(clusters)
+        if n < 1:
+            print("0 unique sequences", file=sys.stderr)
+        else:
+            sizes = [c.size for c in clusters]
+            mid = n // 2
+            median = (float(sizes[mid]) if n % 2 else
+                      sizes[mid] + (sizes[mid - 1] - sizes[mid]) * 0.5)
+            print("%d unique sequences, avg cluster %.1f, median %.0f, max %d"
+                  % (n, sumsize / n, median, maxsize), file=sys.stderr)
+
+    def selected(c: _Cluster) -> bool:
+        return params.opt_minuniquesize <= c.size <= params.opt_maxuniquesize
+
+    if out_fasta is not None:
+        with open(out_fasta, "wb") as out:
+            relabel_count = 0
+            for c in clusters:
+                if selected(c):
+                    relabel_count += 1
+                    fastx_io.fasta_print_general(out, params, c.seq, c.header,
+                                                 c.size, relabel_count)
+                    if relabel_count == params.opt_topn:
+                        break
+
+    if is_uniques and params.opt_fastqout is not None:
+        with open(params.opt_fastqout, "wb") as out:
+            relabel_count = 0
+            for c in clusters:
+                if selected(c):
+                    relabel_count += 1
+                    fastx_io.fastq_print_general(out, params, c.seq, c.header,
+                                                 bytes(c.qual or b""),
+                                                 c.size, relabel_count)
+                    if relabel_count == params.opt_topn:
+                        break
+
+    if params.opt_uc is not None:
+        with open(params.opt_uc, "wb") as out:
+            for i, c in enumerate(clusters):
+                out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                          % (i, len(c.seq), c.header))
+                for header, strand in zip(c.members, c.strands):
+                    out.write(b"H\t%d\t%d\t%s\t%s\t0\t0\t*\t%s\t%s\n"
+                              % (i, len(c.seq), b"100.0",
+                                 b"-" if strand else b"+", header, c.header))
+            for i, c in enumerate(clusters):
+                out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                          % (i, c.size, c.header))
+
+    if is_uniques and params.opt_tabbedout is not None:
+        with open(params.opt_tabbedout, "wb") as out:
+            for i, c in enumerate(clusters):
+                if params.opt_relabel is not None:
+                    label = params.opt_relabel.encode() + b"%d" % (i + 1)
+                    out.write(b"%s\t%s\t%d\t%d\t%d\t%s\n" % (
+                        c.header, label, i, 0, c.count, c.header))
+                    for j, header in enumerate(c.members, 1):
+                        out.write(b"%s\t%s\t%d\t%d\t%d\t%s\n" % (
+                            header, label, i, j, c.count, c.header))
+                else:
+                    out.write(b"%s\t%s\t%d\t%d\t%d\t%s\n" % (
+                        c.header, c.header, i, 0, c.count, c.header))
+                    for j, header in enumerate(c.members, 1):
+                        out.write(b"%s\t%s\t%d\t%d\t%d\t%s\n" % (
+                            header, c.header, i, j, c.count, c.header))
+
+
+def derep_prefix(params: Parameters) -> None:
+    """reference: src/commands/derep_prefix.cpp — collapse sequences that
+    are identical to prefixes of longer ones; processed shortest-first so a
+    sequence joins the longest existing superstring cluster."""
+    # Load all records (FASTA only, reference fatals on FASTQ)
+    records = []
+    discarded_short = discarded_long = 0
+    for rec in fastx_io.read_fastx(params.opt_derep_prefix, params):
+        seqlen = len(rec.sequence)
+        if seqlen < params.opt_minseqlength:
+            discarded_short += 1
+        elif seqlen > params.opt_maxseqlength:
+            discarded_long += 1
+        else:
+            records.append(rec)
+
+    if params.opt_output is None and params.opt_uc is None:
+        raise ValueError("Output file for dereplication must be specified "
+                         "with --output or --uc")
+
+    # sort record indices by length asc, then input order (stable)
+    order = sorted(range(len(records)), key=lambda i: len(records[i].sequence))
+
+    class PCluster:
+        __slots__ = ("header", "seq", "size", "seqno_first", "members")
+
+        def __init__(self, header, seq, size, seqno):
+            self.header = header
+            self.seq = seq
+            self.size = size
+            self.seqno_first = seqno
+            self.members = []
+
+    by_exact: Dict[bytes, PCluster] = {}
+    prefix_map: Dict[bytes, PCluster] = {}
+    clusters: List[PCluster] = []
+    sumsize = 0
+    maxsize = 0
+
+    # process shortest-first: a sequence matches an existing cluster if it
+    # equals the cluster seq or a prefix of it; otherwise starts a cluster.
+    # Longer sequences absorb existing clusters whose seq is their prefix.
+    for idx in order:
+        rec = records[idx]
+        norm = normalize(rec.sequence)
+        abundance = rec.abundance if params.opt_sizein else 1
+        sumsize += abundance
+        cluster = by_exact.get(norm)
+        if cluster is None:
+            cluster = prefix_map.get(norm)
+        if cluster is not None:
+            cluster.members.append(rec.header)
+            cluster.size += abundance
+        else:
+            cluster = PCluster(rec.header, rec.sequence, abundance, idx)
+            by_exact[norm] = cluster
+            clusters.append(cluster)
+        maxsize = max(maxsize, cluster.size)
+
+    raise NotImplementedError(
+        "derep_prefix requires the reference's shorter-to-longer chaining; "
+        "not yet implemented")

@@ -1,0 +1,77 @@
+"""sortbysize / sortbylength / shuffle commands.
+
+reference: src/commands/sortbysize.cpp, sortbylength.cpp, shuffle.cpp.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+from ..params import Parameters
+from ..db import Database
+from ..io import fastx as fastx_io
+from ..utils.random import MT19937_64, random_base_seed, random_shuffle
+
+
+def _print_db_relabel(out, params: Parameters, db, seqno: int,
+                      ordinal: int) -> None:
+    """reference: fasta.cpp fasta_print_db_relabel (:629-648)."""
+    fastx_io.fasta_print_general(out, params, db.getsequence(seqno),
+                                 db.getheader(seqno), db.getabundance(seqno),
+                                 ordinal)
+
+
+def _median_msg(sizes: List[int], params: Parameters) -> None:
+    if not sizes:
+        median = 0.0
+    else:
+        mid = len(sizes) // 2
+        if len(sizes) % 2 != 0:
+            median = float(sizes[mid])
+        else:
+            median = sizes[mid] + (sizes[mid - 1] - sizes[mid]) * 0.5
+    if not params.opt_quiet:
+        print("Median abundance: %.0f" % median, file=sys.stderr)
+
+
+def sortbysize(params: Parameters) -> None:
+    """reference: sortbysize.cpp (:238-256); deck filtered by
+    minsize/maxsize, stable sort by (size desc, label asc), topn cut."""
+    db = Database()
+    db.read(params.opt_sortbysize, params)
+    deck = [i for i in range(db.seqcount)
+            if params.opt_minsize <= db.getabundance(i) <= params.opt_maxsize]
+    deck.sort(key=lambda i: (-db.getabundance(i), db.getheader(i), i))
+    _median_msg([db.getabundance(i) for i in deck], params)
+    deck = deck[:params.opt_topn]
+    with open(params.opt_output, "wb") as out:
+        for ordinal, seqno in enumerate(deck, 1):
+            _print_db_relabel(out, params, db, seqno, ordinal)
+
+
+def sortbylength(params: Parameters) -> None:
+    """reference: sortbylength.cpp — stable sort by (length desc, size desc,
+    label asc), topn cut (no min/max size filter)."""
+    db = Database()
+    db.read(params.opt_sortbylength, params)
+    deck = list(range(db.seqcount))
+    deck.sort(key=lambda i: (-db.getsequencelen(i), -db.getabundance(i),
+                             db.getheader(i), i))
+    deck = deck[:params.opt_topn]
+    with open(params.opt_output, "wb") as out:
+        for ordinal, seqno in enumerate(deck, 1):
+            _print_db_relabel(out, params, db, seqno, ordinal)
+
+
+def shuffle(params: Parameters) -> None:
+    """reference: shuffle.cpp — Fisher-Yates with mt19937_64(randseed)."""
+    db = Database()
+    db.read(params.opt_shuffle, params)
+    deck = list(range(db.seqcount))
+    gen = MT19937_64(random_base_seed(params))
+    random_shuffle(deck, gen)
+    deck = deck[:params.opt_topn]
+    with open(params.opt_output, "wb") as out:
+        for ordinal, seqno in enumerate(deck, 1):
+            _print_db_relabel(out, params, db, seqno, ordinal)

@@ -3,14 +3,15 @@
 Mirrors reference src/commands/usearch_global.cpp: output-file handling,
 per-query result emission (in deterministic query order — equal to the
 reference's single-thread order), summary statistics, dbmatched/otutab
-post-passes.
+post-passes.  Queries are processed in batches through the batched device
+search pipeline (core/search.py).
 """
 
 from __future__ import annotations
 
 import sys
 from contextlib import ExitStack
-from typing import IO, Dict, List, Optional
+from typing import IO, List, Optional
 
 from ..params import Parameters
 from ..db import Database
@@ -19,6 +20,8 @@ from ..core import results
 from ..core.search import SearchContext
 from ..core.otutable import OtuTable
 
+BATCH = 128
+
 
 def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
     if path is None:
@@ -26,6 +29,17 @@ def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
     if path == "-":
         return sys.stdout.buffer
     return stack.enter_context(open(path, "wb"))
+
+
+def _batches(iterable, size=BATCH):
+    batch = []
+    for item in iterable:
+        batch.append(item)
+        if len(batch) == size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
 
 
 def usearch_global(params: Parameters) -> None:
@@ -58,21 +72,16 @@ def usearch_global(params: Parameters) -> None:
 
         otutab = OtuTable() if (fp_otutabout or fp_mothur or fp_biomout) else None
         dbmatched = [0] * db.seqcount
-        qmatches = 0
-        queries = 0
-        qmatches_abundance = 0
-        queries_abundance = 0
-        count_matched = 0
-        count_notmatched = 0
+        stats = {"qmatches": 0, "queries": 0, "qmatches_abundance": 0,
+                 "queries_abundance": 0, "count_matched": 0,
+                 "count_notmatched": 0}
 
-        for rec in fastx_io.read_fastx(params.opt_usearch_global, params):
-            hits, qseq_masked, qseq_rc = ctx.search_query(
-                rec.header, rec.sequence, rec.abundance, rec.seqno)
-            queries += 1
-            queries_abundance += rec.abundance
+        def emit(rec, hits, qseq_masked, qseq_rc) -> None:
+            stats["queries"] += 1
+            stats["queries_abundance"] += rec.abundance
             if hits:
-                qmatches += 1
-                qmatches_abundance += rec.abundance
+                stats["qmatches"] += 1
+                stats["qmatches_abundance"] += rec.abundance
 
             toreport = min(params.opt_maxhits, len(hits))
             query_head = rec.header
@@ -132,27 +141,40 @@ def usearch_global(params: Parameters) -> None:
                                                 query_head, qseqlen, db)
 
             if hits:
-                count_matched += 1
+                stats["count_matched"] += 1
                 if fp_matched is not None:
                     fastx_io.fasta_print_general(
                         fp_matched, params, qseq_masked, query_head,
-                        rec.abundance, count_matched)
+                        rec.abundance, stats["count_matched"])
             else:
-                count_notmatched += 1
+                stats["count_notmatched"] += 1
                 if fp_notmatched is not None:
                     fastx_io.fasta_print_general(
                         fp_notmatched, params, qseq_masked, query_head,
-                        rec.abundance, count_notmatched)
+                        rec.abundance, stats["count_notmatched"])
 
             for hp in hits:
                 if hp.accepted or hp.weak:
                     dbmatched[hp.target] += (rec.abundance
                                              if params.opt_sizein else 1)
 
+        for chunk in _batches(fastx_io.read_fastx(params.opt_usearch_global,
+                                                  params)):
+            tasks = [ctx.prepare_task(rec.header, rec.sequence,
+                                      rec.abundance, rec.seqno)
+                     for rec in chunk]
+            ctx.search_tasks(tasks)
+            for rec, task in zip(chunk, tasks):
+                hits = ctx.join_task(task)
+                emit(rec, hits, task.seqs[0],
+                     task.seqs[1] if len(task.seqs) > 1 else None)
+
         if not params.opt_quiet:
-            msg = "Matching unique query sequences: %d of %d" % (qmatches, queries)
-            if queries > 0:
-                msg += " (%.2f%%)" % (100.0 * qmatches / queries)
+            msg = "Matching unique query sequences: %d of %d" % (
+                stats["qmatches"], stats["queries"])
+            if stats["queries"] > 0:
+                msg += " (%.2f%%)" % (100.0 * stats["qmatches"]
+                                      / stats["queries"])
             print(msg, file=sys.stderr)
 
         if otutab is not None:

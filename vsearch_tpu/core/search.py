@@ -2,16 +2,24 @@
 
 TPU-first restructure of reference src/core/search.cpp +
 commands/usearch_global.cpp: instead of one-thread-one-query with early
-exits, queries are processed in host batches; per batch the k-mer scoring
-and all candidate alignments run as device-wide array ops, and the
-sequential accept/reject walk is replayed exactly on host (see
-core/searchcore.py).
+exits, queries are processed in host batches; per batch
+
+  1. shared-kmer counts for every (query, strand) run as one device matmul
+     over the packed-bit incidence index (ops/score.py),
+  2. exact top-K candidate selection replays the reference heap order,
+  3. the per-query accept/reject walks advance in lockstep: each round
+     collects every walk's MAXDELAYED alignment batch and aligns the union
+     in a single device wavefront call (ops/nw_jax.py),
+  4. hits are emitted in query order (the reference's single-thread order).
+
+This aligns exactly the pairs the reference aligns — no speculative extra
+DP work — while keeping device calls O(rounds) instead of O(queries).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -23,21 +31,35 @@ from ..ops.nw import (AlignmentResult, ScoreScheme, SHRT_MAX, align_pair_host,
                       fits_simd)
 from ..utils import maps
 from . import mask as mask_mod
-from .searchcore import (Hit, QueryInfo, MAXDELAYED, join_hits,
-                         replay_onequery, search_acceptable_unaligned)
-
-MAXDELAYED = 8
+from .searchcore import (Hit, QueryInfo, MAXDELAYED, QueryWalk, join_hits)
 
 
 @dataclasses.dataclass
+class QueryTask:
+    """One query as read from the input, with per-strand masked forms."""
+    query_head: bytes
+    qsize: int
+    query_no: int
+    seqs: List[bytes]                  # masked sequence per strand
+    hits: List[Optional[List[Hit]]]    # filled per strand
+
+    @property
+    def joined(self) -> List[Hit]:
+        raise NotImplementedError
+
+
 class SearchContext:
     """Everything a search run needs (the search_cli_state_s analogue)."""
-    params: Parameters            # effective parameters (maxaccepts clamped)
-    db: Database
-    index: KmerIndex
-    tophits: int
-    scheme: ScoreScheme
-    aligner: Optional[object] = None  # batched device aligner (ops/nw_jax)
+
+    def __init__(self, params: Parameters, db: Database, index: KmerIndex,
+                 tophits: int, scheme: ScoreScheme, aligner, device_index):
+        self.params = params
+        self.db = db
+        self.index = index
+        self.tophits = tophits
+        self.scheme = scheme
+        self.aligner = aligner
+        self.device_index = device_index
 
     @classmethod
     def build(cls, params: Parameters, db: Database,
@@ -62,104 +84,162 @@ class SearchContext:
         tophits = min(effective.opt_maxaccepts + effective.opt_maxrejects
                       + MAXDELAYED, seqcount)
         aligner = None
+        device_index = None
         if use_device:
             try:
                 from ..ops.nw_jax import BatchAligner
                 aligner = BatchAligner(ScoreScheme.from_params(params))
             except Exception:
                 aligner = None
+            try:
+                from ..ops.score import DeviceKmerIndex
+                if index.count >= 512:
+                    device_index = DeviceKmerIndex(
+                        index.wordlength, index._kmer_lists,
+                        np.asarray(index.lengths),
+                        np.asarray(index.mapping))
+            except Exception:
+                device_index = None
         return cls(effective, db, index, tophits,
-                   ScoreScheme.from_params(params), aligner)
+                   ScoreScheme.from_params(params), aligner, device_index)
 
-    # ------------------------------------------------------------------
+    # -- alignment ------------------------------------------------------
 
-    def align_candidates(self, qsequence: bytes,
-                         targets: Sequence[int]) -> Dict[int, AlignmentResult]:
-        """Align query vs each target with search16 semantics + lma fallback."""
-        results: Dict[int, AlignmentResult] = {}
+    def align_pairs(self, pairs: Sequence[Tuple[bytes, int]]
+                    ) -> List[AlignmentResult]:
+        """Align (qseq, target_seqno) pairs with search16 semantics +
+        linear-memory fallback for sentinel scores."""
+        results: List[Optional[AlignmentResult]] = [None] * len(pairs)
         pending: List[int] = []
-        for t in targets:
+        for idx, (qseq, t) in enumerate(pairs):
             tseq = self.db.getsequence(t)
             if (self.scheme.force_scalar_fallback
-                    or not fits_simd(len(qsequence), len(tseq))
-                    or len(qsequence) == 0 or len(tseq) == 0):
-                results[t] = align_pair_host(self.scheme, qsequence, tseq)
+                    or not fits_simd(len(qseq), len(tseq))
+                    or len(qseq) == 0 or len(tseq) == 0):
+                results[idx] = align_pair_host(self.scheme, qseq, tseq)
             else:
-                pending.append(t)
+                pending.append(idx)
         if pending:
             if self.aligner is not None:
-                batch = self.aligner.align(
-                    qsequence, [self.db.getsequence(t) for t in pending])
-                for t, res in zip(pending, batch):
-                    results[t] = res
+                batch = self.aligner.align_pairs(
+                    [pairs[i][0] for i in pending],
+                    [self.db.getsequence(pairs[i][1]) for i in pending])
+                for i, res in zip(pending, batch):
+                    results[i] = res
             else:
-                for t in pending:
-                    results[t] = align_pair_host(self.scheme, qsequence,
-                                                 self.db.getsequence(t))
+                for i in pending:
+                    results[i] = align_pair_host(
+                        self.scheme, pairs[i][0],
+                        self.db.getsequence(pairs[i][1]))
         # linear-memory fallback for sentinel scores
-        for t, res in list(results.items()):
+        # (reference: align_delayed, searchcore.cpp:806-832)
+        for i, res in enumerate(results):
             if res.score == SHRT_MAX:
-                results[t] = self.align_fallback(qsequence,
-                                                 self.db.getsequence(t))
+                from ..ops.linmem import linmem_align
+                results[i] = linmem_align(self.scheme, pairs[i][0],
+                                          self.db.getsequence(pairs[i][1]))
         return results
 
-    def align_fallback(self, qsequence: bytes, tseq: bytes) -> AlignmentResult:
-        """Linear-memory (exact 64-bit) aligner fallback.
+    # -- scoring --------------------------------------------------------
 
-        reference: core/linmemalign.cpp via align_delayed
-        (searchcore.cpp:806-832)."""
-        from ..ops.linmem import linmem_align
-        return linmem_align(self.scheme, qsequence, tseq)
+    def _counts_batch(self, kmer_lists: List[np.ndarray]) -> np.ndarray:
+        if self.device_index is not None:
+            return self.device_index.counts(kmer_lists)
+        return np.stack([self.index.counts_for_query(k)
+                         for k in kmer_lists]) if kmer_lists else \
+            np.zeros((0, self.index.count), dtype=np.int32)
 
-    # ------------------------------------------------------------------
-
-    def search_one(self, qi: QueryInfo) -> List[Hit]:
-        """search_onequery equivalent for one (query, strand)."""
-        params = self.params
-        qkmers = kmer_ops.unique_kmer_set(qi.qsequence, self.index.wordlength,
-                                          params.opt_qmask)
-        qi.kmersamplecount = int(qkmers.size)
-        counts = self.index.counts_for_query(qkmers)
+    def _candidates(self, counts_row: np.ndarray,
+                    kmersamplecount: int) -> List[Tuple[int, int]]:
         # the reference casts opt_minwordmatches to unsigned before the min
         # (searchcore.cpp:320), so a negative value means "kmersamplecount"
-        mwm = params.opt_minwordmatches
+        mwm = self.params.opt_minwordmatches
         mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
-        minmatches = min(mwm_u, qi.kmersamplecount)
-        candidates = self.index.topscores(counts, self.tophits, minmatches)
+        minmatches = min(mwm_u, kmersamplecount)
+        return self.index.topscores(counts_row, self.tophits, minmatches)
 
-        # batched device alignment for every candidate that can be aligned
-        walk_bound = params.opt_maxaccepts + params.opt_maxrejects - 1
-        to_align = [s for s, _ in candidates[:max(walk_bound, 0)]
-                    if search_acceptable_unaligned(params, qi, self.db, s)]
-        alignments = self.align_candidates(qi.qsequence, to_align)
+    # -- batched query processing ---------------------------------------
 
-        def get_alignment(seqno: int) -> AlignmentResult:
-            return alignments[seqno]
+    def mask_query(self, seq: bytes) -> bytes:
+        params = self.params
+        if params.opt_qmask == Masking.dust:
+            return mask_mod.dust_mask(seq, params.opt_hardmask)
+        if params.opt_qmask == Masking.soft and params.opt_hardmask:
+            return mask_mod.hardmask(seq)
+        return seq
 
-        return replay_onequery(params, qi, self.db, candidates, get_alignment)
+    def prepare_task(self, query_head: bytes, qsequence: bytes, qsize: int,
+                     query_no: int) -> QueryTask:
+        strands = 2 if self.params.opt_strand else 1
+        seqs = []
+        for strand in range(strands):
+            seq = qsequence if strand == 0 else \
+                maps.reverse_complement(qsequence)
+            seqs.append(self.mask_query(seq))
+        return QueryTask(query_head, qsize, query_no, seqs,
+                         [None] * strands)
+
+    def search_tasks(self, tasks: List[QueryTask]) -> None:
+        """Run the full search for a batch of query tasks."""
+        params = self.params
+        units = []  # (task, strand, QueryInfo)
+        kmer_lists = []
+        for task in tasks:
+            for strand, seq in enumerate(task.seqs):
+                qi = QueryInfo(query_head=task.query_head, qsequence=seq,
+                               qseqlen=len(seq), qsize=task.qsize,
+                               strand=strand, query_no=task.query_no)
+                kmers = kmer_ops.unique_kmer_set(
+                    seq, self.index.wordlength, params.opt_qmask)
+                qi.kmersamplecount = int(kmers.size)
+                units.append((task, strand, qi))
+                kmer_lists.append(kmers)
+
+        counts = self._counts_batch(kmer_lists)
+        walks: List[QueryWalk] = []
+        for (task, strand, qi), row in zip(units, counts):
+            candidates = self._candidates(row, qi.kmersamplecount)
+            walks.append(QueryWalk(params, qi, self.db, candidates))
+
+        # lockstep alignment rounds over all walks
+        active = list(range(len(walks)))
+        while active:
+            pair_list: List[Tuple[bytes, int]] = []
+            owners: List[Tuple[int, int]] = []  # (walk idx, target)
+            requests: Dict[int, List[int]] = {}
+            for w in active:
+                targets = walks[w].advance()
+                if targets:
+                    requests[w] = targets
+                    for t in targets:
+                        pair_list.append((walks[w].qi.qsequence, t))
+                        owners.append((w, t))
+            if not pair_list:
+                break
+            results = self.align_pairs(pair_list)
+            per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
+            for (w, t), res in zip(owners, results):
+                per_walk.setdefault(w, {})[t] = res
+            next_active = []
+            for w in active:
+                if w in per_walk:
+                    walks[w].supply(per_walk[w])
+                if not walks[w].done:
+                    next_active.append(w)
+            active = next_active
+
+        for (task, strand, qi), walk in zip(units, walks):
+            task.hits[strand] = walk.hits
+
+    def join_task(self, task: QueryTask) -> List[Hit]:
+        return join_hits(self.params, task.hits[0],
+                         task.hits[1] if len(task.hits) > 1 else None)
+
+    # -- single query convenience (library/session path) ----------------
 
     def search_query(self, query_head: bytes, qsequence: bytes, qsize: int,
                      query_no: int) -> Tuple[List[Hit], bytes, Optional[bytes]]:
-        """Both-strand search + join (search_query, usearch_global.cpp:376-421).
-
-        Returns (joined hits, masked plus-strand seq, minus-strand seq)."""
-        params = self.params
-        # mask query (reference masks the si copy in place; the RC strand is
-        # built from the *unmasked* original and masked separately)
-        seqs = {}
-        hits_by_strand: List[List[Hit]] = []
-        strands = 2 if params.opt_strand else 1
-        for strand in range(strands):
-            seq = qsequence if strand == 0 else maps.reverse_complement(qsequence)
-            if params.opt_qmask == Masking.dust:
-                seq = mask_mod.dust_mask(seq, params.opt_hardmask)
-            elif params.opt_qmask == Masking.soft and params.opt_hardmask:
-                seq = mask_mod.hardmask(seq)
-            seqs[strand] = seq
-            qi = QueryInfo(query_head=query_head, qsequence=seq,
-                           qseqlen=len(seq), qsize=qsize, strand=strand,
-                           query_no=query_no)
-            hits_by_strand.append(self.search_one(qi))
-        joined = join_hits(params, hits_by_strand[0],
-                           hits_by_strand[1] if strands > 1 else None)
-        return joined, seqs[0], seqs.get(1)
+        task = self.prepare_task(query_head, qsequence, qsize, query_no)
+        self.search_tasks([task])
+        joined = self.join_task(task)
+        return joined, task.seqs[0], task.seqs[1] if len(task.seqs) > 1 else None

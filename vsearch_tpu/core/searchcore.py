@@ -339,6 +339,88 @@ def fill_alignment_fields(hit: Hit, qi: QueryInfo, db,
     hit.mismatches = hit.nwdiff - hit.nwindels
 
 
+class QueryWalk:
+    """Incremental replay of search_onequery's candidate walk.
+
+    Drives the exact reference loop (searchcore.cpp:884-957) as a state
+    machine so that the delayed-alignment batches of many queries can be
+    aligned together in one device call: ``advance()`` pops candidates until
+    a MAXDELAYED batch is full (returning the targets that need alignment),
+    ``supply()`` is align_delayed with the computed results.
+    """
+
+    def __init__(self, params: Parameters, qi: QueryInfo, db,
+                 candidates: Sequence[Tuple[int, int]]) -> None:
+        self.params = params
+        self.qi = qi
+        self.db = db
+        self.candidates = candidates
+        self.hits: List[Hit] = []
+        self.accepts = 0
+        self.rejects = 0
+        self.finalized = 0
+        self.delayed = 0
+        self.pop_idx = 0
+        self.done = False
+
+    def _loop_ok(self) -> bool:
+        p = self.params
+        return (self.finalized + self.delayed
+                < p.opt_maxaccepts + p.opt_maxrejects - 1
+                and self.rejects < p.opt_maxrejects
+                and self.accepts < p.opt_maxaccepts
+                and self.pop_idx < len(self.candidates))
+
+    def advance(self) -> List[int]:
+        """Pop candidates until a batch of MAXDELAYED needs alignment.
+
+        Returns the targets to align (possibly fewer than MAXDELAYED at the
+        end of the walk, or [] when the walk is finished)."""
+        if self.done:
+            return []
+        while self._loop_ok():
+            seqno, count = self.candidates[self.pop_idx]
+            self.pop_idx += 1
+            hit = Hit(target=seqno, strand=self.qi.strand, count=count)
+            if search_acceptable_unaligned(self.params, self.qi, self.db,
+                                           seqno):
+                self.delayed += 1
+            else:
+                hit.rejected = True
+            self.hits.append(hit)
+            if self.delayed == MAXDELAYED:
+                return self._delayed_targets()
+        if self.delayed > 0:
+            return self._delayed_targets()
+        self.done = True
+        return []
+
+    def _delayed_targets(self) -> List[int]:
+        return [h.target for h in self.hits[self.finalized:]
+                if not h.rejected]
+
+    def supply(self, alignments: Dict[int, AlignmentResult]) -> None:
+        """align_delayed (searchcore.cpp:740-881) with precomputed results."""
+        p = self.params
+        for x in range(self.finalized, len(self.hits)):
+            if self.rejects < p.opt_maxrejects and self.accepts < p.opt_maxaccepts:
+                hit = self.hits[x]
+                if hit.rejected:
+                    self.rejects += 1
+                    continue
+                fill_alignment_fields(hit, self.qi, self.db,
+                                      alignments[hit.target])
+                align_trim(hit, p)
+                if search_acceptable_aligned(p, self.qi, self.db, hit):
+                    self.accepts += 1
+                else:
+                    self.rejects += 1
+        self.finalized = len(self.hits)
+        self.delayed = 0
+        if not self._loop_ok():
+            self.done = True
+
+
 def replay_onequery(params: Parameters, qi: QueryInfo, db,
                     candidates: Sequence[Tuple[int, int]],
                     get_alignment: Callable[[int], AlignmentResult]) -> List[Hit]:

@@ -1,0 +1,289 @@
+"""Batched Needleman-Wunsch on device: anti-diagonal wavefront in XLA.
+
+TPU-first reformulation of the reference's 8-channel SIMD DP
+(src/core/align_simd.cpp): instead of 8 alignments per 128-bit vector, a
+whole batch of query x target pairs advances one anti-diagonal per scan
+step, with every per-cell update an elementwise op over a (batch, M) tile —
+mapping onto the VPU's (8, 128) lanes.  Per-diagonal direction bits stay on
+device; the backtrack is a second lockstep scan across the batch, so only
+the op strings (O(m+n) per pair) ever reach the host.
+
+Semantics are bit-identical to the reference engine (same recurrence,
+direction-bit priorities, boundary classes, and 16-bit overflow detection
+thresholds) — validated against ops/nw.py's scalar oracle and the reference
+binary's outputs.
+
+Precision: cells are int32 — exact for every pair the 16-bit reference
+engine accepts; the overflow *flags* replicate the reference's h_min/h_max
+detection (align_simd.cpp:2029-2040) so sentinel/fallback behavior matches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.maps import CHRMAP_4BIT
+from .nw import (AlignmentResult, DIR_EXTLEFT, DIR_EXTUP, DIR_LEFT, DIR_UP,
+                 SHRT_MAX, ScoreScheme, ops_to_cigar)
+
+# op codes emitted by the device backtrack
+OP_NONE, OP_M, OP_D, OP_I = 0, 1, 2, 3
+
+NEG_LARGE = jnp.int32(-(2**30))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=64)
+def _build_kernels(scheme_key: tuple, M: int, N: int):
+    """Compile the forward DP + backtrack for a (scheme, M, N) geometry."""
+    (match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r,
+     ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r, n_mismatch) = scheme_key
+    scheme = ScoreScheme(match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i,
+                         go_q_r, go_t_r, ge_q_l, ge_t_l, ge_q_i, ge_t_i,
+                         ge_q_r, ge_t_r, bool(n_mismatch))
+    sm_flat = jnp.asarray(scheme.score_matrix().reshape(-1), dtype=jnp.int32)
+    QR_q_i = go_q_i + ge_q_i
+    QR_q_r = go_q_r + ge_q_r
+    QR_t_i = go_t_i + ge_t_i
+    QR_t_r = go_t_r + ge_t_r
+    score_min = scheme.score_min()
+    D = M + N - 1
+    S = M + N  # max backtrack steps
+
+    ii = jnp.arange(M, dtype=jnp.int32)  # query index per lane
+
+    def forward(q4, qlen, t4, tlen):
+        """q4 (B, M) int32 codes, qlen (B,), t4 (B, N), tlen (B,).
+
+        Returns (scores (B,), overflow (B,), dirs (D, B, M) uint8)."""
+        B = q4.shape[0]
+        qlen_c = qlen[:, None]              # (B, 1)
+        tlen_c = tlen[:, None]
+
+        last_q = ii[None, :] == (qlen_c - 1)
+        QR_q = jnp.where(last_q, QR_q_r, QR_q_i).astype(jnp.int32)
+        R_q = jnp.where(last_q, ge_q_r, ge_q_i).astype(jnp.int32)
+        valid_i = ii[None, :] < qlen_c
+
+        zeros = jnp.zeros((B, M), dtype=jnp.int32)
+        init = (zeros, zeros, zeros, zeros,
+                jnp.zeros(B, dtype=jnp.int32),       # score
+                jnp.zeros(B, dtype=jnp.int32),       # hmin
+                jnp.zeros(B, dtype=jnp.int32))       # hmax
+
+        def step(carry, d):
+            H1, H2, E_prev, F_prev, score, hmin, hmax = carry
+            jj = d - ii                       # (M,) target index per lane
+            jj_c = jnp.clip(jj, 0, N - 1)
+            valid = (jj[None, :] >= 0) & (jj[None, :] < tlen_c) & valid_i
+
+            tj = jnp.take_along_axis(
+                t4, jnp.broadcast_to(jj_c[None, :], (B, M)), axis=1)
+            V = sm_flat[(q4 << 4) + tj]
+
+            right_t = jj[None, :] == (tlen_c - 1)
+            QR_t = jnp.where(right_t, QR_t_r, QR_t_i).astype(jnp.int32)
+            R_t = jnp.where(right_t, ge_t_r, ge_t_i).astype(jnp.int32)
+
+            jb = jj[None, :]
+            # boundaries (align_simd.cpp fresh-channel init, :1895-1910,
+            # and aligncolumns_first hep adjustments, :850-887)
+            top_hm1 = -(go_q_l + (jb + 1) * ge_q_l)          # H[-1][j]
+            diag_top = jnp.where(jb == 0, 0, -(go_q_l + jb * ge_q_l))
+            left_col = -(go_t_l + (ii[None, :] + 1) * ge_t_l)  # H[i][-1]
+            diag_left = -(go_t_l + ii[None, :] * ge_t_l)
+
+            H2s = jnp.pad(H2, ((0, 0), (1, 0)))[:, :M]       # H2[i-1]
+            F_ps = jnp.pad(F_prev, ((0, 0), (1, 0)),
+                           constant_values=0)[:, :M]          # F_prev[i-1]
+
+            diag_in = jnp.where(ii[None, :] == 0, diag_top,
+                                jnp.where(jb == 0, diag_left, H2s))
+            E_in = jnp.where(jb == 0, left_col - QR_q, E_prev)
+            F_in = jnp.where(ii[None, :] == 0, top_hm1 - QR_t, F_ps)
+
+            h = diag_in + V
+            d_up = F_in > h
+            h = jnp.maximum(h, F_in)
+            d_left = E_in > h
+            h = jnp.maximum(h, E_in)
+
+            hmin = jnp.minimum(hmin, jnp.min(jnp.where(valid, h, 0), axis=1))
+            hmax = jnp.maximum(hmax, jnp.max(jnp.where(valid, h, 0), axis=1))
+
+            HF = h - QR_t
+            Fx = F_in - R_t
+            d_extup = Fx > HF
+            F_out = jnp.maximum(Fx, HF)
+            HE = h - QR_q
+            Ex = E_in - R_q
+            d_extleft = Ex > HE
+            E_out = jnp.maximum(Ex, HE)
+
+            dirs = (d_up.astype(jnp.uint8) * DIR_UP
+                    | d_left.astype(jnp.uint8) * DIR_LEFT
+                    | d_extup.astype(jnp.uint8) * DIR_EXTUP
+                    | d_extleft.astype(jnp.uint8) * DIR_EXTLEFT)
+            dirs = jnp.where(valid, dirs, 0)
+
+            at_end = d == (qlen + tlen - 2)
+            h_last = jnp.take_along_axis(h, qlen_c - 1, axis=1)[:, 0]
+            score = jnp.where(at_end, h_last, score)
+
+            return (h, H1, E_out, F_out, score, hmin, hmax), dirs
+
+        (H1, H2, E, F, score, hmin, hmax), dirs = jax.lax.scan(
+            step, init, jnp.arange(D, dtype=jnp.int32))
+        overflow = (hmin <= score_min) | (hmax >= SHRT_MAX)
+        return score, overflow, dirs
+
+    def backtrack(dirs, qlen, tlen):
+        """dirs (D, B, M) uint8 -> ops (S, B) int8 (end-to-front order).
+
+        reference: align_simd.cpp backtrack16 (:1144-1233)."""
+        B = qlen.shape[0]
+        dirs_flat = jnp.moveaxis(dirs, 1, 0).reshape(B, D * M)
+
+        def step(carry, _):
+            i, j, prev = carry
+            both = (i >= 0) & (j >= 0)
+            idx = jnp.clip((i + j) * M + i, 0, D * M - 1)
+            dword = jnp.take_along_axis(dirs_flat, idx[:, None],
+                                        axis=1)[:, 0].astype(jnp.int32)
+            extleft = (dword & DIR_EXTLEFT) != 0
+            extup = (dword & DIR_EXTUP) != 0
+            left = (dword & DIR_LEFT) != 0
+            up = (dword & DIR_UP) != 0
+            op_main = jnp.where(
+                (prev == OP_I) & extleft, OP_I,
+                jnp.where((prev == OP_D) & extup, OP_D,
+                          jnp.where(left, OP_I,
+                                    jnp.where(up, OP_D, OP_M))))
+            op_drain = jnp.where(i >= 0, OP_D, OP_I)
+            active = (i >= 0) | (j >= 0)
+            op = jnp.where(both, op_main,
+                           jnp.where(active, op_drain, OP_NONE))
+            di = ((op == OP_D) | (op == OP_M)).astype(jnp.int32)
+            dj = ((op == OP_I) | (op == OP_M)).astype(jnp.int32)
+            return (i - di, j - dj, jnp.where(active, op, prev)), \
+                op.astype(jnp.int8)
+
+        init = (qlen - 1, tlen - 1, jnp.zeros(B, dtype=jnp.int32))
+        _, ops = jax.lax.scan(step, init, None, length=S)
+        return ops
+
+    def full(q4, qlen, t4, tlen):
+        score, overflow, dirs = forward(q4, qlen, t4, tlen)
+        ops = backtrack(dirs, qlen, tlen)
+        return score, overflow, ops
+
+    return jax.jit(full)
+
+
+class BatchAligner:
+    """Device-batched aligner with host CIGAR/stat assembly."""
+
+    def __init__(self, scheme: ScoreScheme) -> None:
+        self.scheme = scheme
+        self._key = (scheme.match, scheme.mismatch, scheme.go_q_left,
+                     scheme.go_t_left, scheme.go_q_int, scheme.go_t_int,
+                     scheme.go_q_right, scheme.go_t_right, scheme.ge_q_left,
+                     scheme.ge_t_left, scheme.ge_q_int, scheme.ge_t_int,
+                     scheme.ge_q_right, scheme.ge_t_right, scheme.n_mismatch)
+
+    def align(self, qseq: bytes, tseqs: Sequence[bytes]) -> List[AlignmentResult]:
+        """One query vs many targets (the search16 call shape)."""
+        return self.align_pairs([qseq] * len(tseqs), tseqs)
+
+    def align_pairs(self, qseqs: Sequence[bytes],
+                    tseqs: Sequence[bytes]) -> List[AlignmentResult]:
+        B = len(qseqs)
+        if B == 0:
+            return []
+        qlens = np.array([len(q) for q in qseqs], dtype=np.int32)
+        tlens = np.array([len(t) for t in tseqs], dtype=np.int32)
+        M = _round_up(max(1, int(qlens.max())), 64)
+        N = _round_up(max(1, int(tlens.max())), 64)
+        Bp = _round_up(B, 8)
+
+        q4 = np.zeros((Bp, M), dtype=np.int32)
+        t4 = np.zeros((Bp, N), dtype=np.int32)
+        for b, (q, t) in enumerate(zip(qseqs, tseqs)):
+            q4[b, :len(q)] = CHRMAP_4BIT[np.frombuffer(q, dtype=np.uint8)]
+            t4[b, :len(t)] = CHRMAP_4BIT[np.frombuffer(t, dtype=np.uint8)]
+        qlens_p = np.ones(Bp, dtype=np.int32)
+        qlens_p[:B] = qlens
+        tlens_p = np.ones(Bp, dtype=np.int32)
+        tlens_p[:B] = tlens
+
+        kernel = _build_kernels(self._key, M, N)
+        score, overflow, ops = kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
+                                      jnp.asarray(t4), jnp.asarray(tlens_p))
+        score = np.asarray(score)
+        overflow = np.asarray(overflow)
+        ops = np.asarray(ops)  # (S, Bp) int8, end-to-front
+
+        results: List[AlignmentResult] = []
+        for b in range(B):
+            if overflow[b]:
+                results.append(AlignmentResult(SHRT_MAX, "", 0, 0, 0, 0))
+                continue
+            results.append(self._assemble(int(score[b]), ops[:, b],
+                                          qseqs[b], tseqs[b]))
+        return results
+
+    def _assemble(self, score: int, ops_rev: np.ndarray, qseq: bytes,
+                  tseq: bytes) -> AlignmentResult:
+        fwd = ops_rev[ops_rev != OP_NONE][::-1]
+        aligned = int(fwd.size)
+        is_m = fwd == OP_M
+        is_d = fwd == OP_D
+        is_i = fwd == OP_I
+        # per-op sequence positions
+        qstep = (is_m | is_d).astype(np.int64)
+        tstep = (is_m | is_i).astype(np.int64)
+        qpos = np.cumsum(qstep) - qstep
+        tpos = np.cumsum(tstep) - tstep
+        q4 = CHRMAP_4BIT[np.frombuffer(qseq, dtype=np.uint8)].astype(np.int64)
+        t4 = CHRMAP_4BIT[np.frombuffer(tseq, dtype=np.uint8)].astype(np.int64)
+        mq = q4[qpos[is_m]]
+        mt = t4[tpos[is_m]]
+        equiv = (mq & mt) != 0
+        if self.scheme.n_mismatch:
+            equiv &= (mq != 15) & (mt != 15)
+        matches = int(equiv.sum())
+        mismatches = int(is_m.sum()) - matches
+        # gap runs: transitions into D or I
+        prev = np.concatenate(([OP_NONE], fwd[:-1]))
+        gaps = int(((is_d) & (prev != OP_D)).sum()
+                   + ((is_i) & (prev != OP_I)).sum())
+        # run-length encode
+        cigar = _ops_array_to_cigar(fwd)
+        return AlignmentResult(score, cigar, aligned, matches, mismatches,
+                               gaps)
+
+
+_OP_CHARS = {OP_M: "M", OP_D: "D", OP_I: "I"}
+
+
+def _ops_array_to_cigar(fwd: np.ndarray) -> str:
+    if fwd.size == 0:
+        return ""
+    change = np.nonzero(np.diff(fwd))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [fwd.size]))
+    parts = []
+    for s, e in zip(starts, ends):
+        run = e - s
+        ch = _OP_CHARS[int(fwd[s])]
+        parts.append(("%d%s" % (run, ch)) if run > 1 else ch)
+    return "".join(parts)
