@@ -352,6 +352,13 @@ def dispatch(params: Parameters) -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+    # persistent XLA compile cache: kernel geometries are bucketed, so a few
+    # compiles amortize across runs
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/vsearch_tpu/jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     if argv is None:
         argv = sys.argv[1:]
     try:

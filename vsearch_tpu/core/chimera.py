@@ -1,0 +1,535 @@
+"""UCHIME-family chimera detection.
+
+Mirrors reference src/core/chimera.cpp: query split into parts, per-part
+k-mer search collecting candidate parents, full-query alignment against all
+candidates (device-batched here), window-smoothed two-parent selection,
+3-way column model, vote-based h-score and the uchime/uchime2/uchime3
+classification rules.  The denovo variants grow the reference set with each
+accepted non-chimera, so queries run in abundance order (serial), with the
+per-query candidate alignments batched on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..params import Masking, Parameters
+from ..db import Database
+from ..index import KmerIndex
+from ..ops import kmer as kmer_ops
+from ..ops.nw import AlignmentResult
+from ..utils.maps import CHRMAP_4BIT, CHRMAP_UPCASE, AMBIGUOUS_4BIT
+from .searchcore import QueryInfo, QueryWalk, join_hits
+from .search import SearchContext
+
+MAXPARTS = 100
+WINDOW = 32
+FEW = 4
+MAXCANDIDATES = FEW * MAXPARTS
+REJECTS = 16
+CHIMERA_ID = 0.55
+
+_CIGAR_RE = re.compile(r"(\d*)([MDI])")
+
+
+class Status(enum.IntEnum):
+    no_parents = 0
+    no_alignment = 1
+    low_score = 2
+    suspicious = 3
+    chimeric = 4
+
+
+def detection_parameters(params: Parameters) -> Parameters:
+    """reference: chimera.cpp chimera_detection_parameters (:2805-2824)."""
+    detection = dataclasses.replace(params)
+    detection.opt_maxaccepts = FEW
+    detection.opt_maxrejects = REJECTS
+    detection.opt_id = CHIMERA_ID
+    detection.opt_weak_id = detection.opt_id
+    if params.opt_uchime_ref is None:
+        detection.opt_self = 1
+        detection.opt_selfid = 1
+        detection.opt_maxsizeratio = 1.0 / params.opt_abskew
+    return detection
+
+
+@dataclasses.dataclass
+class ChimeraResult:
+    status: Status
+    best_h: float = 0.0
+    # set when parents were evaluated
+    seqno_a: int = -1
+    seqno_b: int = -1
+    QA: float = 0.0
+    QB: float = 0.0
+    AB: float = 0.0
+    QT: float = 0.0
+    QM: float = 0.0
+    divdiff: float = 0.0
+    divfrac: float = 0.0
+    best_left_y: int = 0
+    best_left_n: int = 0
+    best_left_a: int = 0
+    best_right_y: int = 0
+    best_right_n: int = 0
+    best_right_a: int = 0
+    # alignment strings for uchimealns
+    qaln: bytes = b""
+    paln_a: bytes = b""     # in A-role order (after reverse flip)
+    paln_b: bytes = b""
+    diffs: bytes = b""
+    votes: bytes = b""
+    model: bytes = b""
+    best_is_reverse: bool = False
+
+
+class ChimeraEngine:
+    def __init__(self, params: Parameters, detection: Parameters,
+                 db: Database, index: KmerIndex,
+                 ctx: SearchContext) -> None:
+        self.params = params           # original run parameters
+        self.detection = detection     # detection knobs copy
+        self.db = db
+        self.index = index
+        self.ctx = ctx                 # SearchContext built with detection
+        self.tophits = detection.opt_maxaccepts + detection.opt_maxrejects
+
+    def parts_for(self, query_len: int) -> int:
+        """reference: realloc_arrays (:275-299)."""
+        params = self.params
+        if params.opt_chimeras_denovo is not None:
+            if params.opt_chimeras_parts == 0:
+                parts = (query_len + 99) // 100
+            else:
+                parts = params.opt_chimeras_parts
+            return min(max(parts, 2), MAXPARTS)
+        return 4
+
+    # -- per-query pipeline ---------------------------------------------
+
+    def find_candidates(self, query_head: bytes, query_seq: bytes,
+                        query_size: int, query_no: int) -> List[int]:
+        """Per-part searches collecting candidate parents
+        (chimera_process_query, :2010-2064)."""
+        detection = self.detection
+        parts = self.parts_for(len(query_seq))
+        cand_list: List[int] = []
+        if len(query_seq) < parts:
+            return cand_list
+        allhits = []
+        # partition_query (:1957-1982)
+        rest = len(query_seq)
+        cursor = 0
+        for i in range(parts):
+            length = (rest + (parts - i - 1)) // (parts - i)
+            part_seq = query_seq[cursor:cursor + length]
+            rest -= length
+            cursor += length
+
+            qi = QueryInfo(query_head=query_head, qsequence=part_seq,
+                           qseqlen=len(part_seq), qsize=query_size,
+                           strand=0, query_no=query_no)
+            kmers = kmer_ops.unique_kmer_set(part_seq, self.index.wordlength,
+                                             detection.opt_qmask)
+            qi.kmersamplecount = int(kmers.size)
+            counts = self.index.counts_for_query(kmers)
+            mwm = detection.opt_minwordmatches
+            mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
+            minmatches = min(mwm_u, qi.kmersamplecount)
+            candidates = self.index.topscores(counts, self.tophits,
+                                              minmatches)
+            walk = QueryWalk(detection, qi, self.db, candidates)
+            while not walk.done:
+                targets = walk.advance()
+                if not targets:
+                    break
+                results = self.ctx.align_pairs(
+                    [(part_seq, t) for t in targets])
+                walk.supply(dict(zip(targets, results)))
+            hits = join_hits(detection, walk.hits, None)
+            for hit in hits:
+                if hit.accepted and len(allhits) < MAXCANDIDATES:
+                    allhits.append(hit)
+        for hit in allhits:
+            if hit.target not in cand_list:
+                cand_list.append(hit.target)
+        return cand_list
+
+    def align_candidates(self, query_seq: bytes,
+                         cand_list: List[int]) -> List[AlignmentResult]:
+        return self.ctx.align_pairs([(query_seq, t) for t in cand_list])
+
+    def process_query(self, query_head: bytes, query_seq: bytes,
+                      query_size: int, query_no: int) -> ChimeraResult:
+        """chimera_process_query (:2003-2170)."""
+        cand_list = self.find_candidates(query_head, query_seq, query_size,
+                                         query_no)
+        if not cand_list:
+            return ChimeraResult(Status.no_parents)
+        alignments = self.align_candidates(query_seq, cand_list)
+        cigars = [a.cigar for a in alignments]
+
+        if self.params.opt_chimeras_denovo is not None:
+            return self._long_variant(query_seq, cand_list, cigars)
+
+        best = find_best_parents(query_seq, cand_list, cigars, self.db)
+        if best is None:
+            return ChimeraResult(Status.no_parents)
+        return eval_parents(self.params, query_seq, cand_list, cigars,
+                            best, self.db)
+
+    def _long_variant(self, query_seq, cand_list, cigars) -> ChimeraResult:
+        raise NotImplementedError("chimeras_denovo long variant pending")
+
+
+# ---------------------------------------------------------------------------
+# parent selection (chimera.cpp find_matches / find_best_parents)
+# ---------------------------------------------------------------------------
+
+def _match_insert_arrays(query_seq: bytes, cand_list: List[int],
+                         cigars: List[str], db
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """reference: find_matches (:367-413)."""
+    qlen = len(query_seq)
+    n = len(cand_list)
+    match = np.zeros((n, qlen), dtype=np.int32)
+    insert = np.zeros((n, qlen), dtype=np.int32)
+    q4 = CHRMAP_4BIT[np.frombuffer(query_seq, dtype=np.uint8)]
+    for i, (target, cigar) in enumerate(zip(cand_list, cigars)):
+        tseq = db.getsequence(target)
+        t4 = CHRMAP_4BIT[np.frombuffer(tseq, dtype=np.uint8)]
+        qpos = tpos = 0
+        for count, op in _CIGAR_RE.findall(cigar):
+            run = int(count) if count else 1
+            if op == "M":
+                seg = (q4[qpos:qpos + run] & t4[tpos:tpos + run]) != 0
+                match[i, qpos:qpos + run] = seg
+                qpos += run
+                tpos += run
+            elif op == "I":
+                insert[i, qpos] = run
+                tpos += run
+            else:  # D
+                qpos += run
+    return match, insert
+
+
+def find_best_parents(query_seq: bytes, cand_list: List[int],
+                      cigars: List[str], db) -> Optional[Tuple[int, int]]:
+    """reference: find_best_parents (:627-750): two rounds of 32-window
+    smoothing + win counting; returns (candA_idx, candB_idx) or None."""
+    qlen = len(query_seq)
+    n = len(cand_list)
+    match, _ = _match_insert_arrays(query_seq, cand_list, cigars, db)
+    match = match.copy()
+
+    best_parent_cand = [-1, -1]
+    cand_selected = [False] * n
+    smooth = np.zeros((n, qlen), dtype=np.int32)
+    maxsmooth = np.zeros(qlen, dtype=np.int32)
+
+    for f in range(2):
+        if f > 0:
+            prev = best_parent_cand[f - 1]
+            for qpos in range(WINDOW - 1, qlen):
+                if smooth[prev, qpos] == maxsmooth[qpos]:
+                    match[:, qpos + 1 - WINDOW:qpos + 1] = 0
+
+        maxsmooth[:] = 0
+        # windowed sums per candidate (cumsum), only for unselected
+        for i in range(n):
+            if cand_selected[i]:
+                continue
+            c = np.cumsum(match[i])
+            s = c.copy()
+            s[WINDOW:] = c[WINDOW:] - c[:-WINDOW]
+            smooth[i, WINDOW - 1:] = s[WINDOW - 1:]
+            np.maximum(maxsmooth[WINDOW - 1:], smooth[i, WINDOW - 1:],
+                       out=maxsmooth[WINDOW - 1:])
+
+        wins = np.zeros(n, dtype=np.int64)
+        active = maxsmooth[WINDOW - 1:] != 0
+        for i in range(n):
+            if cand_selected[i]:
+                continue
+            wins[i] = int(np.count_nonzero(
+                active & (smooth[i, WINDOW - 1:] == maxsmooth[WINDOW - 1:])))
+
+        maxwins = 0
+        for i in range(n):
+            if wins[i] > maxwins:
+                maxwins = int(wins[i])
+                best_parent_cand[f] = i
+        if best_parent_cand[f] < 0:
+            break
+        cand_selected[best_parent_cand[f]] = True
+
+    if best_parent_cand[0] >= 0 and best_parent_cand[1] >= 0:
+        return best_parent_cand[0], best_parent_cand[1]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# eval_parents (chimera.cpp:1244-1886)
+# ---------------------------------------------------------------------------
+
+def _build_parent_alignment(query_seq: bytes, cigar: str, tseq: bytes,
+                            maxi: np.ndarray) -> bytes:
+    """reference: fill_alignment_parents (:795-880)."""
+    aln = bytearray()
+    is_inserted = False
+    qpos = tpos = 0
+    for count, op in _CIGAR_RE.findall(cigar):
+        run = int(count) if count else 1
+        if op == "I":
+            for j in range(int(maxi[qpos])):
+                if j < run:
+                    aln.append(CHRMAP_UPCASE[tseq[tpos]])
+                    tpos += 1
+                else:
+                    aln.append(ord("-"))
+            is_inserted = True
+        else:  # M or D
+            for _ in range(run):
+                if not is_inserted:
+                    aln += b"-" * int(maxi[qpos])
+                if op == "M":
+                    aln.append(CHRMAP_UPCASE[tseq[tpos]])
+                    tpos += 1
+                else:
+                    aln.append(ord("-"))
+                qpos += 1
+                is_inserted = False
+    if not is_inserted:
+        aln += b"-" * int(maxi[qpos])
+    return bytes(aln)
+
+
+def eval_parents(params: Parameters, query_seq: bytes, cand_list: List[int],
+                 cigars: List[str], best: Tuple[int, int],
+                 db) -> ChimeraResult:
+    """reference: eval_parents (:1244-1886)."""
+    qlen = len(query_seq)
+    best_parents = list(best)
+
+    # max insertions per query position over the two parents (:757-790)
+    maxi = np.zeros(qlen + 1, dtype=np.int64)
+    for cand in best_parents:
+        pos = 0
+        for count, op in _CIGAR_RE.findall(cigars[cand]):
+            run = int(count) if count else 1
+            if op in ("M", "D"):
+                pos += run
+            else:
+                maxi[pos] = max(maxi[pos], run)
+    alnlen = int(qlen + maxi.sum())
+
+    paln = [
+        _build_parent_alignment(query_seq, cigars[cand],
+                                db.getsequence(cand_list[cand]), maxi)
+        for cand in best_parents
+    ]
+
+    # query alignment string
+    qaln = bytearray()
+    for i in range(qlen):
+        qaln += b"-" * int(maxi[i])
+        qaln.append(CHRMAP_UPCASE[query_seq[i]])
+    qaln += b"-" * int(maxi[qlen])
+    qaln = bytes(qaln)
+
+    q4 = CHRMAP_4BIT[np.frombuffer(qaln, dtype=np.uint8)].astype(np.int32)
+    p14 = CHRMAP_4BIT[np.frombuffer(paln[0], dtype=np.uint8)].astype(np.int32)
+    p24 = CHRMAP_4BIT[np.frombuffer(paln[1], dtype=np.uint8)].astype(np.int32)
+
+    # ignore mask (:1278-1305)
+    ignore = np.zeros(alnlen, dtype=bool)
+    anygap = (q4 == 0) | (p14 == 0) | (p24 == 0)
+    ignore |= anygap
+    ignore[:-1] |= anygap[1:]
+    ignore[1:] |= anygap[:-1]
+    amb = (AMBIGUOUS_4BIT[q4] | AMBIGUOUS_4BIT[p14]
+           | AMBIGUOUS_4BIT[p24]).astype(bool)
+    ignore |= amb
+
+    # lowercase parent symbols differing from query (:1310-1320)
+    p1_disp = bytearray(paln[0])
+    p2_disp = bytearray(paln[1])
+    for i in range(alnlen):
+        if p14[i] != 0 and p14[i] != q4[i]:
+            p1_disp[i] = p1_disp[i] | 0x20
+        if p24[i] != 0 and p24[i] != q4[i]:
+            p2_disp[i] = p2_disp[i] | 0x20
+
+    # diffs (:1324-1358)
+    diffs = bytearray(b" " * alnlen)
+    defined = (q4 != 0) & (p14 != 0) & (p24 != 0)
+    same_p = p14 == p24
+    for i in np.nonzero(defined)[0]:
+        if same_p[i]:
+            diffs[i] = ord(" ") if q4[i] == p14[i] else ord("N")
+        else:
+            if q4[i] == p14[i]:
+                diffs[i] = ord("A")
+            elif q4[i] == p24[i]:
+                diffs[i] = ord("B")
+            else:
+                diffs[i] = ord("?")
+
+    # vote scan (:1362-1480)
+    sumA = sumB = sumN = 0
+    for i in range(alnlen):
+        if ignore[i]:
+            continue
+        d = diffs[i]
+        if d == ord("A"):
+            sumA += 1
+        elif d == ord("B"):
+            sumB += 1
+        elif d != ord(" "):
+            sumN += 1
+
+    left_n = left_a = left_y = 0
+    right_n, right_a, right_y = sumA, sumN, sumB
+    best_h = -1.0
+    best_i = -1
+    best_is_reverse = False
+    b_ly = b_ry = b_ln = b_rn = b_la = b_ra = 0
+
+    for i in range(alnlen):
+        if ignore[i]:
+            continue
+        d = diffs[i]
+        if d == ord(" "):
+            continue
+        if d == ord("A"):
+            left_y += 1
+            right_n -= 1
+        elif d == ord("B"):
+            left_n += 1
+            right_y -= 1
+        else:
+            left_a += 1
+            right_a -= 1
+
+        if left_y > left_n and right_y > right_n:
+            left_h = left_y / ((params.opt_xn * (left_n + params.opt_dn))
+                               + left_a)
+            right_h = right_y / ((params.opt_xn * (right_n + params.opt_dn))
+                                 + right_a)
+            h = left_h * right_h
+            if h > best_h:
+                best_is_reverse = False
+                best_h = h
+                best_i = i
+                b_ln, b_ly, b_la = left_n, left_y, left_a
+                b_rn, b_ry, b_ra = right_n, right_y, right_a
+        elif left_n > left_y and right_n > right_y:
+            left_h = left_n / ((params.opt_xn * (left_y + params.opt_dn))
+                               + left_a)
+            right_h = right_n / ((params.opt_xn * (right_y + params.opt_dn))
+                                 + right_a)
+            h = left_h * right_h
+            if h > best_h:
+                best_is_reverse = True
+                best_h = h
+                best_i = i
+                b_ln, b_ly, b_la = left_y, left_n, left_a
+                b_rn, b_ry, b_ra = right_y, right_n, right_a
+
+    result = ChimeraResult(Status.no_alignment,
+                           best_h=best_h if best_h > 0 else 0.0)
+    if best_h < 0.0:
+        return result
+
+    result.status = Status.low_score
+    result.best_is_reverse = best_is_reverse
+
+    if best_is_reverse:
+        for i in range(alnlen):
+            if diffs[i] == ord("A"):
+                diffs[i] = ord("B")
+            elif diffs[i] == ord("B"):
+                diffs[i] = ord("A")
+
+    # votes and model (:1520-1570)
+    votes = bytearray(b" " * alnlen)
+    model = bytearray(alnlen)
+    for i in range(alnlen):
+        m = ord("A") if i <= best_i else ord("B")
+        model[i] = m
+        v = ord(" ")
+        if not ignore[i]:
+            d = diffs[i]
+            if d in (ord("A"), ord("B")):
+                v = ord("+") if d == m else ord("!")
+            elif d in (ord("N"), ord("?")):
+                v = ord("0")
+        votes[i] = v
+        if v == ord("!"):
+            diffs[i] = diffs[i] | 0x20
+
+    # crossover region (:1557-1569)
+    for i in range(best_i + 1, alnlen):
+        if diffs[i] in (ord(" "), ord("A")):
+            model[i] = ord("x")
+        else:
+            break
+
+    # match counting (:1574-1620)
+    index_a = 1 if best_is_reverse else 0
+    index_b = 0 if best_is_reverse else 1
+    pa4 = p14 if index_a == 0 else p24
+    pb4 = p14 if index_b == 0 else p24
+    keep = ~ignore
+    cols = int(keep.sum())
+    match_QA = int(((q4 == pa4) & keep).sum())
+    match_QB = int(((q4 == pb4) & keep).sum())
+    match_AB = int(((pa4 == pb4) & keep).sum())
+    idx = np.arange(alnlen)
+    msym = np.where(idx <= best_i, pa4, pb4)
+    match_QM = int(((q4 == msym) & keep).sum())
+
+    QA = 100.0 * match_QA / cols
+    QB = 100.0 * match_QB / cols
+    AB = 100.0 * match_AB / cols
+    QT = max(QA, QB)
+    QM = 100.0 * match_QM / cols
+    divdiff = QM - QT
+    divfrac = 100.0 * divdiff / QT
+
+    sumL = b_ln + b_la + b_ly
+    sumR = b_rn + b_ra + b_ry
+
+    if (params.opt_uchime2_denovo is not None
+            or params.opt_uchime3_denovo is not None):
+        if match_QM == cols and QT < 100.0:
+            result.status = Status.chimeric
+    else:
+        if best_h >= params.opt_minh:
+            result.status = Status.suspicious
+            if (divdiff >= params.opt_mindiv
+                    and sumL >= params.opt_mindiffs
+                    and sumR >= params.opt_mindiffs):
+                result.status = Status.chimeric
+
+    result.seqno_a = cand_list[best_parents[index_a]]
+    result.seqno_b = cand_list[best_parents[index_b]]
+    result.QA, result.QB, result.AB = QA, QB, AB
+    result.QT, result.QM = QT, QM
+    result.divdiff, result.divfrac = divdiff, divfrac
+    result.best_left_y, result.best_left_n, result.best_left_a = b_ly, b_ln, b_la
+    result.best_right_y, result.best_right_n, result.best_right_a = b_ry, b_rn, b_ra
+    result.qaln = qaln
+    result.paln_a = bytes(p1_disp if index_a == 0 else p2_disp)
+    result.paln_b = bytes(p1_disp if index_b == 0 else p2_disp)
+    result.diffs = bytes(diffs)
+    result.votes = bytes(votes)
+    result.model = bytes(model)
+    return result

@@ -1,0 +1,297 @@
+"""Greedy centroid clustering engine.
+
+Mirrors reference src/core/cluster.cpp: rounds of R queries searched
+against the frozen centroid index (device-batched here), then serial
+resolution in query order with the same-round repair of
+evaluate_extra_hits (:601-856).  Round size R reproduces the reference's
+``--threads R`` behavior exactly (R=1 == cluster_core_serial); the
+resolution step is inherently sequential and stays on host, matching the
+reference's design where the worker pool only runs the search phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..params import Masking, Parameters
+from ..db import Database
+from ..index import KmerIndex
+from ..ops import kmer as kmer_ops
+from ..ops.nw import AlignmentResult
+from ..utils import maps
+from .searchcore import (Hit, QueryInfo, MAXDELAYED, QueryWalk, align_trim,
+                         fill_alignment_fields, search_acceptable_aligned,
+                         search_acceptable_unaligned)
+from .search import SearchContext
+
+
+@dataclasses.dataclass
+class ClusterInfo:
+    seqno: int = 0
+    clusterno: int = 0
+    cigar: Optional[str] = None
+    strand: int = 0
+
+
+class _StrandState:
+    """Per-(query, strand) state for one round (the searchinfo_s analogue)."""
+
+    def __init__(self, qi: QueryInfo, walk: QueryWalk,
+                 kmers: np.ndarray) -> None:
+        self.qi = qi
+        self.walk = walk
+        self.kmers = kmers               # plus-strand unique kmer sample
+        self.kmer_set = None             # lazily built set for shared counts
+        self.accepts = 0
+        self.rejects = 0
+
+    @property
+    def hits(self) -> List[Hit]:
+        return self.walk.hits
+
+
+def _hit_better_byid(a: Hit, b: Hit) -> bool:
+    """hit_compare_byid_typed(a, b) < 0 (searchcore.cpp:133-179)."""
+    if a.rejected != b.rejected:
+        return not a.rejected
+    if a.aligned != b.aligned:
+        return a.aligned
+    if not a.aligned:
+        return False
+    if a.id != b.id:
+        return a.id > b.id
+    return a.target < b.target
+
+
+def _hit_better_bysize(a: Hit, b: Hit, db) -> bool:
+    """hit_compare_bysize_typed(a, b) < 0 (searchcore.cpp:182-243)."""
+    if a.rejected != b.rejected:
+        return not a.rejected
+    if a.rejected:
+        return False
+    if a.aligned != b.aligned:
+        return a.aligned
+    if not a.aligned:
+        return False
+    aa, ba = db.getabundance(a.target), db.getabundance(b.target)
+    if aa != ba:
+        return aa > ba
+    if a.id != b.id:
+        return a.id > b.id
+    return a.target < b.target
+
+
+def find_best2(params: Parameters, db, si_p: _StrandState,
+               si_m: Optional[_StrandState]) -> Optional[Hit]:
+    """search_findbest2_byid/bysize (searchcore.cpp:960-1025)."""
+    better = (lambda a, b: _hit_better_bysize(a, b, db)) \
+        if params.opt_sizeorder else _hit_better_byid
+    best: Optional[Hit] = None
+    for hit in si_p.hits:
+        if best is None or better(hit, best):
+            best = hit
+    if params.opt_strand and si_m is not None:
+        for hit in si_m.hits:
+            if best is None or better(hit, best):
+                best = hit
+    if best is not None and not best.accepted:
+        best = None
+    return best
+
+
+class ClusterEngine:
+    def __init__(self, params: Parameters, db: Database,
+                 ctx: SearchContext) -> None:
+        self.params = params          # effective (clamped) parameters
+        self.db = db
+        self.ctx = ctx
+        self.index = ctx.index
+        self.tophits = ctx.tophits
+        self.clusterinfo = [ClusterInfo() for _ in range(db.seqcount)]
+        self.clusters = 0
+
+    # -- search phase (device-batched, frozen index) --------------------
+
+    def _search_round(self, seqnos: List[int]
+                      ) -> List[Tuple[_StrandState, Optional[_StrandState]]]:
+        params = self.params
+        units: List[_StrandState] = []
+        kmer_lists = []
+        per_query: List[Tuple[_StrandState, Optional[_StrandState]]] = []
+        for seqno in seqnos:
+            seq = self.db.getsequence(seqno)
+            states = []
+            for strand in range(2 if params.opt_strand else 1):
+                qseq = seq if strand == 0 else maps.reverse_complement(seq)
+                qi = QueryInfo(query_head=self.db.getheader(seqno),
+                               qsequence=qseq, qseqlen=len(qseq),
+                               qsize=self.db.getabundance(seqno),
+                               strand=strand, query_no=seqno)
+                kmers = kmer_ops.unique_kmer_set(qseq, self.index.wordlength,
+                                                 params.opt_qmask)
+                qi.kmersamplecount = int(kmers.size)
+                walk = QueryWalk(params, qi, self.db, [])
+                st = _StrandState(qi, walk, kmers)
+                units.append(st)
+                kmer_lists.append(kmers)
+                states.append(st)
+            per_query.append((states[0],
+                              states[1] if len(states) > 1 else None))
+
+        counts = [self.index.counts_for_query(k) for k in kmer_lists]
+        for st, row in zip(units, counts):
+            st.walk.candidates = self.ctx._candidates(
+                row, st.qi.kmersamplecount)
+
+        # lockstep alignment rounds (same as SearchContext.search_tasks)
+        active = list(range(len(units)))
+        while active:
+            pair_list = []
+            owners = []
+            for w in active:
+                targets = units[w].walk.advance()
+                for t in targets:
+                    pair_list.append((units[w].qi.qsequence, t))
+                    owners.append((w, t))
+            if not pair_list:
+                break
+            results = self.ctx.align_pairs(pair_list)
+            per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
+            for (w, t), res in zip(owners, results):
+                per_walk.setdefault(w, {})[t] = res
+            nxt = []
+            for w in active:
+                if w in per_walk:
+                    units[w].walk.supply(per_walk[w])
+                if not units[w].walk.done:
+                    nxt.append(w)
+            active = nxt
+        for st in units:
+            st.accepts = st.walk.accepts
+            st.rejects = st.walk.rejects
+        return per_query
+
+    # -- same-round repair (evaluate_extra_hits) ------------------------
+
+    def _evaluate_extra_hits(self, si: _StrandState,
+                             extras: List[_StrandState]) -> None:
+        """reference: cluster.cpp evaluate_extra_hits (:601-856)."""
+        params = self.params
+        hit_capacity = min(params.opt_maxaccepts + params.opt_maxrejects - 1,
+                           self.tophits)
+        hits = si.hits
+        added = 0
+        if extras:
+            if si.kmer_set is None:
+                si.kmer_set = set(si.kmers.tolist())
+            for sic in extras:
+                shared = sum(1 for k in sic.kmers.tolist()
+                             if k in si.kmer_set)
+                # search_enough_kmers (searchcore.cpp:252-257): signed compare
+                if not (shared >= params.opt_minwordmatches
+                        or shared >= si.qi.kmersamplecount):
+                    continue
+                length = sic.qi.qseqlen
+                x = len(hits)
+                while x > 0 and (
+                        hits[x - 1].count < shared
+                        or (hits[x - 1].count == shared
+                            and self.db.getsequencelen(hits[x - 1].target)
+                            > length)):
+                    x -= 1
+                if x < hit_capacity:
+                    if len(hits) >= hit_capacity:
+                        hits.pop()
+                    hit = Hit(target=sic.qi.query_no, strand=si.qi.strand,
+                              count=shared)
+                    hits.insert(x, hit)
+                    added += 1
+
+        if added == 0:
+            return
+
+        si.rejects = 0
+        si.accepts = 0
+        for hit in hits:
+            hit.accepted = False
+            hit.rejected = False
+
+        for hit in hits:
+            if not (si.accepts < params.opt_maxaccepts
+                    and si.rejects < params.opt_maxrejects):
+                break
+            if not hit.aligned:
+                if search_acceptable_unaligned(params, si.qi, self.db,
+                                               hit.target):
+                    result = self.ctx.align_pairs(
+                        [(si.qi.qsequence, hit.target)])[0]
+                    fill_alignment_fields(hit, si.qi, self.db, result)
+                    align_trim(hit, params)
+                else:
+                    hit.rejected = True
+                    si.rejects += 1
+            if not hit.rejected:
+                if search_acceptable_aligned(params, si.qi, self.db, hit):
+                    si.accepts += 1
+                else:
+                    si.rejects += 1
+
+        # delete all undetermined hits (scan from the end)
+        new_count = len(hits)
+        for t in range(len(hits) - 1, -1, -1):
+            if not hits[t].accepted and not hits[t].rejected:
+                new_count = t
+        del hits[new_count:]
+
+    # -- main loop ------------------------------------------------------
+
+    def run(self, round_size: int,
+            on_hit: Callable[[Hit, int, _StrandState, Optional[_StrandState]], None],
+            on_nohit: Callable[[int, _StrandState], None]) -> None:
+        params = self.params
+        seqcount = self.db.seqcount
+        lastlength = None
+        seqno = 0
+        while seqno < seqcount:
+            round_seqnos = []
+            while seqno < seqcount and len(round_seqnos) < round_size:
+                length = self.db.getsequencelen(seqno)
+                if (params.opt_cluster_smallmem is not None
+                        and params.opt_usersort == 0
+                        and lastlength is not None and length > lastlength):
+                    raise ValueError("Sequences not sorted by length and "
+                                     "--usersort not specified.")
+                lastlength = length
+                round_seqnos.append(seqno)
+                seqno += 1
+
+            per_query = self._search_round(round_seqnos)
+
+            extras: List[_StrandState] = []
+            for si_p, si_m in per_query:
+                for si in (si_p, si_m):
+                    if si is not None:
+                        self._evaluate_extra_hits(si, extras)
+                best = find_best2(params, self.db, si_p, si_m)
+                myseqno = si_p.qi.query_no
+                info = self.clusterinfo[myseqno]
+                info.seqno = myseqno
+                if best is not None:
+                    target = best.target
+                    on_hit(best, self.clusterinfo[target].clusterno,
+                           si_p, si_m)
+                    info.clusterno = self.clusterinfo[target].clusterno
+                    info.cigar = best.nwalignment
+                    info.strand = best.strand
+                else:
+                    extras.append(si_p)
+                    info.clusterno = self.clusters
+                    info.cigar = None
+                    info.strand = 0
+                    self.index.add_sequence(myseqno, self.db,
+                                            params.opt_qmask)
+                    on_nohit(self.clusters, si_p)
+                    self.clusters += 1

@@ -85,6 +85,15 @@ def dust_mask(seq: bytes, hardmask: bool) -> bytes:
     first, then lowercases masked regions; hard masking writes 'N' without
     touching case elsewhere.
     """
+    from .. import native
+    masked = native.dust(seq, hardmask)
+    if masked is not None:
+        return masked
+    return _dust_mask_py(seq, hardmask)
+
+
+def _dust_mask_py(seq: bytes, hardmask: bool) -> bytes:
+    """Pure-python/numpy fallback for dust_mask."""
     length = len(seq)
     original = np.frombuffer(seq, dtype=np.uint8).copy()
     if hardmask:
@@ -127,8 +136,13 @@ def dust_mask(seq: bytes, hardmask: bool) -> bytes:
 
 def dust_all(db, params) -> None:
     """Mask every DB sequence in place (reference: mask.cpp dust_all)."""
-    for entry in db.entries:
-        entry.sequence[:] = dust_mask(bytes(entry.sequence), params.opt_hardmask)
+    from .. import native
+    seqs = [bytes(entry.sequence) for entry in db.entries]
+    masked = native.dust_batch(seqs, params.opt_hardmask)
+    if masked is None:
+        masked = [_dust_mask_py(s, params.opt_hardmask) for s in seqs]
+    for entry, m in zip(db.entries, masked):
+        entry.sequence[:] = m
     db._encoded_cache = None
 
 

@@ -1,0 +1,129 @@
+"""ctypes loader for the native host runtime (native/vsearch_tpu_native.c).
+
+Builds the shared library on first use (gcc, ~1s) and caches it next to the
+source.  Every entry point has a pure-Python fallback elsewhere in the
+package; callers check ``available()``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _REPO / "native" / "vsearch_tpu_native.c"
+_SO = _REPO / "native" / "libvsearch_tpu_native.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+        lib.vstpu_dust.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_char_p]
+        lib.vstpu_dust_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
+        lib.vstpu_unique_kmers.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.vstpu_unique_kmers.restype = ctypes.c_int
+        lib.vstpu_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
+        lib.vstpu_assemble.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def dust(seq: bytes, hardmask: bool) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(len(seq))
+    lib.vstpu_dust(seq, len(seq), int(hardmask), out)
+    return out.raw
+
+
+def dust_batch(seqs, hardmask: bool):
+    """Mask a list of sequences; returns list of masked bytes, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = b"".join(seqs)
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    out = ctypes.create_string_buffer(len(data))
+    lib.vstpu_dust_batch(data, offsets.ctypes.data, len(seqs),
+                         int(hardmask), out)
+    raw = out.raw
+    return [raw[offsets[i]:offsets[i + 1]] for i in range(len(seqs))]
+
+
+_kmer_scratch = {}
+
+
+def unique_kmers(seq: bytes, wordlength: int,
+                 mask_lowercase: bool) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    key = wordlength
+    if key not in _kmer_scratch:
+        _kmer_scratch[key] = np.zeros((1 << (2 * wordlength)) // 64 + 1,
+                                      dtype=np.uint64)
+    bitmap = _kmer_scratch[key]
+    out = np.empty(max(len(seq), 1), dtype=np.uint32)
+    n = lib.vstpu_unique_kmers(seq, len(seq), wordlength,
+                               int(mask_lowercase),
+                               out.ctypes.data, bitmap.ctypes.data)
+    return out[:n].copy()
+
+
+def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,
+             n_mismatch: bool):
+    """ops int8 end-to-front -> (cigar str, aligned, matches, mism, gaps)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.int8)
+    cigar_buf = ctypes.create_string_buffer(12 * max(len(ops), 1) + 16)
+    stats = np.zeros(4, dtype=np.int64)
+    n = lib.vstpu_assemble(ops.ctypes.data, len(ops), qseq, tseq,
+                           int(n_mismatch), cigar_buf, stats.ctypes.data)
+    return (cigar_buf.raw[:n].decode(), int(stats[0]), int(stats[1]),
+            int(stats[2]), int(stats[3]))

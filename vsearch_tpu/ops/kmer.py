@@ -45,6 +45,10 @@ def kmer_codes(seq_u8: np.ndarray, wordlength: int,
 
 def unique_kmers(seq: bytes, wordlength: int, seqmask: Masking) -> np.ndarray:
     """Unique k-mer codes in first-occurrence order (reference: unique_count)."""
+    from .. import native
+    out = native.unique_kmers(seq, wordlength, seqmask != Masking.none)
+    if out is not None:
+        return out
     seq_u8 = np.frombuffer(seq, dtype=np.uint8)
     codes = kmer_codes(seq_u8, wordlength, seqmask)
     if codes.size == 0:
@@ -54,7 +58,11 @@ def unique_kmers(seq: bytes, wordlength: int, seqmask: Masking) -> np.ndarray:
 
 
 def unique_kmer_set(seq: bytes, wordlength: int, seqmask: Masking) -> np.ndarray:
-    """Sorted unique k-mer codes (order-free variant for counting)."""
+    """Unique k-mer codes; order irrelevant (counting use)."""
+    from .. import native
+    out = native.unique_kmers(seq, wordlength, seqmask != Masking.none)
+    if out is not None:
+        return out
     seq_u8 = np.frombuffer(seq, dtype=np.uint8)
     codes = kmer_codes(seq_u8, wordlength, seqmask)
     return np.unique(codes).astype(np.uint32)

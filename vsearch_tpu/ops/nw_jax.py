@@ -42,6 +42,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket(x: int, base: int = 64) -> int:
+    """Shape bucket: powers of two with one midpoint (1.5x ladder), so the
+    number of distinct compiled kernel geometries stays small."""
+    if x <= base:
+        return base
+    b = base
+    while b < x:
+        if x <= b + b // 2:
+            return b + b // 2
+        b *= 2
+    return b
+
+
 @functools.lru_cache(maxsize=64)
 def _build_kernels(scheme_key: tuple, M: int, N: int):
     """Compile the forward DP + backtrack for a (scheme, M, N) geometry."""
@@ -211,9 +224,9 @@ class BatchAligner:
             return []
         qlens = np.array([len(q) for q in qseqs], dtype=np.int32)
         tlens = np.array([len(t) for t in tseqs], dtype=np.int32)
-        M = _round_up(max(1, int(qlens.max())), 64)
-        N = _round_up(max(1, int(tlens.max())), 64)
-        Bp = _round_up(B, 8)
+        M = _bucket(int(qlens.max()))
+        N = _bucket(int(tlens.max()))
+        Bp = _bucket(B, 8)
 
         q4 = np.zeros((Bp, M), dtype=np.int32)
         t4 = np.zeros((Bp, N), dtype=np.int32)
@@ -243,6 +256,12 @@ class BatchAligner:
 
     def _assemble(self, score: int, ops_rev: np.ndarray, qseq: bytes,
                   tseq: bytes) -> AlignmentResult:
+        from .. import native
+        res = native.assemble(ops_rev, qseq, tseq, self.scheme.n_mismatch)
+        if res is not None:
+            cigar, aligned, matches, mismatches, gaps = res
+            return AlignmentResult(score, cigar, aligned, matches,
+                                   mismatches, gaps)
         fwd = ops_rev[ops_rev != OP_NONE][::-1]
         aligned = int(fwd.size)
         is_m = fwd == OP_M

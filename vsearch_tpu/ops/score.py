@@ -62,12 +62,16 @@ class DeviceKmerIndex:
         q = len(query_kmer_lists)
         if q == 0 or self.n == 0:
             return np.zeros((q, self.n), dtype=np.int32)
-        A = np.zeros((q, self.hashsize), dtype=np.int8)
+        # pad the query dimension to a bucket so kernel geometry is stable
+        qp = 8
+        while qp < q:
+            qp *= 2
+        A = np.zeros((qp, self.hashsize), dtype=np.int8)
         for qi, kmers in enumerate(query_kmer_lists):
             A[qi, kmers] = 1
         counts = _counts_kernel(self.hashsize, self.words)(
             jnp.asarray(A), self.bits)
-        return np.asarray(counts)[:, :self.n]
+        return np.asarray(counts)[:q, :self.n]
 
 
 @functools.lru_cache(maxsize=16)
