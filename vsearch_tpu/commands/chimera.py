@@ -1,0 +1,252 @@
+"""uchime_denovo / uchime2_denovo / uchime3_denovo / uchime_ref commands.
+
+reference: src/core/chimera.cpp chimera() (:2426-2770) + the output blocks
+of eval_parents (:1697-1886) and chimera_thread_core (:2248-2394).
+"""
+
+from __future__ import annotations
+
+import sys
+from contextlib import ExitStack
+from typing import IO, Optional
+
+from ..params import Masking, Parameters
+from ..db import Database
+from ..index import KmerIndex
+from ..io import fastx as fastx_io
+from ..io.attributes import header_strip
+from ..core import mask as mask_mod
+from ..core.chimera import (ChimeraEngine, ChimeraResult, Status,
+                            detection_parameters)
+from ..core.search import SearchContext
+
+
+def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
+    if path is None:
+        return None
+    if path == "-":
+        return sys.stdout.buffer
+    return stack.enter_context(open(path, "wb"))
+
+
+def _strip(params: Parameters, header: bytes) -> bytes:
+    stripped, _ = header_strip(header, params.opt_xsize, params.opt_xee,
+                               params.opt_xlength)
+    return stripped
+
+
+def _write_uchimeout_hit(out, params: Parameters, res: ChimeraResult,
+                         query_head: bytes, db) -> None:
+    """reference: eval_parents uchimeout block (:1809-1878)."""
+    out.write(b"%.4f\t" % res.best_h)
+    out.write(_strip(params, query_head))
+    out.write(b"\t")
+    out.write(_strip(params, db.getheader(res.seqno_a)))
+    out.write(b"\t")
+    out.write(_strip(params, db.getheader(res.seqno_b)))
+    out.write(b"\t")
+    if params.opt_uchimeout5 == 0:
+        if res.QA >= res.QB:
+            out.write(_strip(params, db.getheader(res.seqno_a)))
+        else:
+            out.write(_strip(params, db.getheader(res.seqno_b)))
+        out.write(b"\t")
+    flag = b"Y" if res.status == Status.chimeric else (
+        b"N" if res.status == Status.low_score else b"?")
+    out.write(b"%.1f\t%.1f\t%.1f\t%.1f\t%.1f\t%d\t%d\t%d\t%d\t%d\t%d\t%.1f\t%s\n"
+              % (res.QM, res.QA, res.QB, res.AB, res.QT,
+                 res.best_left_y, res.best_left_n, res.best_left_a,
+                 res.best_right_y, res.best_right_n, res.best_right_a,
+                 res.divdiff, flag))
+
+
+def _write_uchimeout_nohit(out, params: Parameters, best_h: float,
+                           query_head: bytes) -> None:
+    """reference: chimera_thread_core no-parents row (:2301-2322)."""
+    out.write(b"%.4f\t" % best_h)
+    out.write(_strip(params, query_head))
+    if params.opt_uchimeout5 != 0:
+        out.write(b"\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\t0\t0\t0\t*\tN\n")
+    else:
+        out.write(b"\t*\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\t0\t0\t0\t*\tN\n")
+
+
+def _write_uchimealns(out, params: Parameters, res: ChimeraResult,
+                      query_head: bytes, query_len: int, db) -> None:
+    """reference: eval_parents uchimealns block (:1697-1806)."""
+    out.write(b"\n")
+    out.write(b"-" * 72 + b"\n")
+    out.write(b"Query   (%5d nt) " % query_len)
+    out.write(_strip(params, query_head))
+    out.write(b"\nParentA (%5d nt) " % db.getsequencelen(res.seqno_a))
+    out.write(_strip(params, db.getheader(res.seqno_a)))
+    out.write(b"\nParentB (%5d nt) " % db.getsequencelen(res.seqno_b))
+    out.write(_strip(params, db.getheader(res.seqno_b)))
+    out.write(b"\n\n")
+
+    alnlen = len(res.qaln)
+    width = params.opt_alignwidth if params.opt_alignwidth > 0 else alnlen
+    qpos = p1pos = p2pos = 0
+    for i in range(0, alnlen, width):
+        w = min(alnlen - i, width)
+        qline = res.qaln[i:i + w]
+        aline = res.paln_a[i:i + w]
+        bline = res.paln_b[i:i + w]
+        qnt = w - qline.count(b"-")
+        ant = w - aline.count(b"-")
+        bnt = w - bline.count(b"-")
+        out.write(b"A %5d %s %d\n" % (p1pos + 1, aline, p1pos + ant))
+        out.write(b"Q %5d %s %d\n" % (qpos + 1, qline, qpos + qnt))
+        out.write(b"B %5d %s %d\n" % (p2pos + 1, bline, p2pos + bnt))
+        out.write(b"Diffs   %s\n" % res.diffs[i:i + w])
+        out.write(b"Votes   %s\n" % res.votes[i:i + w])
+        out.write(b"Model   %s\n" % res.model[i:i + w])
+        out.write(b"\n")
+        qpos += qnt
+        p1pos += ant
+        p2pos += bnt
+
+    sumL = res.best_left_n + res.best_left_a + res.best_left_y
+    sumR = res.best_right_n + res.best_right_a + res.best_right_y
+    out.write(b"Ids.  QA %.1f%%, QB %.1f%%, AB %.1f%%, QModel %.1f%%, "
+              b"Div. %+.1f%%\n" % (res.QA, res.QB, res.AB, res.QM,
+                                   res.divfrac))
+    out.write(b"Diffs Left %d: N %d, A %d, Y %d (%.1f%%); "
+              b"Right %d: N %d, A %d, Y %d (%.1f%%), Score %.4f\n" % (
+                  sumL, res.best_left_n, res.best_left_a, res.best_left_y,
+                  100.0 * res.best_left_y / sumL,
+                  sumR, res.best_right_n, res.best_right_a, res.best_right_y,
+                  100.0 * res.best_right_y / sumR, res.best_h))
+
+
+def chimera_command(params: Parameters, command: str) -> None:
+    if command == "chimeras_denovo":
+        raise NotImplementedError("chimeras_denovo long variant pending")
+    is_ref = command == "uchime_ref"
+    if params.opt_strand and is_ref:
+        raise ValueError("Only --strand plus is allowed with uchime_ref.")
+
+    detection = detection_parameters(params)
+
+    with ExitStack() as stack:
+        fp_chimeras = _open(stack, params.opt_chimeras)
+        fp_nonchimeras = _open(stack, params.opt_nonchimeras)
+        fp_borderline = _open(stack, params.opt_borderline)
+        fp_uchimealns = _open(stack, params.opt_uchimealns)
+        fp_uchimeout = _open(stack, params.opt_uchimeout)
+
+        db = Database()
+        index = KmerIndex(params.opt_wordlength)
+
+        if is_ref:
+            db.read(params.opt_db, params)
+            if params.opt_dbmask == Masking.dust:
+                mask_mod.dust_all(db, params)
+            elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
+                mask_mod.hardmask_all(db)
+            index.add_all_sequences(db, params.opt_dbmask)
+            queries = fastx_io.read_fastx(params.opt_uchime_ref, params)
+        else:
+            denovo_file = getattr(params, "opt_" + command)
+            db.read(denovo_file, params)
+            if params.opt_qmask == Masking.dust:
+                mask_mod.dust_all(db, params)
+            elif params.opt_qmask == Masking.soft and params.opt_hardmask:
+                mask_mod.hardmask_all(db)
+            db.sortbyabundance()
+            queries = None  # queries come from the db in abundance order
+
+        ctx = SearchContext.build(detection, db, index=index)
+        # chimera tophits = maxaccepts + maxrejects, no MAXDELAYED/seqcount
+        # adjustment (chimera.cpp:2178-2181)
+        ctx.tophits = detection.opt_maxaccepts + detection.opt_maxrejects
+        engine = ChimeraEngine(params, ctx.params, db, index, ctx)
+
+        stats = {"chimera": 0, "nonchimera": 0, "borderline": 0, "total": 0,
+                 "chimera_ab": 0, "nonchimera_ab": 0, "borderline_ab": 0,
+                 "total_ab": 0}
+
+        def handle(query_head: bytes, query_seq: bytes, query_size: int,
+                   query_no: int, denovo_seqno: Optional[int]) -> None:
+            res = engine.process_query(query_head, query_seq, query_size,
+                                       query_no)
+            stats["total"] += 1
+            stats["total_ab"] += query_size
+
+            score_name = None
+            if params.opt_fasta_score:
+                score_name = b"uchime_ref" if is_ref else b"uchime_denovo"
+
+            if res.status == Status.chimeric:
+                stats["chimera"] += 1
+                stats["chimera_ab"] += query_size
+                if fp_uchimealns is not None:
+                    _write_uchimealns(fp_uchimealns, params, res, query_head,
+                                      len(query_seq), db)
+                if fp_uchimeout is not None:
+                    _write_uchimeout_hit(fp_uchimeout, params, res,
+                                         query_head, db)
+                if fp_chimeras is not None:
+                    fastx_io.fasta_print_general(
+                        fp_chimeras, params, query_seq, query_head,
+                        query_size, stats["chimera"],
+                        score_name=score_name, score=res.best_h)
+            elif res.status == Status.suspicious:
+                stats["borderline"] += 1
+                stats["borderline_ab"] += query_size
+                if fp_uchimeout is not None:
+                    _write_uchimeout_hit(fp_uchimeout, params, res,
+                                         query_head, db)
+                if fp_borderline is not None:
+                    fastx_io.fasta_print_general(
+                        fp_borderline, params, query_seq, query_head,
+                        query_size, stats["borderline"],
+                        score_name=score_name, score=res.best_h)
+            else:
+                stats["nonchimera"] += 1
+                stats["nonchimera_ab"] += query_size
+                if res.status == Status.low_score:
+                    if fp_uchimeout is not None:
+                        _write_uchimeout_hit(fp_uchimeout, params, res,
+                                             query_head, db)
+                else:
+                    if fp_uchimeout is not None:
+                        _write_uchimeout_nohit(fp_uchimeout, params,
+                                               res.best_h, query_head)
+                if fp_nonchimeras is not None:
+                    fastx_io.fasta_print_general(
+                        fp_nonchimeras, params, query_seq, query_head,
+                        query_size, stats["nonchimera"],
+                        score_name=score_name, score=res.best_h)
+
+            if res.status < Status.suspicious and not is_ref:
+                index.add_sequence(denovo_seqno, db, params.opt_qmask)
+
+        if is_ref:
+            for rec in queries:
+                seqlen = len(rec.sequence)
+                handle(rec.header, rec.sequence, rec.abundance, rec.seqno,
+                       None)
+        else:
+            for seqno in range(db.seqcount):
+                handle(db.getheader(seqno), db.getsequence(seqno),
+                       db.getabundance(seqno), seqno, seqno)
+
+        if not params.opt_quiet:
+            if stats["total"] > 0:
+                print("Found %d (%.1f%%) chimeras, %d (%.1f%%) non-chimeras,\n"
+                      "and %d (%.1f%%) borderline sequences in %d unique "
+                      "sequences." % (
+                          stats["chimera"],
+                          100.0 * stats["chimera"] / stats["total"],
+                          stats["nonchimera"],
+                          100.0 * stats["nonchimera"] / stats["total"],
+                          stats["borderline"],
+                          100.0 * stats["borderline"] / stats["total"],
+                          stats["total"]), file=sys.stderr)
+            else:
+                print("Found %d chimeras, %d non-chimeras,\nand %d borderline "
+                      "sequences in %d unique sequences." % (
+                          stats["chimera"], stats["nonchimera"],
+                          stats["borderline"], stats["total"]),
+                      file=sys.stderr)

@@ -1,0 +1,216 @@
+"""fastq_filter / fastx_filter commands.
+
+reference: src/core/filter.cpp — per-read strip/truncate/quality analysis
+pipeline routing kept/discarded reads to fasta/fastq outputs, paired-file
+aware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from contextlib import ExitStack
+from typing import IO, Optional
+
+from ..params import DBL_MAX, INT64_MIN_LONG, Parameters
+from ..io import fastx as fastx_io
+
+
+@dataclasses.dataclass
+class AnalysisRes:
+    discarded: bool = False
+    truncated: bool = False
+    start: int = 0
+    length: int = 0
+    ee: float = -1.0
+
+
+def analyse(rec: fastx_io.SeqRecord, is_fastq: bool,
+            params: Parameters) -> AnalysisRes:
+    """reference: filter.cpp analyse (:122-268)."""
+    res = AnalysisRes()
+    res.length = len(rec.sequence)
+    old_length = res.length
+
+    if params.opt_fastq_stripleft < res.length:
+        res.start += params.opt_fastq_stripleft
+        res.length -= params.opt_fastq_stripleft
+    else:
+        res.start = res.length
+        res.length = 0
+
+    if params.opt_fastq_stripright < res.length:
+        res.length -= params.opt_fastq_stripright
+    else:
+        res.length = 0
+
+    if params.opt_fastq_trunclen >= 0:
+        res.length = min(res.length, params.opt_fastq_trunclen)
+    if params.opt_fastq_trunclen_keep >= 0:
+        res.length = min(res.length, params.opt_fastq_trunclen_keep)
+
+    if is_fastq:
+        res.ee = 0.0
+        qual = rec.quality
+        for i in range(res.length):
+            q = qual[res.start + i] - params.opt_fastq_ascii
+            if q < params.opt_fastq_qmin:
+                raise SystemExit(
+                    "\n\nFatal error: FASTQ quality value (%d) below qmin (%d)"
+                    % (q, params.opt_fastq_qmin))
+            if q > params.opt_fastq_qmax:
+                raise SystemExit(
+                    "\n\nFatal error: FASTQ quality value (%d) above qmax (%d)"
+                    % (q, params.opt_fastq_qmax))
+            expected_error = 10.0 ** (-q / 10.0)
+            res.ee += expected_error
+            if (q <= params.opt_fastq_truncqual
+                    or res.ee > params.opt_fastq_truncee
+                    or res.ee > params.opt_fastq_truncee_rate * (i + 1)):
+                res.ee -= expected_error
+                res.length = i
+                break
+            if q < params.opt_fastq_minqual:
+                res.discarded = True
+        if res.ee > params.opt_fastq_maxee:
+            res.discarded = True
+        if res.length > 0 and res.ee / res.length > params.opt_fastq_maxee_rate:
+            res.discarded = True
+
+    if params.opt_fastq_trunclen >= 0 and res.length < params.opt_fastq_trunclen:
+        res.discarded = True
+    if res.length < params.opt_fastq_minlen:
+        res.discarded = True
+    if res.length > params.opt_fastq_maxlen:
+        res.discarded = True
+
+    ncount = rec.sequence.count(b"N", res.start, res.start + res.length) + \
+        rec.sequence.count(b"n", res.start, res.start + res.length)
+    if ncount > params.opt_fastq_maxns:
+        res.discarded = True
+
+    if rec.abundance < params.opt_minsize:
+        res.discarded = True
+    if rec.abundance > params.opt_maxsize:
+        res.discarded = True
+
+    res.truncated = res.length < old_length
+    return res
+
+
+def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
+    if path is None:
+        return None
+    if path == "-":
+        return sys.stdout.buffer
+    return stack.enter_context(open(path, "wb"))
+
+
+def filter_command(params: Parameters, command: str) -> None:
+    """reference: filter.cpp filter() (:264-520)."""
+    fastq_only = command == "fastq_filter"
+    filename = getattr(params, "opt_" + command)
+
+    if all(getattr(params, "opt_" + o) is None for o in (
+            "fastqout", "fastaout", "fastqout_discarded",
+            "fastaout_discarded", "fastqout_rev", "fastaout_rev",
+            "fastqout_discarded_rev", "fastaout_discarded_rev")):
+        raise ValueError("No output files specified")
+
+    is_fastq = fastx_io.is_fastq(filename)
+    if not is_fastq:
+        if fastq_only:
+            raise ValueError(
+                "FASTA input files not allowed with fastq_filter, consider "
+                "using fastx_filter command instead")
+        if (params.opt_eeout or params.opt_fastq_ascii != 33
+                or params.opt_fastq_eeout
+                or params.opt_fastq_maxee < DBL_MAX
+                or params.opt_fastq_maxee_rate < DBL_MAX
+                or params.opt_fastqout is not None
+                or params.opt_fastq_qmax < 41 or params.opt_fastq_qmin > 0
+                or params.opt_fastq_truncee < DBL_MAX
+                or params.opt_fastq_truncee_rate < DBL_MAX
+                # note: the reference tests truncqual < LONG_MIN, which can
+                # never hold (filter.cpp:297) — replicated by omission
+                or params.opt_fastq_minqual > 0
+                or params.opt_fastqout_discarded is not None
+                or params.opt_fastqout_discarded_rev is not None
+                or params.opt_fastqout_rev is not None):
+            raise ValueError(
+                "The following options are not accepted with the "
+                "fastx_filter command when the input is a FASTA file, "
+                "because quality scores are not available: eeout, "
+                "fastq_ascii, fastq_eeout, fastq_maxee, fastq_maxee_rate, "
+                "fastq_minqual, fastq_out, fastq_qmax, fastq_qmin, "
+                "fastq_truncee, fastq_truncee_rate, fastq_truncqual,  "
+                "fastqout_discarded, fastqout_discarded_rev, fastqout_rev")
+
+    reverse_reader = None
+    if params.opt_reverse is not None:
+        if fastx_io.is_fastq(params.opt_reverse) != is_fastq:
+            raise ValueError("The forward and reverse input sequence must in "
+                             "the same format, either FASTA or FASTQ")
+        reverse_reader = fastx_io.read_fastx(params.opt_reverse, params,
+                                             truncateatspace=False)
+
+    with ExitStack() as stack:
+        fp_fastaout = _open(stack, params.opt_fastaout)
+        fp_fastqout = _open(stack, params.opt_fastqout)
+        fp_fastaout_d = _open(stack, params.opt_fastaout_discarded)
+        fp_fastqout_d = _open(stack, params.opt_fastqout_discarded)
+        fp_fastaout_rev = fp_fastqout_rev = None
+        fp_fastaout_d_rev = fp_fastqout_d_rev = None
+        if reverse_reader is not None:
+            fp_fastaout_rev = _open(stack, params.opt_fastaout_rev)
+            fp_fastqout_rev = _open(stack, params.opt_fastqout_rev)
+            fp_fastaout_d_rev = _open(stack, params.opt_fastaout_discarded_rev)
+            fp_fastqout_d_rev = _open(stack, params.opt_fastqout_discarded_rev)
+
+        kept = 0
+        discarded = 0
+        truncated = 0
+
+        # filter reads with truncateatspace=False (filter.cpp:358)
+        for rec1 in fastx_io.read_fastx(filename, params,
+                                        truncateatspace=False):
+            rec2 = None
+            if reverse_reader is not None:
+                try:
+                    rec2 = next(reverse_reader)
+                except StopIteration:
+                    raise ValueError("More forward reads than reverse reads")
+            res1 = analyse(rec1, is_fastq, params)
+            res2 = analyse(rec2, is_fastq, params) if rec2 is not None \
+                else AnalysisRes()
+
+            def emit(fa, fq, rec, res, ordinal):
+                seq = rec.sequence[res.start:res.start + res.length]
+                if fa is not None:
+                    fastx_io.fasta_print_general(fa, params, seq, rec.header,
+                                                 rec.abundance, ordinal,
+                                                 res.ee)
+                if fq is not None:
+                    qual = rec.quality[res.start:res.start + res.length]
+                    fastx_io.fastq_print_general(fq, params, seq, rec.header,
+                                                 qual, rec.abundance, ordinal,
+                                                 res.ee)
+
+            if res1.discarded or res2.discarded:
+                discarded += 1
+                emit(fp_fastaout_d, fp_fastqout_d, rec1, res1, discarded)
+                if rec2 is not None:
+                    emit(fp_fastaout_d_rev, fp_fastqout_d_rev, rec2, res2,
+                         discarded)
+            else:
+                kept += 1
+                if res1.truncated or res2.truncated:
+                    truncated += 1
+                emit(fp_fastaout, fp_fastqout, rec1, res1, kept)
+                if rec2 is not None:
+                    emit(fp_fastaout_rev, fp_fastqout_rev, rec2, res2, kept)
+
+        if not params.opt_quiet:
+            print("%d sequences kept (of which %d truncated), %d sequences "
+                  "discarded." % (kept, truncated, discarded),
+                  file=sys.stderr)

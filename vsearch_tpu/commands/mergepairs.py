@@ -1,0 +1,213 @@
+"""fastq_mergepairs command.
+
+reference: src/commands/fastq_mergepairs.cpp — reads the fwd/rev FASTQ
+pair streams (headers untruncated, sequences upcased), merges via the core
+(core/mergepairs.py), writes up to 9 outputs in input order, and prints the
+summary statistics block.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from contextlib import ExitStack
+from typing import IO, Optional
+
+from ..params import Parameters
+from ..io import fastx as fastx_io
+from ..core.mergepairs import MergeData, QualTables, Reason, process
+
+
+def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
+    if path is None:
+        return None
+    if path == "-":
+        return sys.stdout.buffer
+    return stack.enter_context(open(path, "wb"))
+
+
+def _ee_value(out: IO[bytes], ee: float) -> None:
+    """reference: fastq_mergepairs.cpp fprintf_ee_value (:179-204)."""
+    thresholds = [(1e-9, 13), (1e-8, 12), (1e-7, 11), (1e-6, 10), (1e-5, 9),
+                  (1e-4, 8), (1e-3, 7), (1e-2, 6), (1e-1, 5)]
+    for limit, prec in thresholds:
+        if ee < limit:
+            out.write(b"%.*f" % (prec, ee))
+            return
+    out.write(b"%.4f" % ee)
+
+
+FAILURE_LABELS = [
+    (Reason.undefined, "undefined reason"),
+    (Reason.minlen, "reads too short (after truncation)"),
+    (Reason.maxlen, "reads too long (after truncation)"),
+    (Reason.maxns, "too many N's"),
+    (Reason.nokmers, "too few kmers found on same diagonal"),
+    (Reason.repeat, "multiple potential alignments"),
+    (Reason.maxdiffs, "too many differences"),
+    (Reason.maxdiffpct, "too high percentage of differences"),
+    (Reason.minscore, "alignment score too low, or score drop too high"),
+    (Reason.minovlen, "overlap too short"),
+    (Reason.maxee, "expected error too high"),
+    (Reason.minmergelen, "merged fragment too short"),
+    (Reason.maxmergelen, "merged fragment too long"),
+    (Reason.staggered, "staggered read pairs"),
+    (Reason.indel, "indel errors"),
+]
+
+
+def fastq_mergepairs(params: Parameters) -> None:
+    if params.opt_reverse is None:
+        raise ValueError("No reverse reads file specified with --reverse")
+    if params.opt_fastq_minovlen < 5:
+        raise ValueError(
+            "Overlap specified with --fastq_minovlen must be at least 5")
+
+    tables = QualTables(params)
+
+    with ExitStack() as stack:
+        fp_fastqout = _open(stack, params.opt_fastqout)
+        fp_fastaout = _open(stack, params.opt_fastaout)
+        fp_fastqout_nm_fwd = _open(stack, params.opt_fastqout_notmerged_fwd)
+        fp_fastqout_nm_rev = _open(stack, params.opt_fastqout_notmerged_rev)
+        fp_fastaout_nm_fwd = _open(stack, params.opt_fastaout_notmerged_fwd)
+        fp_fastaout_nm_rev = _open(stack, params.opt_fastaout_notmerged_rev)
+        fp_eetabbedout = _open(stack, params.opt_eetabbedout)
+
+        fwd_reader = fastx_io.read_fastx(params.opt_fastq_mergepairs, params,
+                                         truncateatspace=False, upcase=True)
+        rev_reader = fastx_io.read_fastx(params.opt_reverse, params,
+                                         truncateatspace=False, upcase=True)
+
+        stats = {"total": 0, "merged": 0, "notmerged": 0,
+                 "sum_read_length": 0.0, "pairs_read": 0,
+                 "sum_fragment_length": 0.0,
+                 "sum_squared_fragment_length": 0.0,
+                 "sum_ee_merged": 0.0, "sum_ee_fwd": 0.0, "sum_ee_rev": 0.0,
+                 "sum_errors_fwd": 0, "sum_errors_rev": 0}
+        failed = {r: 0 for r, _ in FAILURE_LABELS}
+
+        for fwd in fwd_reader:
+            try:
+                rev = next(rev_reader)
+            except StopIteration:
+                raise SystemExit("Fatal error: More forward reads than "
+                                 "reverse reads")
+            pair = MergeData(
+                fwd_header=fwd.header, rev_header=rev.header,
+                fwd_sequence=bytearray(fwd.sequence),
+                rev_sequence=bytearray(rev.sequence),
+                fwd_quality=bytearray(fwd.quality or b""),
+                rev_quality=bytearray(rev.quality or b""),
+                fwd_abundance=fwd.abundance, rev_abundance=rev.abundance,
+                fwd_length=len(fwd.sequence), rev_length=len(rev.sequence))
+            stats["pairs_read"] += 1
+            stats["sum_read_length"] += len(fwd.sequence) + len(rev.sequence)
+            process(pair, tables, params)
+            stats["total"] += 1
+
+            if pair.merged:
+                stats["merged"] += 1
+                stats["sum_fragment_length"] += pair.merged_length
+                stats["sum_squared_fragment_length"] += \
+                    pair.merged_length * pair.merged_length
+                stats["sum_ee_merged"] += pair.ee_merged
+                stats["sum_ee_fwd"] += pair.ee_fwd
+                stats["sum_ee_rev"] += pair.ee_rev
+                stats["sum_errors_fwd"] += pair.fwd_errors
+                stats["sum_errors_rev"] += pair.rev_errors
+                if fp_fastqout is not None:
+                    fastx_io.fastq_print_general(
+                        fp_fastqout, params, pair.merged_sequence,
+                        pair.fwd_header, pair.merged_quality,
+                        pair.fwd_abundance, stats["merged"], pair.ee_merged)
+                if fp_fastaout is not None:
+                    fastx_io.fasta_print_general(
+                        fp_fastaout, params, pair.merged_sequence,
+                        pair.fwd_header, pair.fwd_abundance, stats["merged"],
+                        pair.ee_merged)
+                if fp_eetabbedout is not None:
+                    _ee_value(fp_eetabbedout, pair.ee_fwd)
+                    fp_eetabbedout.write(b"\t")
+                    _ee_value(fp_eetabbedout, pair.ee_rev)
+                    fp_eetabbedout.write(b"\t%d\t%d\n" % (pair.fwd_errors,
+                                                          pair.rev_errors))
+            else:
+                failed[pair.reason] = failed.get(pair.reason, 0) + 1
+                stats["notmerged"] += 1
+                if fp_fastqout_nm_fwd is not None:
+                    fastx_io.fastq_print_general(
+                        fp_fastqout_nm_fwd, params, bytes(pair.fwd_sequence),
+                        pair.fwd_header, bytes(pair.fwd_quality),
+                        pair.fwd_abundance, stats["notmerged"])
+                if fp_fastqout_nm_rev is not None:
+                    fastx_io.fastq_print_general(
+                        fp_fastqout_nm_rev, params, bytes(pair.rev_sequence),
+                        pair.rev_header, bytes(pair.rev_quality),
+                        pair.rev_abundance, stats["notmerged"])
+                if fp_fastaout_nm_fwd is not None:
+                    fastx_io.fasta_print_general(
+                        fp_fastaout_nm_fwd, params, bytes(pair.fwd_sequence),
+                        pair.fwd_header, pair.fwd_abundance,
+                        stats["notmerged"])
+                if fp_fastaout_nm_rev is not None:
+                    fastx_io.fasta_print_general(
+                        fp_fastaout_nm_rev, params, bytes(pair.rev_sequence),
+                        pair.rev_header, pair.rev_abundance,
+                        stats["notmerged"])
+
+        if not params.opt_quiet:
+            print_stats(stats, failed, sys.stderr)
+
+
+def print_stats(stats, failed, out) -> None:
+    """reference: fastq_mergepairs.cpp print_stats (:779-999)."""
+    total = stats["total"]
+    merged = stats["merged"]
+    notmerged = stats["notmerged"]
+
+    def w(line):
+        print(line, file=out)
+
+    w("%10d  Pairs" % total)
+    line = "%10d  Merged" % merged
+    if total > 0:
+        line += " (%.1f%%)" % (100.0 * merged / total)
+    w(line)
+    line = "%10d  Not merged" % notmerged
+    if total > 0:
+        line += " (%.1f%%)" % (100.0 * notmerged / total)
+    w(line)
+
+    if notmerged > 0:
+        w("")
+        w("Pairs that failed merging due to various reasons:")
+    for reason, label in FAILURE_LABELS:
+        if failed.get(reason):
+            w("%10d  %s" % (failed[reason], label))
+    w("")
+    if total > 0:
+        w("Statistics of all reads:")
+        w("%10.2f  Mean read length" % (
+            stats["sum_read_length"] / (2.0 * stats["pairs_read"])))
+    if merged > 0:
+        w("")
+        w("Statistics of merged reads:")
+        mean = stats["sum_fragment_length"] / merged
+        w("%10.2f  Mean fragment length" % mean)
+        stdev = math.sqrt((stats["sum_squared_fragment_length"]
+                           - 2.0 * mean * stats["sum_fragment_length"]
+                           + mean * mean * merged) / merged)
+        w("%10.2f  Standard deviation of fragment length" % stdev)
+        w("%10.2f  Mean expected error in forward sequences" % (
+            stats["sum_ee_fwd"] / merged))
+        w("%10.2f  Mean expected error in reverse sequences" % (
+            stats["sum_ee_rev"] / merged))
+        w("%10.2f  Mean expected error in merged sequences" % (
+            stats["sum_ee_merged"] / merged))
+        w("%10.2f  Mean observed errors in merged region of forward sequences"
+          % (stats["sum_errors_fwd"] / merged))
+        w("%10.2f  Mean observed errors in merged region of reverse sequences"
+          % (stats["sum_errors_rev"] / merged))
+        w("%10.2f  Mean observed errors in merged region" % (
+            (stats["sum_errors_fwd"] + stats["sum_errors_rev"]) / merged))

@@ -63,7 +63,6 @@ def _build_kernels(scheme_key: tuple, M: int, N: int):
     scheme = ScoreScheme(match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i,
                          go_q_r, go_t_r, ge_q_l, ge_t_l, ge_q_i, ge_t_i,
                          ge_q_r, ge_t_r, bool(n_mismatch))
-    sm_flat = jnp.asarray(scheme.score_matrix().reshape(-1), dtype=jnp.int32)
     QR_q_i = go_q_i + ge_q_i
     QR_q_r = go_q_r + ge_q_r
     QR_t_i = go_t_i + ge_t_i
@@ -77,7 +76,13 @@ def _build_kernels(scheme_key: tuple, M: int, N: int):
     def forward(q4, qlen, t4, tlen):
         """q4 (B, M) int32 codes, qlen (B,), t4 (B, N), tlen (B,).
 
-        Returns (scores (B,), overflow (B,), dirs (D, B, M) uint8)."""
+        Returns (scores (B,), overflow (B,), dirs (D, B, M) uint8).
+
+        Gather-free inner loop: the per-diagonal target codes come from a
+        contiguous dynamic_slice of the reversed target (padded both sides),
+        and the substitution score is computed arithmetically from the code
+        equality/ambiguity flags instead of a matrix lookup — per-element
+        gathers inside a scan serialize badly on TPU."""
         B = q4.shape[0]
         qlen_c = qlen[:, None]              # (B, 1)
         tlen_c = tlen[:, None]
@@ -86,6 +91,15 @@ def _build_kernels(scheme_key: tuple, M: int, N: int):
         QR_q = jnp.where(last_q, QR_q_r, QR_q_i).astype(jnp.int32)
         R_q = jnp.where(last_q, ge_q_r, ge_q_i).astype(jnp.int32)
         valid_i = ii[None, :] < qlen_c
+        amb_lut = jnp.asarray(
+            np.array([1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1],
+                     dtype=np.int32))
+        amb_q = amb_lut[q4]                 # one-time gathers (outside scan)
+        # reversed, padded target: t4_ext[b, M + N - 1 - j] = t4[b, j]
+        t4_ext = jnp.pad(t4[:, ::-1], ((0, 0), (M, M)))
+        amb_t_ext = jnp.pad(amb_lut[t4][:, ::-1], ((0, 0), (M, M)),
+                            constant_values=1)
+        is_n_q = (q4 == 15).astype(jnp.int32)
 
         zeros = jnp.zeros((B, M), dtype=jnp.int32)
         init = (zeros, zeros, zeros, zeros,
@@ -96,12 +110,22 @@ def _build_kernels(scheme_key: tuple, M: int, N: int):
         def step(carry, d):
             H1, H2, E_prev, F_prev, score, hmin, hmax = carry
             jj = d - ii                       # (M,) target index per lane
-            jj_c = jnp.clip(jj, 0, N - 1)
             valid = (jj[None, :] >= 0) & (jj[None, :] < tlen_c) & valid_i
 
-            tj = jnp.take_along_axis(
-                t4, jnp.broadcast_to(jj_c[None, :], (B, M)), axis=1)
-            V = sm_flat[(q4 << 4) + tj]
+            start = M + N - 1 - d
+            tj = jax.lax.dynamic_slice(t4_ext, (0, start), (B, M))
+            amb_t = jax.lax.dynamic_slice(amb_t_ext, (0, start), (B, M))
+            # score matrix semantics (align_simd.cpp:1319-1342) computed
+            # arithmetically
+            if n_mismatch:
+                either_n = ((q4 == 15) | (tj == 15))
+                V = jnp.where(either_n, mismatch,
+                              jnp.where((amb_q | amb_t) != 0, 0,
+                                        jnp.where(q4 == tj, match, mismatch)))
+            else:
+                V = jnp.where((amb_q | amb_t) != 0, 0,
+                              jnp.where(q4 == tj, match, mismatch))
+            V = V.astype(jnp.int32)
 
             right_t = jj[None, :] == (tlen_c - 1)
             QR_t = jnp.where(right_t, QR_t_r, QR_t_i).astype(jnp.int32)
@@ -148,9 +172,9 @@ def _build_kernels(scheme_key: tuple, M: int, N: int):
                     | d_extleft.astype(jnp.uint8) * DIR_EXTLEFT)
             dirs = jnp.where(valid, dirs, 0)
 
-            at_end = d == (qlen + tlen - 2)
-            h_last = jnp.take_along_axis(h, qlen_c - 1, axis=1)[:, 0]
-            score = jnp.where(at_end, h_last, score)
+            # final-cell extraction without a gather: masked row-reduction
+            at_end = (d == (qlen_c + tlen_c - 2)) & last_q
+            score = score + jnp.sum(jnp.where(at_end, h, 0), axis=1)
 
             return (h, H1, E_out, F_out, score, hmin, hmax), dirs
 
