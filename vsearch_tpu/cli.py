@@ -247,9 +247,16 @@ def parse_args(argv: List[str]) -> Parameters:
 def apply_command_defaults(option_seen: Dict[str, bool],
                            params: Parameters) -> None:
     """reference: cli.cc apply_command_defaults (:4451-4522), preceded by the
-    wordlength default from validate_option_values (cli.cc:4185-4201) which
-    runs before the fixups so minwordmatches resolves from the actual word
-    length."""
+    co-dependent defaults of validate_option_values (cli.cc:4150-4201) which
+    run before the fixups: weak_id (0.90 for unoise, else clamped to opt_id
+    even when id is unset), maxrejects (8 for cluster_fast), wordlength."""
+    if params.opt_cluster_unoise is not None:
+        params.opt_weak_id = 0.90
+    elif params.opt_weak_id > params.opt_id:
+        params.opt_weak_id = params.opt_id
+    if params.opt_maxrejects == -1:
+        params.opt_maxrejects = 8 if params.opt_cluster_fast is not None \
+            else 32
     if params.opt_wordlength == 0:
         params.opt_wordlength = 12 if params.opt_orient is not None else 8
     params.apply_defaults_fixups()
@@ -340,6 +347,8 @@ def dispatch(params: Parameters) -> None:
         fastx_subsample(params)
     elif command == "rereplicate":
         from .commands.fastx_ops import rereplicate
+        # reference: dispatch forces xsize for rereplicate (vsearch.cc:737)
+        params.opt_xsize = True
         rereplicate(params)
     elif command == "sintax":
         from .commands.sintax import sintax

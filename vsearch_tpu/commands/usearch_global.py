@@ -43,6 +43,17 @@ def _batches(iterable, size=BATCH):
 
 
 def usearch_global(params: Parameters) -> None:
+    db = Database()
+    db.read(params.opt_db, params)
+    ctx = None  # built inside run_search_output after samheader needs db only
+    run_search_output(params, db, None, params.opt_usearch_global)
+
+
+def run_search_output(params: Parameters, db: Database, ctx,
+                      query_file: str) -> None:
+    """Shared output surface for usearch_global and search_exact
+    (reference: usearch_global.cpp search_output_results + post passes;
+    search_exact.cpp reuses the identical surface)."""
     with ExitStack() as stack:
         fp_alnout = _open(stack, params.opt_alnout)
         if fp_alnout is not None:
@@ -64,11 +75,10 @@ def usearch_global(params: Parameters) -> None:
         fp_biomout = _open(stack, params.opt_biomout)
         fp_lcaout = _open(stack, params.opt_lcaout)
 
-        db = Database()
-        db.read(params.opt_db, params)
         if fp_samout is not None:
             results.show_samheader(fp_samout, params, params.opt_db, db)
-        ctx = SearchContext.build(params, db)
+        if ctx is None:
+            ctx = SearchContext.build(params, db)
 
         otutab = OtuTable() if (fp_otutabout or fp_mothur or fp_biomout) else None
         dbmatched = [0] * db.seqcount
@@ -158,8 +168,7 @@ def usearch_global(params: Parameters) -> None:
                     dbmatched[hp.target] += (rec.abundance
                                              if params.opt_sizein else 1)
 
-        for chunk in _batches(fastx_io.read_fastx(params.opt_usearch_global,
-                                                  params)):
+        for chunk in _batches(fastx_io.read_fastx(query_file, params)):
             tasks = [ctx.prepare_task(rec.header, rec.sequence,
                                       rec.abundance, rec.seqno)
                      for rec in chunk]

@@ -213,7 +213,11 @@ def _match_insert_arrays(query_seq: bytes, cand_list: List[int],
                 qpos += run
                 tpos += run
             elif op == "I":
-                insert[i, qpos] = run
+                # a trailing insertion lands at qpos == qlen; the reference
+                # writes it past the row end (find_matches, chimera.cpp:395)
+                # where nothing reads it — skip it here
+                if qpos < qlen:
+                    insert[i, qpos] = run
                 tpos += run
             else:  # D
                 qpos += run

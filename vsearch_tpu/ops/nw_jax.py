@@ -55,9 +55,22 @@ def _bucket(x: int, base: int = 64) -> int:
     return b
 
 
-@functools.lru_cache(maxsize=64)
-def _build_kernels(scheme_key: tuple, M: int, N: int):
-    """Compile the forward DP + backtrack for a (scheme, M, N) geometry."""
+def _pallas_tile(Bp: int, M: int) -> int:
+    """Pair-tile size for the Pallas forward: largest divisor of Bp that
+    keeps the VMEM working set (~9 int32 arrays of TB x M) in budget."""
+    limit = max(8, 200_000 // max(M, 1))
+    tb = Bp
+    while tb > limit and tb % 2 == 0:
+        tb //= 2
+    return tb
+
+
+@functools.lru_cache(maxsize=128)
+def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
+    """Compile the forward DP + backtrack for a (scheme, M, N) geometry.
+
+    When Bp > 0 and a TPU backend is available, the forward sweep uses the
+    Pallas VMEM-resident kernel (ops/nw_pallas.py); otherwise the XLA scan."""
     (match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r,
      ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r, n_mismatch) = scheme_key
     scheme = ScoreScheme(match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i,
@@ -218,8 +231,18 @@ def _build_kernels(scheme_key: tuple, M: int, N: int):
         _, ops = jax.lax.scan(step, init, None, length=S)
         return ops
 
+    forward_fn = forward
+    if Bp > 0:
+        tb = _pallas_tile(Bp, M)
+        if tb >= 8 and Bp % tb == 0 and jax.default_backend() != "cpu":
+            try:
+                from .nw_pallas import build_forward
+                forward_fn = build_forward(scheme_key, M, N, tb)
+            except Exception:
+                forward_fn = forward
+
     def full(q4, qlen, t4, tlen):
-        score, overflow, dirs = forward(q4, qlen, t4, tlen)
+        score, overflow, dirs = forward_fn(q4, qlen, t4, tlen)
         ops = backtrack(dirs, qlen, tlen)
         return score, overflow, ops
 
@@ -262,12 +285,12 @@ class BatchAligner:
         tlens_p = np.ones(Bp, dtype=np.int32)
         tlens_p[:B] = tlens
 
-        kernel = _build_kernels(self._key, M, N)
-        score, overflow, ops = kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
-                                      jnp.asarray(t4), jnp.asarray(tlens_p))
-        score = np.asarray(score)
-        overflow = np.asarray(overflow)
-        ops = np.asarray(ops)  # (S, Bp) int8, end-to-front
+        kernel = _build_kernels(self._key, M, N, Bp)
+        out = kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
+                     jnp.asarray(t4), jnp.asarray(tlens_p))
+        # one bundled device->host transfer (three sequential np.asarray
+        # round-trips dominate latency on a tunneled device)
+        score, overflow, ops = jax.device_get(out)
 
         results: List[AlignmentResult] = []
         for b in range(B):
