@@ -295,6 +295,14 @@ def dispatch(params: Parameters) -> None:
     if command == "help":
         print("Usage: vsearch_tpu --<command> <file> [options]")
         return
+    if command == "allpairs_global":
+        # reference: dispatch forces single strand + uc_allhits
+        # (vsearch.cc:613-617)
+        params.opt_strand = False
+        params.opt_uc_allhits = True
+        from .commands.allpairs import allpairs_global
+        allpairs_global(params)
+        return
     if command == "usearch_global":
         from .commands.usearch_global import usearch_global
         usearch_global(params)
@@ -327,9 +335,6 @@ def dispatch(params: Parameters) -> None:
     elif command in ("fastq_filter", "fastx_filter"):
         from .commands.filter import filter_command
         filter_command(params, command)
-    elif command == "allpairs_global":
-        from .commands.allpairs import allpairs_global
-        allpairs_global(params)
     elif command == "search_exact":
         from .commands.search_exact import search_exact
         search_exact(params)

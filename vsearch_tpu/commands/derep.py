@@ -201,63 +201,116 @@ def derep(params: Parameters, command: str) -> None:
 
 def derep_prefix(params: Parameters) -> None:
     """reference: src/commands/derep_prefix.cpp — collapse sequences that
-    are identical to prefixes of longer ones; processed shortest-first so a
-    sequence joins the longest existing superstring cluster."""
-    # Load all records (FASTA only, reference fatals on FASTQ)
-    records = []
-    discarded_short = discarded_long = 0
-    for rec in fastx_io.read_fastx(params.opt_derep_prefix, params):
-        seqlen = len(rec.sequence)
-        if seqlen < params.opt_minseqlength:
-            discarded_short += 1
-        elif seqlen > params.opt_maxseqlength:
-            discarded_long += 1
-        else:
-            records.append(rec)
-
+    are identical to prefixes of longer ones, processed shortest-first."""
+    if params.opt_strand:
+        raise ValueError(
+            "Option '--strand both' not supported with --derep_prefix")
     if params.opt_output is None and params.opt_uc is None:
         raise ValueError("Output file for dereplication must be specified "
                          "with --output or --uc")
 
-    # sort record indices by length asc, then input order (stable)
-    order = sorted(range(len(records)), key=lambda i: len(records[i].sequence))
+    from ..db import Database
+    db = Database()
+    db.read(params.opt_derep_prefix, params)
+    db.sortbylength_shortest_first()
+
+    len_shortest = db.shortest if db.seqcount else 0
 
     class PCluster:
-        __slots__ = ("header", "seq", "size", "seqno_first", "members")
+        __slots__ = ("seqno_first", "seqno_last", "size", "members",
+                     "deleted")
 
-        def __init__(self, header, seq, size, seqno):
-            self.header = header
-            self.seq = seq
-            self.size = size
+        def __init__(self, seqno, size):
             self.seqno_first = seqno
-            self.members = []
+            self.seqno_last = seqno
+            self.size = size
+            self.members = []  # seqnos after the representative, chain order
 
-    by_exact: Dict[bytes, PCluster] = {}
-    prefix_map: Dict[bytes, PCluster] = {}
+    table: Dict[bytes, PCluster] = {}
     clusters: List[PCluster] = []
     sumsize = 0
     maxsize = 0
 
-    # process shortest-first: a sequence matches an existing cluster if it
-    # equals the cluster seq or a prefix of it; otherwise starts a cluster.
-    # Longer sequences absorb existing clusters whose seq is their prefix.
-    for idx in order:
-        rec = records[idx]
-        norm = normalize(rec.sequence)
-        abundance = rec.abundance if params.opt_sizein else 1
+    for i in range(db.seqcount):
+        norm = normalize(db.getsequence(i))
+        abundance = db.getabundance(i) if params.opt_sizein else 1
         sumsize += abundance
-        cluster = by_exact.get(norm)
-        if cluster is None:
-            cluster = prefix_map.get(norm)
-        if cluster is not None:
-            cluster.members.append(rec.header)
-            cluster.size += abundance
-        else:
-            cluster = PCluster(rec.header, rec.sequence, abundance, idx)
-            by_exact[norm] = cluster
-            clusters.append(cluster)
-        maxsize = max(maxsize, cluster.size)
 
-    raise NotImplementedError(
-        "derep_prefix requires the reference's shorter-to-longer chaining; "
-        "not yet implemented")
+        cluster = table.get(norm)
+        if cluster is not None:
+            # exact match: append to chain tail (derep_prefix.cpp:289-296)
+            cluster.size += abundance
+            cluster.members.append(i)
+            cluster.seqno_last = i
+            maxsize = max(maxsize, cluster.size)
+            continue
+
+        # prefix match: shorter and shorter prefixes (:300-324)
+        found = None
+        for plen in range(len(norm) - 1, len_shortest - 1, -1):
+            found = table.get(norm[:plen])
+            if found is not None:
+                break
+        if found is not None:
+            # new sequence becomes the representative (:326-345)
+            del table[normalize(db.getsequence(found.seqno_first))]
+            found.deleted = True
+            new = PCluster(i, found.size + abundance)
+            new.members = [found.seqno_first] + found.members
+            new.seqno_last = found.seqno_last
+            clusters[clusters.index(found)] = new
+            table[norm] = new
+            maxsize = max(maxsize, new.size)
+        else:
+            new = PCluster(i, abundance)
+            table[norm] = new
+            clusters.append(new)
+            maxsize = max(maxsize, new.size)
+
+    # sort: size desc, header asc, seqno_first asc (derep_compare_prefix)
+    clusters.sort(key=lambda c: (-c.size, db.getheader(c.seqno_first),
+                                 c.seqno_first))
+    n = len(clusters)
+
+    if not params.opt_quiet:
+        if n < 1:
+            print("0 unique sequences", file=sys.stderr)
+        else:
+            if n % 2 != 0:
+                median = float(clusters[(n - 1) // 2].size)
+            else:
+                median = (clusters[n // 2 - 1].size
+                          + clusters[n // 2].size) / 2.0
+            print("%d unique sequences, avg cluster %.1f, median %.0f, "
+                  "max %d" % (n, sumsize / n, median, maxsize),
+                  file=sys.stderr)
+
+    def selected(c) -> bool:
+        return params.opt_minuniquesize <= c.size <= params.opt_maxuniquesize
+
+    if params.opt_output is not None:
+        with open(params.opt_output, "wb") as out:
+            relabel_count = 0
+            for c in clusters:
+                if selected(c):
+                    relabel_count += 1
+                    fastx_io.fasta_print_general(
+                        out, params, db.getsequence(c.seqno_first),
+                        db.getheader(c.seqno_first), c.size, relabel_count)
+                    if relabel_count == params.opt_topn:
+                        break
+
+    if params.opt_uc is not None:
+        with open(params.opt_uc, "wb") as out:
+            for i, c in enumerate(clusters):
+                rep_head = db.getheader(c.seqno_first)
+                rep_len = db.getsequencelen(c.seqno_first)
+                out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                          % (i, rep_len, rep_head))
+                for next_seqno in c.members:
+                    out.write(b"H\t%d\t%d\t100.0\t+\t0\t0\t*\t%s\t%s\n"
+                              % (i, db.getsequencelen(next_seqno),
+                                 db.getheader(next_seqno), rep_head))
+            for i, c in enumerate(clusters):
+                out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                          % (i, c.size, db.getheader(c.seqno_first)))

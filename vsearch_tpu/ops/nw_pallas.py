@@ -45,9 +45,10 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
     QR_t_r = go_t_r + ge_t_r
     score_min = scheme.score_min()
     D = M + N - 1
-    # reversed/padded target extension width; +128 so the aligned window
-    # load below never runs past the end
-    W = N + 2 * M + 128
+    # sliding-window width must be a multiple of 128 lanes for the dynamic
+    # rotate; the extension is padded so the aligned window never overruns
+    WIN = ((M + 127) // 128) * 128 + 128
+    W = M + N + WIN
 
     def kernel(q4_ref, tlen_ref, qlen_ref, t4x_ref, ambt_ref,
                score_ref, over_ref, dirs_hbm,
@@ -85,11 +86,11 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
             start_al = pl.multiple_of((start // 128) * 128, 128)
             rem = start - start_al
             # positive-equivalent circular shift (dynamic negative shifts
-            # are not reliably lowered): -rem == (M + 128) - rem (mod width)
-            shift = (M + 128) - rem
-            win_t = t4x_ref[:, pl.ds(start_al, M + 128)]
+            # are not reliably lowered): -rem == WIN - rem (mod WIN)
+            shift = WIN - rem
+            win_t = t4x_ref[:, pl.ds(start_al, WIN)]
             tj = pltpu.roll(win_t, shift, 1)[:, :M].astype(jnp.int32)
-            win_a = ambt_ref[:, pl.ds(start_al, M + 128)]
+            win_a = ambt_ref[:, pl.ds(start_al, WIN)]
             amb_t_m = pltpu.roll(win_a, shift, 1)[:, :M] != 0
 
             if n_mismatch:
@@ -191,8 +192,9 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
         B = q4.shape[0]
         assert B % TB == 0
         amb_lut = jnp.asarray(AMB_LUT, dtype=jnp.int32)
-        t4_ext = jnp.pad(t4[:, ::-1], ((0, 0), (M, M + 128))).astype(jnp.int32)
-        amb_t_ext = jnp.pad(amb_lut[t4][:, ::-1], ((0, 0), (M, M + 128)),
+        WIN_pad = ((M + 127) // 128) * 128 + 128
+        t4_ext = jnp.pad(t4[:, ::-1], ((0, 0), (M, WIN_pad))).astype(jnp.int32)
+        amb_t_ext = jnp.pad(amb_lut[t4][:, ::-1], ((0, 0), (M, WIN_pad)),
                             constant_values=1).astype(jnp.int32)
 
         grid = (B // TB,)
