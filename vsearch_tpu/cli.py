@@ -224,6 +224,9 @@ def parse_args(argv: List[str]) -> Parameters:
             params.opt_ee_cutoffs = [float(x) for x in take_value().split(",")]
         elif name in STR_OPTS:
             setattr(params, "opt_" + name, take_value())
+            if name == "join_padgapq":
+                # reference: cli.cc:3800-3802
+                params.opt_join_padgapq_set_by_user = True
         elif name in INT_OPTS:
             setattr(params, "opt_" + name, int(take_value()))
         elif name in FLOAT_OPTS:
@@ -361,6 +364,24 @@ def dispatch(params: Parameters) -> None:
     elif command == "orient":
         from .commands.orient import orient
         orient(params)
+    elif command == "fastq_convert":
+        from .commands.convert import fastq_convert
+        fastq_convert(params)
+    elif command == "fasta2fastq":
+        from .commands.convert import fasta2fastq
+        fasta2fastq(params)
+    elif command == "fastq_join":
+        from .commands.convert import fastq_join
+        fastq_join(params)
+    elif command == "fastx_syncpairs":
+        from .commands.convert import fastx_syncpairs
+        fastx_syncpairs(params)
+    elif command == "fastq_chars":
+        from .commands.stats import fastq_chars
+        fastq_chars(params)
+    elif command == "fastq_stats":
+        from .commands.stats import fastq_stats
+        fastq_stats(params)
     else:
         raise CliError("Command %s not implemented yet" % command)
 
@@ -377,8 +398,37 @@ def main(argv: Optional[List[str]] = None) -> int:
         argv = sys.argv[1:]
     try:
         params = parse_args(argv)
-        dispatch(params)
-    except CliError as exc:
+        fp_log = None
+        if params.opt_log is not None:
+            # reference: utils/logfile.cpp LogFile — header, Started/Finished
+            # timestamps, elapsed time and peak memory bracket the report
+            import resource
+            import time
+            fp_log = open(params.opt_log, "wb")
+            params.fp_log = fp_log
+            stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+            fp_log.write(params.prog_header.encode() + b"\n")
+            fp_log.write(params.command_line.encode() + b"\n")
+            fp_log.write(b"Started  %s\n" % stamp.encode())
+            t0 = time.monotonic()
+        try:
+            dispatch(params)
+        finally:
+            if fp_log is not None:
+                dt = time.monotonic() - t0
+                stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+                fp_log.write(b"\nFinished %s\n" % stamp.encode())
+                fp_log.write(b"Elapsed time %02.0f:%02.0f\n"
+                             % (dt // 60, dt % 60))
+                maxmem = resource.getrusage(
+                    resource.RUSAGE_SELF).ru_maxrss / 1024.0
+                if maxmem < 1024.0:
+                    fp_log.write(b"Max memory %.1fMB\n" % maxmem)
+                else:
+                    fp_log.write(b"Max memory %.1fGB\n" % (maxmem / 1024.0))
+                fp_log.close()
+    except (CliError, ValueError, OSError) as exc:
+        # reference: utils/fatal.cpp — "Fatal error: <message>", exit 1
         print("Fatal error: %s" % exc, file=sys.stderr)
         return 1
     return 0

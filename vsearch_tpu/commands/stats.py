@@ -1,0 +1,275 @@
+"""FASTQ statistics commands: fastq_chars, fastq_stats, fastq_eestats,
+fastq_eestats2.
+
+reference: src/commands/fastq_chars.cpp, fastq_stats.cpp, fastq_eestats.cpp,
+fastq_eestats2.cpp.  Host-side single-pass accumulators over the quality
+histograms; all heavy lifting is table lookups, so no device work.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import IO, List
+
+import numpy as np
+
+from ..params import Parameters
+from ..io import fastx as fastx_io
+
+
+def _q2p(q: float) -> float:
+    return 10.0 ** (-q / 10.0)
+
+
+def fastq_chars(params: Parameters) -> None:
+    """reference: fastq_chars.cpp (:303-359 main loop, :170-260 report)."""
+    seq_chars = np.zeros(256, dtype=np.int64)
+    qual_chars = np.zeros(256, dtype=np.int64)
+    tail_chars = np.zeros(256, dtype=np.int64)
+    maxrun = np.zeros(256, dtype=np.int64)
+    total_chars = 0
+    seq_count = 0
+    qmin_n, qmax_n = 255, 0
+    tail_len = params.opt_fastq_tail
+
+    for rec in fastx_io.read_fastx(params.opt_fastq_chars, params,
+                                   truncateatspace=False, upcase=True):
+        seq = np.frombuffer(rec.sequence, dtype=np.uint8)
+        qual = np.frombuffer(rec.quality or b"", dtype=np.uint8)
+        seq_count += 1
+        total_chars += len(seq)
+        seq_chars += np.bincount(seq, minlength=256)
+        qual_chars += np.bincount(qual, minlength=256)
+        n_mask = seq == ord("N")
+        if n_mask.any():
+            qn = qual[n_mask]
+            qmin_n = min(qmin_n, int(qn.min()))
+            qmax_n = max(qmax_n, int(qn.max()))
+        # per-char maximum run length (run counts repeats beyond the first)
+        if len(seq):
+            boundaries = np.flatnonzero(np.diff(seq) != 0)
+            starts = np.concatenate(([0], boundaries + 1))
+            ends = np.concatenate((boundaries + 1, [len(seq)]))
+            for s, e in zip(starts, ends):
+                c = seq[s]
+                maxrun[c] = max(maxrun[c], e - s - 1)
+        # trailing homopolymer in the quality string
+        if len(qual) >= tail_len and tail_len >= 0:
+            tail = qual[len(qual) - tail_len:]
+            if (tail == qual[-1]).all():
+                tail_chars[qual[-1]] += 1
+
+    nz = np.flatnonzero(qual_chars)
+    qmin = int(nz[0]) if len(nz) else 0
+    qmax = int(nz[-1]) if len(nz) else 0
+    # reference: fastq_chars.cpp guess_quality_offset (:99-112)
+    if qmin < ord(";") or qmax < ord("K"):
+        fastq_ascii = 33
+    else:
+        fastq_ascii = 64
+
+    def report(out) -> None:
+        out.write(b"Read %d sequences.\n" % seq_count)
+        if seq_count == 0:
+            return
+        out.write(b"Qmin %d, Qmax %d, Range %d\n"
+                  % (qmin, qmax, qmax - qmin + 1))
+        out.write(b"Guess: -fastq_qmin %d -fastq_qmax %d -fastq_ascii %d\n"
+                  % (qmin - fastq_ascii, qmax - fastq_ascii, fastq_ascii))
+        if fastq_ascii == 64:
+            if qmin < 64:
+                out.write(b"Guess: Solexa format (phred+64)\n")
+            elif qmin < ord("B"):
+                out.write(b"Guess: Illumina 1.3+ format (phred+64)\n")
+            else:
+                out.write(b"Guess: Illumina 1.5+ format (phred+64)\n")
+        else:
+            if qmax > ord("I"):
+                out.write(b"Guess: Illumina 1.8+ format (phred+33)\n")
+            else:
+                out.write(b"Guess: Original Sanger format (phred+33)\n")
+        out.write(b"\nLetter          N   Freq MaxRun\n")
+        out.write(b"------ ---------- ------ ------\n")
+        factor = 100.0 / total_chars if total_chars else 0.0
+        for index in range(256):
+            counter = int(seq_chars[index])
+            if counter == 0:
+                continue
+            out.write(b"     %c %10d %5.1f%% %6d"
+                      % (index, counter, counter * factor, maxrun[index]))
+            if index == ord("N"):
+                if qmin_n < qmax_n:
+                    out.write(b"  Q=%c..%c" % (qmin_n, qmax_n))
+                else:
+                    out.write(b"  Q=%c" % qmin_n)
+            out.write(b"\n")
+        out.write(b"\nChar  ASCII    Freq       Tails\n")
+        out.write(b"----  -----  ------  ----------\n")
+        for i in range(qmin, qmax + 1):
+            if qual_chars[i] == 0:
+                continue
+            out.write(b" '%c'  %5d  %5.1f%%  %10d\n"
+                      % (i, i, qual_chars[i] * factor, tail_chars[i]))
+
+    if not params.opt_quiet:
+        report(sys.stderr.buffer)
+        sys.stderr.buffer.flush()
+    if params.fp_log is not None:
+        report(params.fp_log)
+
+
+def fastq_stats(params: Parameters) -> None:
+    """reference: fastq_stats.cpp fastq_stats (:506-633) plus the section
+    reporters (:339-500); the full report goes only to --log."""
+    sym_score = np.zeros(256, dtype=np.int64)
+    sym_score[params.opt_fastq_ascii:] = np.arange(
+        256 - params.opt_fastq_ascii)
+    sym_prob = 10.0 ** (-sym_score.astype(np.float64) / 10.0)
+    q_thresholds = (5, 10, 15, 20)
+    ee_thresholds = (1.0, 0.5, 0.25, 0.1)
+
+    size = 512
+    read_length_table = np.zeros(size, dtype=np.int64)
+    qual_length_table = np.zeros((size, 256), dtype=np.int64)
+    ee_length_table = np.zeros((size, 4), dtype=np.int64)
+    q_length_table = np.zeros((size, 4), dtype=np.int64)
+    sumee_length_table = np.zeros(size, dtype=np.float64)
+
+    for rec in fastx_io.read_fastx(params.opt_fastq_stats, params,
+                                   truncateatspace=False, upcase=True):
+        length = len(rec.sequence)
+        if length + 1 > size:
+            grow = length + 1 - size
+            read_length_table = np.pad(read_length_table, (0, grow))
+            qual_length_table = np.pad(qual_length_table, ((0, grow), (0, 0)))
+            ee_length_table = np.pad(ee_length_table, ((0, grow), (0, 0)))
+            q_length_table = np.pad(q_length_table, ((0, grow), (0, 0)))
+            sumee_length_table = np.pad(sumee_length_table, (0, grow))
+            size = length + 1
+        read_length_table[length] += 1
+        qual = np.frombuffer(rec.quality or b"", dtype=np.uint8)
+        if length == 0:
+            continue
+        scores = sym_score[qual]
+        smin, smax = int(scores.min()), int(scores.max())
+        for s in (smin, smax):
+            if not (params.opt_fastq_qmin <= s <= params.opt_fastq_qmax):
+                raise ValueError(
+                    "FASTQ quality value (%d) out of range (%d-%d).\n"
+                    "Please adjust the FASTQ quality base character or range "
+                    "with the\n--fastq_ascii, --fastq_qmin or --fastq_qmax "
+                    "options. For a complete\ndiagnosis with suggested "
+                    "values, please run vsearch --fastq_chars file."
+                    % (s, params.opt_fastq_qmin, params.opt_fastq_qmax))
+        np.add.at(qual_length_table, (np.arange(length), qual), 1)
+        qmin_running = np.minimum.accumulate(scores)
+        for k, thr in enumerate(q_thresholds):
+            q_length_table[:length, k] += qmin_running > thr
+        ee = np.cumsum(sym_prob[qual])
+        sumee_length_table[:length] += ee
+        for k, thr in enumerate(ee_thresholds):
+            ee_length_table[:length, k] += ee <= thr
+
+    nz = np.flatnonzero(read_length_table)
+    len_min = int(nz[0]) if len(nz) else 0
+    len_max = int(nz[-1]) if len(nz) else 0
+    seq_count = int(read_length_table.sum())
+    n_sequences = float(seq_count)
+    n_symbols = float(
+        (np.arange(size, dtype=np.int64) * read_length_table).sum())
+    length_dist = np.cumsum(read_length_table)
+    quality_dist = qual_length_table.sum(axis=0)
+
+    if not params.opt_quiet:
+        print("Read %d sequences." % seq_count, file=sys.stderr)
+    if params.fp_log is None:
+        return
+    out: IO[bytes] = params.fp_log
+
+    # section 1: read length distribution
+    out.write(b"\nRead length distribution\n"
+              b"      L           N      Pct   AccPct\n"
+              b"-------  ----------  -------  -------\n")
+    for length in range(len_max, len_min - 1, -1):
+        if read_length_table[length] != 0:
+            prev = float(length_dist[length - 1]) if length != 0 else 0.0
+            out.write(b"%2s%5d  %10d   %5.1f%%   %5.1f%%\n" % (
+                b">=" if length == len_max else b"  ", length,
+                read_length_table[length],
+                read_length_table[length] * 100.0 / n_sequences,
+                100.0 * (n_sequences - prev) / n_sequences))
+        if length == 0:
+            break
+
+    # section 2: Q score distribution
+    nzq = np.flatnonzero(quality_dist)
+    qmin = int(nzq[0]) if len(nzq) else 0
+    qmax = int(nzq[-1]) if len(nzq) else 0
+    out.write(b"\nQ score distribution\n"
+              b"ASCII    Q       Pe           N      Pct   AccPct\n"
+              b"-----  ---  -------  ----------  -------  -------\n")
+    qual_accum = 0
+    for sym in range(qmax, qmin - 1, -1):
+        if quality_dist[sym] == 0:
+            continue
+        qual_accum += int(quality_dist[sym])
+        out.write(b"    %c  %3d  %7.5f  %10d  %6.1f%%  %6.1f%%\n" % (
+            sym, sym_score[sym], sym_prob[sym], quality_dist[sym],
+            100.0 * quality_dist[sym] / n_symbols,
+            100.0 * qual_accum / n_symbols))
+
+    # section 3: length vs quality distribution
+    sum_counts = qual_length_table.sum(axis=1).astype(np.float64)
+    sum_scores = (qual_length_table * sym_score[None, :]).sum(axis=1)
+    sum_probs = (qual_length_table * sym_prob[None, :]).sum(axis=1)
+    out.write(b"\n    L  PctRecs  AvgQ  P(AvgQ)      AvgP  AvgEE       Rate"
+              b"   RatePct\n"
+              b"-----  -------  ----  -------  --------  -----  ---------"
+              b"  --------\n")
+    for length in range(2, len_max + 1):
+        pos = length - 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            n_sym = sum_counts[pos]
+            avgq = float(sum_scores[pos]) / n_sym
+            avgp = float(sum_probs[pos]) / n_sym
+            avgee = float(sumee_length_table[pos]) / n_sym
+        rate = avgee / length
+        prev = float(length_dist[pos])
+        out.write(b"%5d  %6.1f%%  %4.1f  %7.5f  %8.6f  %5.2f  %9.6f"
+                  b"  %7.3f%%\n" % (
+                      length, 100.0 * (n_sequences - prev) / n_sequences,
+                      avgq, _q2p(avgq), avgp, avgee, rate, 100.0 * rate))
+
+    # section 4: expected error and length filtering
+    out.write(b"\n    L   1.0000   0.5000   0.2500   0.1000   1.0000"
+              b"   0.5000   0.2500   0.1000\n"
+              b"-----  -------  -------  -------  -------  -------"
+              b"  -------  -------  -------\n")
+    empty = np.flatnonzero(ee_length_table[:, 0] == 0)
+    max_length = int(empty[0]) if len(empty) else len_max
+    for length in range(max_length, 0, -1):
+        rc = ee_length_table[length - 1]
+        out.write(b"%5d  %7d  %7d  %7d  %7d  %6.2f%%  %6.2f%%  %6.2f%%"
+                  b"  %6.2f%%\n" % (
+                      length, rc[0], rc[1], rc[2], rc[3],
+                      100.0 * rc[0] / n_sequences, 100.0 * rc[1] / n_sequences,
+                      100.0 * rc[2] / n_sequences,
+                      100.0 * rc[3] / n_sequences))
+
+    # section 5: truncate at first low Q
+    out.write(b"\nTruncate at first Q\n"
+              b"  Len     Q=5    Q=10    Q=15    Q=20\n"
+              b"-----  ------  ------  ------  ------\n")
+    mid = max(1, len_max // 2)
+    for length in range(len_max, mid - 1, -1):
+        rc = q_length_table[length - 1]
+        out.write(b"%5d  %5.1f%%  %5.1f%%  %5.1f%%  %5.1f%%\n" % (
+            length, 100.0 * rc[0] / n_sequences, 100.0 * rc[1] / n_sequences,
+            100.0 * rc[2] / n_sequences, 100.0 * rc[3] / n_sequences))
+
+    # closing section
+    out.write(b"\n%10d  Recs (%.1fM), 0 too long\n"
+              % (seq_count, n_sequences / 1e6))
+    if seq_count != 0:
+        out.write(b"%10.1f  Avg length\n" % (n_symbols / n_sequences))
+    out.write(b"%9.1fM  Bases\n" % (n_symbols / 1e6))

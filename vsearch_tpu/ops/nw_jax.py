@@ -201,12 +201,14 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
 
         reference: align_simd.cpp backtrack16 (:1144-1233)."""
         B = qlen.shape[0]
-        dirs_flat = jnp.moveaxis(dirs, 1, 0).reshape(B, D * M)
+        # lane stride may exceed M (Pallas pads lanes to the int8 tiling)
+        Ms = dirs.shape[2]
+        dirs_flat = jnp.moveaxis(dirs, 1, 0).reshape(B, D * Ms)
 
         def step(carry, _):
             i, j, prev = carry
             both = (i >= 0) & (j >= 0)
-            idx = jnp.clip((i + j) * M + i, 0, D * M - 1)
+            idx = jnp.clip((i + j) * Ms + i, 0, D * Ms - 1)
             dword = jnp.take_along_axis(dirs_flat, idx[:, None],
                                         axis=1)[:, 0].astype(jnp.int32)
             extleft = (dword & DIR_EXTLEFT) != 0

@@ -32,7 +32,7 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
     """Forward DP kernel for geometry (M, N) and pair-tile TB.
 
     Returns a jitted fn (q4, qlen, t4, tlen) -> (score, overflow, dirs)
-    with dirs (D, B, M) uint8.  B must be a multiple of TB.
+    with dirs (D, B, Mp) uint8 (lanes padded to the int8 tiling).  B must be a multiple of TB.
     """
     (match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r,
      ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r, n_mismatch) = scheme_key
@@ -45,16 +45,19 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
     QR_t_r = go_t_r + ge_t_r
     score_min = scheme.score_min()
     D = M + N - 1
+    # lane dimension padded to the int8 DMA tiling (128): the direction-bit
+    # staging copies slice whole lanes, which Mosaic requires 128-aligned
+    Mp = ((M + 127) // 128) * 128
     # sliding-window width must be a multiple of 128 lanes for the dynamic
     # rotate; the extension is padded so the aligned window never overruns
-    WIN = ((M + 127) // 128) * 128 + 128
+    WIN = Mp + 128
     W = M + N + WIN
 
     def kernel(q4_ref, tlen_ref, qlen_ref, t4x_ref, ambt_ref,
                score_ref, over_ref, dirs_hbm,
                H1, H2, E, F, hmin, hmax, score_acc, stage, sems):
         tile = pl.program_id(0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (TB, M), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (TB, Mp), 1)
         qlen_c = qlen_ref[:]               # (TB, 1) int32
         tlen_c = tlen_ref[:]
         q4 = q4_ref[:]
@@ -67,13 +70,13 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
         QR_q = jnp.where(last_q, QR_q_r, QR_q_i)
         R_q = jnp.where(last_q, ge_q_r, ge_q_i)
 
-        H1[:] = jnp.zeros((TB, M), jnp.int32)
-        H2[:] = jnp.zeros((TB, M), jnp.int32)
-        E[:] = jnp.zeros((TB, M), jnp.int32)
-        F[:] = jnp.zeros((TB, M), jnp.int32)
-        hmin[:] = jnp.zeros((TB, M), jnp.int32)
-        hmax[:] = jnp.zeros((TB, M), jnp.int32)
-        score_acc[:] = jnp.zeros((TB, M), jnp.int32)
+        H1[:] = jnp.zeros((TB, Mp), jnp.int32)
+        H2[:] = jnp.zeros((TB, Mp), jnp.int32)
+        E[:] = jnp.zeros((TB, Mp), jnp.int32)
+        F[:] = jnp.zeros((TB, Mp), jnp.int32)
+        hmin[:] = jnp.zeros((TB, Mp), jnp.int32)
+        hmax[:] = jnp.zeros((TB, Mp), jnp.int32)
+        score_acc[:] = jnp.zeros((TB, Mp), jnp.int32)
 
         def step(d, _):
             jj = d - ii
@@ -89,9 +92,9 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
             # are not reliably lowered): -rem == WIN - rem (mod WIN)
             shift = WIN - rem
             win_t = t4x_ref[:, pl.ds(start_al, WIN)]
-            tj = pltpu.roll(win_t, shift, 1)[:, :M].astype(jnp.int32)
+            tj = pltpu.roll(win_t, shift, 1)[:, :Mp].astype(jnp.int32)
             win_a = ambt_ref[:, pl.ds(start_al, WIN)]
-            amb_t_m = pltpu.roll(win_a, shift, 1)[:, :M] != 0
+            amb_t_m = pltpu.roll(win_a, shift, 1)[:, :Mp] != 0
 
             if n_mismatch:
                 either_n = (q4 == 15) | (tj == 15)
@@ -192,9 +195,9 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
         B = q4.shape[0]
         assert B % TB == 0
         amb_lut = jnp.asarray(AMB_LUT, dtype=jnp.int32)
-        WIN_pad = ((M + 127) // 128) * 128 + 128
-        t4_ext = jnp.pad(t4[:, ::-1], ((0, 0), (M, WIN_pad))).astype(jnp.int32)
-        amb_t_ext = jnp.pad(amb_lut[t4][:, ::-1], ((0, 0), (M, WIN_pad)),
+        q4 = jnp.pad(q4, ((0, 0), (0, Mp - M)))
+        t4_ext = jnp.pad(t4[:, ::-1], ((0, 0), (M, WIN))).astype(jnp.int32)
+        amb_t_ext = jnp.pad(amb_lut[t4][:, ::-1], ((0, 0), (M, WIN)),
                             constant_values=1).astype(jnp.int32)
 
         grid = (B // TB,)
@@ -202,7 +205,7 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((TB, M), lambda b: (b, 0),
+                pl.BlockSpec((TB, Mp), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),       # q4
                 pl.BlockSpec((TB, 1), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),       # tlen
@@ -223,17 +226,17 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
             out_shape=[
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                jax.ShapeDtypeStruct((D, B, M), jnp.uint8),
+                jax.ShapeDtypeStruct((D, B, Mp), jnp.uint8),
             ],
             scratch_shapes=[
-                pltpu.VMEM((TB, M), jnp.int32),   # H1
-                pltpu.VMEM((TB, M), jnp.int32),   # H2
-                pltpu.VMEM((TB, M), jnp.int32),   # E
-                pltpu.VMEM((TB, M), jnp.int32),   # F
-                pltpu.VMEM((TB, M), jnp.int32),   # hmin
-                pltpu.VMEM((TB, M), jnp.int32),   # hmax
-                pltpu.VMEM((TB, M), jnp.int32),   # score_acc
-                pltpu.VMEM((2, TB, M), jnp.uint8),  # dir staging
+                pltpu.VMEM((TB, Mp), jnp.int32),   # H1
+                pltpu.VMEM((TB, Mp), jnp.int32),   # H2
+                pltpu.VMEM((TB, Mp), jnp.int32),   # E
+                pltpu.VMEM((TB, Mp), jnp.int32),   # F
+                pltpu.VMEM((TB, Mp), jnp.int32),   # hmin
+                pltpu.VMEM((TB, Mp), jnp.int32),   # hmax
+                pltpu.VMEM((TB, Mp), jnp.int32),   # score_acc
+                pltpu.VMEM((2, TB, Mp), jnp.uint8),  # dir staging
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(

@@ -125,6 +125,7 @@ class Parameters:
     opt_fastqout_notmerged_rev: Optional[str] = None
     opt_lcaout: Optional[str] = None
     opt_log: Optional[str] = None
+    fp_log: Optional[object] = None  # open binary handle while --log active
     opt_matched: Optional[str] = None
     opt_mothur_shared_out: Optional[str] = None
     opt_msaout: Optional[str] = None
@@ -161,6 +162,10 @@ class Parameters:
     # misc inputs
     opt_reverse: Optional[str] = None
     opt_read_separators: Optional[str] = None
+    # reference: vsearch.h:218-220,286-287 — Q40 pads at offsets 33/64
+    opt_join_padgap: str = "NNNNNNNN"
+    opt_join_padgapq: str = "IIIIIIII"
+    opt_join_padgapq_set_by_user: bool = False
 
     # floating point options
     opt_abskew: float = 0.0
