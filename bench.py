@@ -88,10 +88,12 @@ def main():
         workdir = pathlib.Path(tmp)
         db_path, q_path = generate(workdir)
 
-        # warmup on a slice to amortize jit compilation out of the measurement
+        # warmup to amortize jit compilation out of the measurement: one
+        # full 128-query batch plus a partial one covers every kernel
+        # geometry bucket the measured run uses
         warm_q = workdir / "warm.fasta"
         with open(q_path) as src, open(warm_q, "w") as dst:
-            for _ in range(64):
+            for _ in range(2 * 192):
                 line = src.readline()
                 if not line:
                     break

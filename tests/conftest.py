@@ -39,8 +39,23 @@ def ref_data():
     return REF_DATA
 
 
+# commands whose reference option matrix excludes --threads (cli.cc
+# per-command allowed-option lists)
+_NO_THREADS = {"--cut", "--fastx_getseq", "--fastx_getseqs",
+               "--fastx_getsubseq", "--sff_convert", "--udb2fasta",
+               "--udbinfo", "--udbstats", "--makeudb_usearch",
+               "--fastq_eestats", "--fastq_eestats2"}
+
+
+def _common(args):
+    extra = ["--quiet"]
+    if args[0] not in _NO_THREADS:
+        extra = ["--threads", "1", "--quiet"]
+    return args + extra
+
+
 def run_reference(ref_binary, args, cwd):
-    subprocess.run([ref_binary] + args + ["--threads", "1", "--quiet"],
+    subprocess.run([ref_binary] + _common(args),
                    cwd=cwd, check=True, capture_output=True)
 
 
@@ -49,7 +64,7 @@ def run_ours(args, cwd):
     old = os.getcwd()
     os.chdir(cwd)
     try:
-        rc = cli.main(args + ["--threads", "1", "--quiet"])
+        rc = cli.main(_common(args))
         assert rc == 0
     finally:
         os.chdir(old)

@@ -222,6 +222,24 @@ def parse_args(argv: List[str]) -> Parameters:
             params.opt_userfields = parse_userfields(take_value())
         elif name == "ee_cutoffs":
             params.opt_ee_cutoffs = [float(x) for x in take_value().split(",")]
+        elif name == "length_cutoffs":
+            # reference: cli.cc args_get_length_cutoffs (:126-160) —
+            # "shortest,longest,increment" with '*' for unbounded longest
+            parts = take_value().split(",")
+            if len(parts) != 3:
+                raise CliError("Invalid arguments to length_cutoffs")
+            try:
+                params.opt_length_cutoffs_shortest = int(parts[0])
+                params.opt_length_cutoffs_longest = (
+                    2**31 - 1 if parts[1] == "*" else int(parts[1]))
+                params.opt_length_cutoffs_increment = int(parts[2])
+            except ValueError:
+                raise CliError("Invalid arguments to length_cutoffs")
+            if (params.opt_length_cutoffs_shortest < 1
+                    or params.opt_length_cutoffs_shortest
+                    > params.opt_length_cutoffs_longest
+                    or params.opt_length_cutoffs_increment < 1):
+                raise CliError("Invalid arguments to length_cutoffs")
         elif name in STR_OPTS:
             setattr(params, "opt_" + name, take_value())
             if name == "join_padgapq":
@@ -315,6 +333,9 @@ def dispatch(params: Parameters) -> None:
     elif command == "derep_prefix":
         from .commands.derep import derep_prefix
         derep_prefix(params)
+    elif command == "derep_smallmem":
+        from .commands.derep import derep_smallmem
+        derep_smallmem(params)
     elif command == "sortbysize":
         from .commands.sort import sortbysize
         sortbysize(params)
@@ -382,6 +403,33 @@ def dispatch(params: Parameters) -> None:
     elif command == "fastq_stats":
         from .commands.stats import fastq_stats
         fastq_stats(params)
+    elif command == "fastq_eestats":
+        from .commands.stats import fastq_eestats
+        fastq_eestats(params)
+    elif command == "fastq_eestats2":
+        from .commands.stats import fastq_eestats2
+        fastq_eestats2(params)
+    elif command in ("fastx_getseq", "fastx_getseqs", "fastx_getsubseq"):
+        from .commands.getseq import getseq
+        getseq(params, command)
+    elif command == "cut":
+        from .commands.cut import cut
+        cut(params)
+    elif command == "sff_convert":
+        from .commands.sff import sff_convert
+        sff_convert(params)
+    elif command == "makeudb_usearch":
+        from .commands.udb_cmds import makeudb_usearch
+        makeudb_usearch(params)
+    elif command == "udb2fasta":
+        from .commands.udb_cmds import udb2fasta
+        udb2fasta(params)
+    elif command == "udbinfo":
+        from .commands.udb_cmds import udbinfo
+        udbinfo(params)
+    elif command == "udbstats":
+        from .commands.udb_cmds import udbstats
+        udbstats(params)
     else:
         raise CliError("Command %s not implemented yet" % command)
 

@@ -135,18 +135,13 @@ def chimera_command(params: Parameters, command: str) -> None:
         fp_uchimealns = _open(stack, params.opt_uchimealns)
         fp_uchimeout = _open(stack, params.opt_uchimeout)
 
-        db = Database()
-        index = KmerIndex(params.opt_wordlength)
-
         if is_ref:
-            db.read(params.opt_db, params)
-            if params.opt_dbmask == Masking.dust:
-                mask_mod.dust_all(db, params)
-            elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
-                mask_mod.hardmask_all(db)
-            index.add_all_sequences(db, params.opt_dbmask)
+            from ..core.search import load_db_and_index
+            db, index = load_db_and_index(params, params.opt_db)
             queries = fastx_io.read_fastx(params.opt_uchime_ref, params)
         else:
+            db = Database()
+            index = KmerIndex(params.opt_wordlength)
             denovo_file = getattr(params, "opt_" + command)
             db.read(denovo_file, params)
             if params.opt_qmask == Masking.dust:

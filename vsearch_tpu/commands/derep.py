@@ -314,3 +314,116 @@ def derep_prefix(params: Parameters) -> None:
             for i, c in enumerate(clusters):
                 out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
                           % (i, c.size, db.getheader(c.seqno_first)))
+
+
+def derep_smallmem(params: Parameters) -> None:
+    """reference: src/commands/derep_smallmem.cpp — two-pass dereplication
+    keyed by sequence identity only (the reference matches 128-bit CityHash
+    values; byte-exact keys are a strict superset of that behavior), output
+    in order of first appearance."""
+    if params.opt_fastaout is None:
+        raise ValueError(
+            "Output file for dereplication must be specified with --fastaout")
+
+    sizes: Dict[bytes, int] = {}
+    sequencecount = 0
+    nucleotidecount = 0
+    shortest = None
+    longest = 0
+    discarded_short = discarded_long = 0
+    sumsize = 0
+    maxsize = 0
+
+    def keys_for(rec):
+        norm = normalize(rec.sequence)
+        rc = normalize(reverse_complement(rec.sequence)) \
+            if params.opt_strand else None
+        return norm, rc
+
+    for rec in fastx_io.read_fastx(params.opt_derep_smallmem, params):
+        seqlen = len(rec.sequence)
+        if seqlen < params.opt_minseqlength:
+            discarded_short += 1
+            continue
+        if seqlen > params.opt_maxseqlength:
+            discarded_long += 1
+            continue
+        nucleotidecount += seqlen
+        longest = max(longest, seqlen)
+        shortest = seqlen if shortest is None else min(shortest, seqlen)
+        norm, rc = keys_for(rec)
+        key = norm
+        if norm not in sizes and rc is not None and rc in sizes:
+            key = rc
+        ab = rec.abundance if params.opt_sizein else 1
+        sumsize += ab
+        sizes[key] = sizes.get(key, 0) + ab
+        maxsize = max(maxsize, sizes[key])
+        sequencecount += 1
+
+    clusters = len(sizes)
+
+    def stats(out, tail="\n"):
+        if sequencecount > 0:
+            out.write("%d nt in %d seqs, min %d, max %d, avg %.0f\n" % (
+                nucleotidecount, sequencecount, shortest, longest,
+                nucleotidecount / sequencecount))
+        else:
+            out.write("%d nt in %d seqs\n" % (nucleotidecount, sequencecount))
+        if discarded_short:
+            out.write("minseqlength %d: %d %s discarded.\n%s" % (
+                params.opt_minseqlength, discarded_short,
+                "sequence" if discarded_short == 1 else "sequences",
+                tail[1:]))
+        if discarded_long:
+            out.write("maxseqlength %d: %d %s discarded.\n%s" % (
+                params.opt_maxseqlength, discarded_long,
+                "sequence" if discarded_long == 1 else "sequences",
+                tail[1:]))
+        if clusters < 1:
+            out.write("0 unique sequences%s" % tail)
+        else:
+            svals = sorted(sizes.values())
+            n = len(svals)
+            median = (float(svals[n // 2]) if n % 2
+                      else (svals[n // 2 - 1] + svals[n // 2]) / 2.0)
+            out.write("%d unique sequences, avg cluster %.1f, median %.0f, "
+                      "max %d%s" % (clusters, sumsize / clusters, median,
+                                    maxsize, tail))
+
+    import io as _io
+    if not params.opt_quiet:
+        stats(sys.stderr)
+    if params.fp_log is not None:
+        buf = _io.StringIO()
+        stats(buf, tail="\n\n")
+        params.fp_log.write(buf.getvalue().encode())
+
+    selected = 0
+    with open(params.opt_fastaout, "wb") as out:
+        for rec in fastx_io.read_fastx(params.opt_derep_smallmem, params):
+            seqlen = len(rec.sequence)
+            if not (params.opt_minseqlength <= seqlen
+                    <= params.opt_maxseqlength):
+                continue
+            norm, rc = keys_for(rec)
+            key = norm
+            if norm not in sizes and rc is not None and rc in sizes:
+                key = rc
+            size = sizes.get(key, 0)
+            if size > 0 and size != -1:
+                if params.opt_minuniquesize <= size \
+                        <= params.opt_maxuniquesize:
+                    selected += 1
+                    fastx_io.fasta_print_general(out, params, rec.sequence,
+                                                 rec.header, size, selected)
+                sizes[key] = -1
+
+    if selected < clusters:
+        msg = "%d uniques written, %d clusters discarded (%.1f%%)\n" % (
+            selected, clusters - selected,
+            100.0 * (clusters - selected) / clusters)
+        if not params.opt_quiet:
+            sys.stderr.write(msg)
+        if params.fp_log is not None:
+            params.fp_log.write(msg.encode() + b"\n")

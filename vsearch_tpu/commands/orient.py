@@ -53,14 +53,8 @@ def orient(params: Parameters) -> None:
     if params.opt_fastqout is not None and not is_fq:
         raise ValueError("Cannot write FASTQ output with FASTA input")
 
-    db = Database()
-    db.read(params.opt_db, params)
-    if params.opt_dbmask == Masking.dust:
-        mask_mod.dust_all(db, params)
-    elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
-        mask_mod.hardmask_all(db)
-    index = KmerIndex(params.opt_wordlength)
-    index.add_all_sequences(db, params.opt_dbmask)
+    from ..core.search import load_db_and_index
+    db, index = load_db_and_index(params, params.opt_db)
     index._build_csr()
     matchcounts = np.diff(index._csr_indptr)
 

@@ -140,10 +140,8 @@ def sintax(params: Parameters) -> None:
     if params.opt_tabbedout is None:
         raise ValueError("No output file specified with --tabbedout")
 
-    db = Database()
-    db.read(params.opt_db, params)
-    index = KmerIndex(params.opt_wordlength)
-    index.add_all_sequences(db, params.opt_dbmask)
+    from ..core.search import load_db_and_index
+    db, index = load_db_and_index(params, params.opt_db, do_mask=False)
 
     base_seed = random_base_seed(params)
     stats = {"queries": 0, "classified": 0}

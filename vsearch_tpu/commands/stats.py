@@ -273,3 +273,209 @@ def fastq_stats(params: Parameters) -> None:
     if seq_count != 0:
         out.write(b"%10.1f  Avg length\n" % (n_symbols / n_sequences))
     out.write(b"%9.1fM  Bases\n" % (n_symbols / 1e6))
+
+
+def _qual_eestats(symbol: int, params: Parameters) -> int:
+    """reference: core/eestats.cpp fastq_get_qual_eestats (:69-110)."""
+    qual = symbol - params.opt_fastq_ascii
+    if qual < params.opt_fastq_qmin:
+        raise ValueError("FASTQ quality value (%d) below qmin (%d)"
+                         % (qual, params.opt_fastq_qmin))
+    if qual > params.opt_fastq_qmax:
+        raise ValueError(
+            "FASTQ quality value (%d) above qmax (%d)\n"
+            "By default, quality values range from 0 to 41.\n"
+            "To allow higher quality values, "
+            "please use the option --fastq_qmax %d"
+            % (qual, params.opt_fastq_qmax, qual))
+    return qual
+
+
+def fastq_eestats(params: Parameters) -> None:
+    """reference: fastq_eestats.cpp (:82-349) — per-position quantiles of Q,
+    Pe and EE (EE binned at resolution 1/1000)."""
+    if params.opt_output is None:
+        raise ValueError(
+            "Output file for fastq_eestats must be specified with --output")
+    resolution = 1000
+    max_quality = params.opt_fastq_qmax + 1
+    q2p_tab = 10.0 ** (-np.arange(max_quality + 1, dtype=np.float64) / 10.0)
+
+    seq_count = 0
+    len_max = 0
+    read_length = np.zeros(0, dtype=np.int64)
+    qual_length = np.zeros((0, max_quality + 1), dtype=np.int64)
+    ee_hist: List = []          # per position: dict bucket -> count
+    sum_ee = np.zeros(0, dtype=np.float64)
+    sum_pe = np.zeros(0, dtype=np.float64)
+
+    for rec in fastx_io.read_fastx(params.opt_fastq_eestats, params,
+                                   truncateatspace=False, upcase=True):
+        seq_count += 1
+        length = len(rec.sequence)
+        if length > len_max:
+            grow = length - len(read_length)
+            read_length = np.pad(read_length, (0, grow))
+            qual_length = np.pad(qual_length, ((0, grow), (0, 0)))
+            sum_ee = np.pad(sum_ee, (0, grow))
+            sum_pe = np.pad(sum_pe, (0, grow))
+            ee_hist.extend({} for _ in range(grow))
+            len_max = length
+        qual = np.frombuffer(rec.quality or b"", dtype=np.uint8)
+        scores = qual.astype(np.int64) - params.opt_fastq_ascii
+        if length:
+            smin, smax = int(scores.min()), int(scores.max())
+            for s in (smin, smax):
+                _qual_eestats(s + params.opt_fastq_ascii, params)
+        scores = np.maximum(scores, 0)
+        read_length[:length] += 1
+        np.add.at(qual_length, (np.arange(length), scores), 1)
+        pe = q2p_tab[scores]
+        sum_pe[:length] += pe
+        ee = np.cumsum(pe)
+        sum_ee[:length] += ee
+        # bucket = min(resolution*(i+1), trunc(resolution*ee))
+        buckets = np.minimum(resolution * (np.arange(length) + 1),
+                             (resolution * ee).astype(np.int64))
+        for i, b in enumerate(buckets):
+            h = ee_hist[i]
+            h[int(b)] = h.get(int(b), 0) + 1
+
+    def quantiles_from_hist(items, reads):
+        """(value, count) ascending -> (min, low, med, hi, max)."""
+        mn = lo = md = hi = mx = -1.0
+        n = 0.0
+        for v, x in items:
+            if x <= 0:
+                continue
+            n += x
+            if mn < 0:
+                mn = v
+            if lo < 0 and n >= 0.25 * reads:
+                lo = v
+            if md < 0 and n >= 0.50 * reads:
+                md = v
+            if hi < 0 and n >= 0.75 * reads:
+                hi = v
+            mx = v
+        return mn, lo, md, hi, mx
+
+    with open(params.opt_output, "wb") as out:
+        out.write(b"Pos\tRecs\tPctRecs\t"
+                  b"Min_Q\tLow_Q\tMed_Q\tMean_Q\tHi_Q\tMax_Q\t"
+                  b"Min_Pe\tLow_Pe\tMed_Pe\tMean_Pe\tHi_Pe\tMax_Pe\t"
+                  b"Min_EE\tLow_EE\tMed_EE\tMean_EE\tHi_EE\tMax_EE\n")
+        for i in range(len_max):
+            reads = int(read_length[i])
+            pctrecs = 100.0 * reads / seq_count
+            row = qual_length[i]
+            qs = quantiles_from_hist(
+                ((q, int(row[q])) for q in range(max_quality + 1)), reads)
+            mean_q = float((np.arange(max_quality + 1) * row).sum()) / reads
+            # Pe quantiles scan q from high to low (low Pe first)
+            pes = quantiles_from_hist(
+                ((float(q2p_tab[q]), int(row[q]))
+                 for q in range(max_quality, -1, -1)), reads)
+            mean_pe = float((q2p_tab * row).sum()) / reads
+            ees = quantiles_from_hist(sorted(ee_hist[i].items()), reads)
+            mean_ee = float(sum_ee[i]) / reads
+            ees = tuple((e + 0.5) / resolution for e in ees)
+            out.write(b"%d\t%d\t%.1f"
+                      b"\t%.1f\t%.1f\t%.1f\t%.1f\t%.1f\t%.1f"
+                      b"\t%.2g\t%.2g\t%.2g\t%.2g\t%.2g\t%.2g"
+                      b"\t%.2f\t%.2f\t%.2f\t%.2f\t%.2f\t%.2f\n" % (
+                          i + 1, reads, pctrecs,
+                          qs[0], qs[1], qs[2], mean_q, qs[3], qs[4],
+                          pes[0], pes[1], pes[2], mean_pe, pes[3], pes[4],
+                          ees[0], ees[1], ees[2], mean_ee, ees[3], ees[4]))
+
+
+def fastq_eestats2(params: Parameters) -> None:
+    """reference: fastq_eestats2.cpp (:66-252) — reads surviving each
+    (length cutoff, max-EE) combination."""
+    if params.opt_output is None:
+        raise ValueError(
+            "Output file for fastq_eestats2 must be specified with --output")
+    ee_cutoffs = params.opt_ee_cutoffs
+    ncut = len(ee_cutoffs)
+    shortest = params.opt_length_cutoffs_shortest
+    increment = params.opt_length_cutoffs_increment
+    longest_opt = params.opt_length_cutoffs_longest
+
+    seq_count = 0
+    symbols = 0
+    longest = 0
+    len_steps = 0
+    count_table = np.zeros((0, ncut), dtype=np.int64)
+
+    for rec in fastx_io.read_fastx(params.opt_fastq_eestats2, params,
+                                   truncateatspace=False, upcase=True):
+        seq_count += 1
+        length = len(rec.sequence)
+        if length > longest:
+            longest = length
+            high = min(longest, longest_opt)
+            new_steps = 1 + max(0, (high - shortest) // increment)
+            if new_steps > len_steps:
+                count_table = np.pad(count_table,
+                                     ((0, new_steps - len_steps), (0, 0)))
+                len_steps = new_steps
+        symbols += length
+        qual = np.frombuffer(rec.quality or b"", dtype=np.uint8)
+        scores = qual.astype(np.int64) - params.opt_fastq_ascii
+        if length:
+            smin, smax = int(scores.min()), int(scores.max())
+            for s in (smin, smax):
+                _qual_eestats(s + params.opt_fastq_ascii, params)
+        ee = np.cumsum(10.0 ** (-np.maximum(scores, 0) / 10.0))
+        for x in range(len_steps):
+            len_cutoff = shortest + x * increment
+            if len_cutoff <= length:
+                e = ee[len_cutoff - 1]
+                for y, cut in enumerate(ee_cutoffs):
+                    if e <= cut:
+                        count_table[x, y] += 1
+
+    def report(out) -> None:
+        out.write(b"%d reads" % seq_count)
+        if seq_count > 0:
+            out.write(b", max len %d, avg %.1f" % (longest,
+                                                   symbols / seq_count))
+        out.write(b"\n\n")
+        out.write(b"Length")
+        for cut in ee_cutoffs:
+            out.write(b"         MaxEE %.2f" % cut)
+        out.write(b"\n------" + b"   ----------------" * ncut + b"\n")
+        for x in range(len_steps):
+            len_cutoff = shortest + x * increment
+            if len_cutoff > longest_opt:
+                break
+            out.write(b"%6d" % len_cutoff)
+            for y in range(ncut):
+                out.write(b"   %8d(%5.1f%%)" % (
+                    count_table[x, y],
+                    100.0 * count_table[x, y] / seq_count))
+            out.write(b"\n")
+
+    with open(params.opt_output, "wb") as out:
+        report(out)
+    if params.fp_log is not None:
+        # log variant uses a single-line header (fastq_eestats2.cpp:204-208)
+        params.fp_log.write(b"%d reads, max len %d, avg %.1f\n\n"
+                            % (seq_count, longest,
+                               symbols / seq_count if seq_count else 0.0))
+        params.fp_log.write(b"Length")
+        for cut in ee_cutoffs:
+            params.fp_log.write(b"         MaxEE %.2f" % cut)
+        params.fp_log.write(b"\n------" + b"   ----------------" * ncut
+                            + b"\n")
+        for x in range(len_steps):
+            len_cutoff = shortest + x * increment
+            if len_cutoff > longest_opt:
+                break
+            params.fp_log.write(b"%6d" % len_cutoff)
+            for y in range(ncut):
+                params.fp_log.write(b"   %8d(%5.1f%%)" % (
+                    count_table[x, y],
+                    100.0 * count_table[x, y] / seq_count))
+            params.fp_log.write(b"\n")

@@ -43,10 +43,10 @@ def _batches(iterable, size=BATCH):
 
 
 def usearch_global(params: Parameters) -> None:
-    db = Database()
-    db.read(params.opt_db, params)
-    ctx = None  # built inside run_search_output after samheader needs db only
-    run_search_output(params, db, None, params.opt_usearch_global)
+    from ..core.search import load_db_and_index
+    db, index = load_db_and_index(params, params.opt_db)
+    ctx = SearchContext.build(params, db, index=index)
+    run_search_output(params, db, ctx, params.opt_usearch_global)
 
 
 def run_search_output(params: Parameters, db: Database, ctx,

@@ -48,6 +48,30 @@ class QueryTask:
         raise NotImplementedError
 
 
+def load_db_and_index(params: Parameters, filename: str,
+                      do_mask: bool = True) -> Tuple[Database, KmerIndex]:
+    """UDB-aware database + k-mer index loader.
+
+    Mirrors the four reference sites that accept a UDB --db:
+    usearch_global.cpp:562-589, orient.cpp:179-202, sintax.cpp:709-726,
+    chimera.cpp:2492-2515 (uchime_ref).  The UDB path skips masking (the
+    stored sequences/postings were masked at makeudb time)."""
+    from ..io import udb as udb_io
+    db = Database()
+    index = KmerIndex(params.opt_wordlength)
+    if udb_io.detect_isudb(filename):
+        udb_io.read_udb(filename, params, db, index, True)
+    else:
+        db.read(filename, params)
+        if do_mask:
+            if params.opt_dbmask == Masking.dust:
+                mask_mod.dust_all(db, params)
+            elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
+                mask_mod.hardmask_all(db)
+        index.add_all_sequences(db, params.opt_dbmask)
+    return db, index
+
+
 class SearchContext:
     """Everything a search run needs (the search_cli_state_s analogue)."""
 
@@ -95,7 +119,7 @@ class SearchContext:
                 from ..ops.score import DeviceKmerIndex
                 if index.count >= 512:
                     device_index = DeviceKmerIndex(
-                        index.wordlength, index._kmer_lists,
+                        index.wordlength, index.kmer_lists_by_position(),
                         np.asarray(index.lengths),
                         np.asarray(index.mapping))
             except Exception:
@@ -142,20 +166,36 @@ class SearchContext:
 
     # -- scoring --------------------------------------------------------
 
-    def _counts_batch(self, kmer_lists: List[np.ndarray]) -> np.ndarray:
+    def _candidates_batch(self, kmer_lists: List[np.ndarray],
+                          samplecounts: List[int]
+                          ) -> List[List[Tuple[int, int]]]:
+        """Per-query candidate lists in reference heap order."""
         if self.device_index is not None:
-            return self.device_index.counts(kmer_lists)
-        return np.stack([self.index.counts_for_query(k)
-                         for k in kmer_lists]) if kmer_lists else \
-            np.zeros((0, self.index.count), dtype=np.int32)
+            vals, idx = self.device_index.topk(kmer_lists, self.tophits)
+            di = self.device_index
+            out = []
+            for qi in range(len(kmer_lists)):
+                minmatches = self._minmatches(samplecounts[qi])
+                row = []
+                for v, p in zip(vals[qi], idx[qi]):
+                    if v < minmatches or p >= di.n:
+                        break  # values are non-increasing
+                    row.append((int(di.seqno_by_pos[p]), int(v)))
+                out.append(row)
+            return out
+        return [self._candidates(self.index.counts_for_query(k), sc)
+                for k, sc in zip(kmer_lists, samplecounts)]
 
-    def _candidates(self, counts_row: np.ndarray,
-                    kmersamplecount: int) -> List[Tuple[int, int]]:
+    def _minmatches(self, kmersamplecount: int) -> int:
         # the reference casts opt_minwordmatches to unsigned before the min
         # (searchcore.cpp:320), so a negative value means "kmersamplecount"
         mwm = self.params.opt_minwordmatches
         mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
-        minmatches = min(mwm_u, kmersamplecount)
+        return min(mwm_u, kmersamplecount)
+
+    def _candidates(self, counts_row: np.ndarray,
+                    kmersamplecount: int) -> List[Tuple[int, int]]:
+        minmatches = self._minmatches(kmersamplecount)
         return self.index.topscores(counts_row, self.tophits, minmatches)
 
     # -- batched query processing ---------------------------------------
@@ -195,10 +235,10 @@ class SearchContext:
                 units.append((task, strand, qi))
                 kmer_lists.append(kmers)
 
-        counts = self._counts_batch(kmer_lists)
+        cand_lists = self._candidates_batch(
+            kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])
         walks: List[QueryWalk] = []
-        for (task, strand, qi), row in zip(units, counts):
-            candidates = self._candidates(row, qi.kmersamplecount)
+        for (task, strand, qi), candidates in zip(units, cand_lists):
             walks.append(QueryWalk(params, qi, self.db, candidates))
 
         # lockstep alignment rounds over all walks

@@ -76,6 +76,28 @@ class KmerIndex:
         self._csr_postings = postings
         self._csr_dirty = False
 
+    def kmer_lists_by_position(self) -> List[np.ndarray]:
+        """Per index position, the sorted unique k-mer ids.
+
+        Normally `_kmer_lists` as built by add_sequence; after a UDB bulk
+        load (io/udb.py) only the CSR exists, so invert kmer->positions
+        back into position->kmers (udb.cpp loads postings directly too,
+        :470-520)."""
+        if self._kmer_lists or self.count == 0:
+            return self._kmer_lists
+        indptr = self._csr_indptr
+        postings = self._csr_postings
+        kmer_of = np.repeat(
+            np.arange(self.hashsize, dtype=np.uint32),
+            np.diff(indptr).astype(np.int64))
+        order = np.argsort(postings, kind="stable")
+        sorted_pos = postings[order]
+        sorted_kmer = kmer_of[order]
+        bounds = np.searchsorted(sorted_pos, np.arange(self.count + 1))
+        self._kmer_lists = [sorted_kmer[bounds[i]:bounds[i + 1]]
+                            for i in range(self.count)]
+        return self._kmer_lists
+
     def counts_for_query(self, query_kmers: np.ndarray) -> np.ndarray:
         """Shared-unique-kmer counts per index position (host path).
 

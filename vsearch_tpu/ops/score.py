@@ -9,10 +9,14 @@ generalized to every k-mer), and a query batch's shared-kmer counts become
     counts(Q, N) = sum_chunks  A[:, chunk] @ unpack(B[chunk, :])
 
 an int8 MXU matmul over 512-kmer vocabulary chunks, where A is the (Q, 4^w)
-query-kmer presence matrix built by scatter.  Top-K selection reproduces the
-reference min-heap's total order (count desc, length asc, seqno asc;
-minheap.cpp:111-146) exactly via a two-pass top_k: pass 1 by count, pass 2
-re-ranks the boundary-count ties by the precomputed (length, seqno) rank.
+query-kmer presence matrix scattered on device from the padded query k-mer
+lists.
+
+Top-K selection runs on device too: index positions are pre-sorted by
+(length asc, seqno asc), so jax.lax.top_k's total order (count desc,
+position asc — ties prefer the lower index) IS the reference min-heap's
+total order (count desc, length asc, seqno asc; minheap.cpp:111-146).
+Only (k) values + indices per query cross the wire.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 class DeviceKmerIndex:
-    """Packed-bit incidence matrix on device + candidate-order ranks."""
+    """Packed-bit incidence matrix on device, positions in heap order."""
 
     def __init__(self, wordlength: int, kmer_lists: List[np.ndarray],
                  lengths: np.ndarray, mapping: np.ndarray,
@@ -43,52 +47,64 @@ class DeviceKmerIndex:
         cap = capacity or n
         cap = max(cap, 1)
         self.words = _round_up(cap, 1024) // 32
+        lengths = np.asarray(lengths, dtype=np.int64)
+        mapping = np.asarray(mapping, dtype=np.int64)
+        # device position p <-> heap rank p: sorted by (length, seqno) so
+        # that top_k's index tie-break reproduces minheap_compare exactly
+        perm = np.lexsort((mapping, lengths))
         bits = np.zeros((self.hashsize, self.words), dtype=np.uint32)
-        for pos, kmers in enumerate(kmer_lists):
-            w, b = divmod(pos, 32)
-            bits[kmers, w] |= np.uint32(1 << b)
+        for p, orig in enumerate(perm):
+            w, b = divmod(p, 32)
+            bits[kmer_lists[orig], w] |= np.uint32(1 << b)
         self.bits = jax.device_put(bits)
-        self.lengths = np.asarray(lengths, dtype=np.int64)
-        self.mapping = np.asarray(mapping, dtype=np.int64)
-        # candidate tie-break rank: smaller is better after count
-        # (length asc, seqno asc) — total order, see minheap.cpp:111-146
-        order = np.lexsort((self.mapping, self.lengths))
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.arange(n)
-        self.rank = rank
+        self.seqno_by_pos = mapping[perm]
+        self.length_by_pos = lengths[perm]
 
-    def counts(self, query_kmer_lists: List[np.ndarray]) -> np.ndarray:
-        """Shared-unique-kmer counts (Q, n) for a query batch."""
+    def topk(self, query_kmer_lists: List[np.ndarray],
+             k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k candidates per query in reference heap order.
+
+        Returns (counts (Q, k) int32, positions (Q, k) int32); positions
+        >= n or with count below the caller's minmatches must be dropped.
+        """
         q = len(query_kmer_lists)
-        if q == 0 or self.n == 0:
-            return np.zeros((q, self.n), dtype=np.int32)
-        # pad the query dimension to a bucket so kernel geometry is stable
+        k = min(k, self.n)
+        if q == 0 or self.n == 0 or k == 0:
+            return (np.zeros((q, 0), dtype=np.int32),
+                    np.zeros((q, 0), dtype=np.int32))
         qp = 8
         while qp < q:
             qp *= 2
-        A = np.zeros((qp, self.hashsize), dtype=np.int8)
+        maxk = max((kl.size for kl in query_kmer_lists), default=1)
+        maxk = max(_round_up(maxk, 128), 128)
+        # padded kmer ids; hashsize is a scratch column sliced off on device
+        ids = np.full((qp, maxk), self.hashsize, dtype=np.int32)
         for qi, kmers in enumerate(query_kmer_lists):
-            A[qi, kmers] = 1
-        counts = _counts_kernel(self.hashsize, self.words)(
-            jnp.asarray(A), self.bits)
-        return np.asarray(counts)[:q, :self.n]
+            ids[qi, :kmers.size] = kmers
+        vals, idx = _topk_kernel(self.hashsize, self.words, qp, maxk, k,
+                                 self.n)(jnp.asarray(ids), self.bits)
+        out = jax.device_get((vals, idx))
+        return np.asarray(out[0])[:q], np.asarray(out[1])[:q]
 
 
-@functools.lru_cache(maxsize=16)
-def _counts_kernel(hashsize: int, words: int):
+@functools.lru_cache(maxsize=32)
+def _topk_kernel(hashsize: int, words: int, qp: int, maxk: int, k: int,
+                 n_real: int):
     chunk = 512
     nchunks = hashsize // chunk
     n_cols = words * 32
 
     @jax.jit
-    def run(A, bits):
-        # A: (Q, hashsize) int8; bits: (hashsize, words) uint32
-        q = A.shape[0]
+    def run(ids, bits):
+        # ids: (qp, maxk) int32 padded with `hashsize`; bits: (hashsize, words)
+        A = jnp.zeros((qp, hashsize + 1), dtype=jnp.int8)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (qp, maxk), 0)
+        A = A.at[rows, ids].set(1)[:, :hashsize]
         shifts = jnp.arange(32, dtype=jnp.uint32)
 
         def body(acc, c):
             base = c * chunk
-            a_c = jax.lax.dynamic_slice(A, (0, base), (q, chunk))
+            a_c = jax.lax.dynamic_slice(A, (0, base), (qp, chunk))
             b_c = jax.lax.dynamic_slice(bits, (base, 0), (chunk, words))
             unpacked = ((b_c[:, :, None] >> shifts[None, None, :]) & 1)
             unpacked = unpacked.astype(jnp.int8).reshape(chunk, n_cols)
@@ -96,9 +112,13 @@ def _counts_kernel(hashsize: int, words: int):
                 a_c, unpacked, preferred_element_type=jnp.int32)
             return acc, None
 
-        acc = jnp.zeros((q, n_cols), dtype=jnp.int32)
+        acc = jnp.zeros((qp, n_cols), dtype=jnp.int32)
         acc, _ = jax.lax.scan(body, acc, jnp.arange(nchunks))
-        return acc
+        # mask padding columns so they can never displace a real candidate
+        col = jax.lax.broadcasted_iota(jnp.int32, (qp, n_cols), 1)
+        acc = jnp.where(col < jnp.int32(n_real), acc, -1)
+        vals, idx = jax.lax.top_k(acc, k)
+        return vals, idx.astype(jnp.int32)
 
     return run
 
