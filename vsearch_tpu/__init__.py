@@ -8,3 +8,21 @@ accept/reject cascade for byte-exact output parity.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: TPU compiles of the scan-heavy NW and
+# scoring kernels cost tens of seconds per geometry per process; caching
+# the serialized executables on disk amortizes them across CLI invocations
+# (the reference binary has no compile step to pay at all, so this is a
+# competitiveness requirement, not an optimization).
+if _os.environ.get("VSEARCH_TPU_NO_COMPILE_CACHE") is None:
+    try:
+        import jax as _jax
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("VSEARCH_TPU_COMPILE_CACHE",
+                            _os.path.expanduser("~/.cache/vsearch_tpu_xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

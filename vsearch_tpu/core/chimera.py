@@ -55,7 +55,9 @@ def detection_parameters(params: Parameters) -> Parameters:
     if params.opt_uchime_ref is None:
         detection.opt_self = 1
         detection.opt_selfid = 1
-        detection.opt_maxsizeratio = 1.0 / params.opt_abskew
+        # C++ 1.0/0.0 == +inf (no abundance filtering when abskew unset)
+        detection.opt_maxsizeratio = (1.0 / params.opt_abskew
+                                      if params.opt_abskew else float("inf"))
     return detection
 
 
