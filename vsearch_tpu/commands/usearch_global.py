@@ -20,7 +20,9 @@ from ..core import results
 from ..core.search import SearchContext
 from ..core.otutable import OtuTable
 
-BATCH = 128
+# query batch per device round: large enough to amortize the tunnel
+# round-trip (~64 ms) across the topk + alignment calls of a batch
+BATCH = 512
 
 
 def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:

@@ -21,6 +21,7 @@ detection (align_simd.cpp:2029-2040) so sentinel/fallback behavior matches.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -234,7 +235,11 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
         return ops
 
     forward_fn = forward
-    if Bp > 0:
+    # The Pallas forward is opt-in: its steady-state speed matches the XLA
+    # scan at amplicon sizes but its Mosaic compile is ~16x slower (~570s vs
+    # ~35s per geometry measured on v5e) and does not hit the persistent
+    # compilation cache, which dominates CLI-style one-shot runs.
+    if Bp > 0 and os.environ.get("VSEARCH_TPU_PALLAS"):
         tb = _pallas_tile(Bp, M)
         if tb >= 8 and Bp % tb == 0 and jax.default_backend() != "cpu":
             try:
@@ -266,16 +271,29 @@ class BatchAligner:
         """One query vs many targets (the search16 call shape)."""
         return self.align_pairs([qseq] * len(tseqs), tseqs)
 
+    # pair-batch geometry ladder: exactly three buckets so at most three
+    # kernel geometries ever compile per (M, N) — TPU compiles are the
+    # scarce resource on a tunneled device (tens of seconds to minutes
+    # each, queue-dependent), while padded lanes only cost idle VPU work
+    PAIR_BUCKETS = (64, 256, 1024)
+
     def align_pairs(self, qseqs: Sequence[bytes],
                     tseqs: Sequence[bytes]) -> List[AlignmentResult]:
         B = len(qseqs)
         if B == 0:
             return []
+        if B > self.PAIR_BUCKETS[-1]:
+            cap = self.PAIR_BUCKETS[-1]
+            out: List[AlignmentResult] = []
+            for lo in range(0, B, cap):
+                out.extend(self.align_pairs(qseqs[lo:lo + cap],
+                                            tseqs[lo:lo + cap]))
+            return out
         qlens = np.array([len(q) for q in qseqs], dtype=np.int32)
         tlens = np.array([len(t) for t in tseqs], dtype=np.int32)
         M = _bucket(int(qlens.max()))
         N = _bucket(int(tlens.max()))
-        Bp = _bucket(B, 8)
+        Bp = next(b for b in self.PAIR_BUCKETS if b >= B)
 
         q4 = np.zeros((Bp, M), dtype=np.int32)
         t4 = np.zeros((Bp, N), dtype=np.int32)

@@ -103,11 +103,15 @@ class DeviceKmerIndex:
         if q == 0 or self.n == 0 or k == 0:
             return (np.zeros((q, 0), dtype=np.int32),
                     np.zeros((q, 0), dtype=np.int32))
-        qp = 128          # min proven-fast batch geometry (see words note)
+        # coarse geometry ladders: every distinct (qp, maxk) is a separate
+        # TPU compile (expensive and queue-dependent on a tunneled device),
+        # so quantize hard — qp in {128, 512, 1024, ...}, maxk in
+        # multiples of 640 — and eat the padded-lane compute instead
+        qp = 128
         while qp < q:
-            qp *= 2
+            qp = qp * 4 if qp == 128 else qp * 2
         maxk = max((kl.size for kl in query_kmer_lists), default=1)
-        maxk = max(_round_up(maxk, 128), 128)
+        maxk = max(_round_up(maxk, 640), 640)
         # padded kmer ids; hashsize is a scratch column sliced off on device
         ids = np.full((qp, maxk), self.hashsize, dtype=np.int32)
         for qi, kmers in enumerate(query_kmer_lists):
