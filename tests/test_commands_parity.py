@@ -5,6 +5,8 @@ import pytest
 from .conftest import run_ours, run_reference
 
 D = "/root/reference/api_examples/data"
+import pathlib
+TD = str(pathlib.Path(__file__).resolve().parent / "data")
 
 CASES = [
     # (id, args with {o}=output placeholder, [output names])
@@ -58,6 +60,11 @@ CASES = [
       "{o}.ch.fa", "--uchimeout", "{o}.tsv", "--borderline", "{o}.bl.fa",
       "--minseqlength", "1"],
      ["{o}.ch.fa", "{o}.tsv", "{o}.bl.fa"]),
+    ("chimeras_denovo",
+     ["--chimeras_denovo", f"{TD}/chimeras_long.fasta", "--chimeras",
+      "{o}.ch.fa", "--nonchimeras", "{o}.nc.fa", "--alnout", "{o}.aln",
+      "--tabbedout", "{o}.tsv", "--minseqlength", "1"],
+     ["{o}.ch.fa", "{o}.nc.fa", "{o}.aln", "{o}.tsv"]),
     ("uchime_ref",
      ["--uchime_ref", f"{D}/chimera_queries.fasta", "--db",
       f"{D}/chimera_ref.fasta", "--chimeras", "{o}.ch.fa", "--nonchimeras",

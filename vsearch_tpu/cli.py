@@ -285,6 +285,11 @@ def apply_command_defaults(option_seen: Dict[str, bool],
     if params.opt_minsize == 0:
         params.opt_minsize = 8 if params.opt_cluster_unoise is not None else 1
 
+    # chimeras_denovo narrows the default alignment width (cli.cc:4441-4448)
+    if (params.opt_chimeras_denovo is not None
+            and not option_seen.get("alignwidth")):
+        params.opt_alignwidth = 60
+
     if not option_seen.get("abskew"):
         if params.opt_chimeras_denovo is not None:
             params.opt_abskew = 1.0

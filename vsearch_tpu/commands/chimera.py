@@ -119,10 +119,72 @@ def _write_uchimealns(out, params: Parameters, res: ChimeraResult,
                   100.0 * res.best_right_y / sumR, res.best_h))
 
 
+def _write_long_alnout(out, params: Parameters, res, query_head: bytes,
+                       query_len: int, db) -> None:
+    """reference: eval_parents_long alnout block (:1095-1185)."""
+    out.write(b"\n")
+    out.write(b"-" * 72 + b"\n")
+    out.write(b"Query   (%5d nt) " % query_len)
+    out.write(_strip(params, query_head))
+    for f, seqno in enumerate(res.seqnos):
+        out.write(b"\nParent%c (%5d nt) " % (ord("A") + f,
+                                             db.getsequencelen(seqno)))
+        out.write(_strip(params, db.getheader(seqno)))
+    out.write(b"\n\n")
+
+    alnlen = len(res.qaln)
+    width = params.opt_alignwidth if params.opt_alignwidth > 0 else alnlen
+    qpos = 0
+    ppos = [0] * len(res.seqnos)
+    for i in range(0, alnlen, width):
+        w = min(alnlen - i, width)
+        qline = res.qaln[i:i + w]
+        qnt = w - qline.count(b"-")
+        out.write(b"Q %5d %s %d\n" % (qpos + 1, qline, qpos + qnt))
+        for f in range(len(res.seqnos)):
+            pline = res.palns[f][i:i + w]
+            pnt = w - pline.count(b"-")
+            out.write(b"%c %5d %s %d\n" % (ord("A") + f, ppos[f] + 1, pline,
+                                           ppos[f] + pnt))
+            ppos[f] += pnt
+        out.write(b"Diffs   %s\n" % res.diffs[i:i + w])
+        out.write(b"Model   %s\n" % res.model[i:i + w])
+        out.write(b"\n")
+        qpos += qnt
+
+    QA = res.QP[0]
+    QB = res.QP[1]
+    QC = res.QP[2] if len(res.QP) > 2 else 0.0
+    out.write(b"Ids.  QA %.2f%%, QB %.2f%%, QC %.2f%%, QT %.2f%%, "
+              b"QModel %.2f%%, Div. %+.2f%%\n"
+              % (QA, QB, QC, res.QT, 100.0, res.divfrac))
+
+
+def _write_long_tabbedout(out, params: Parameters, res, query_head: bytes,
+                          db) -> None:
+    """reference: eval_parents_long tabbedout block (:1187-1243)."""
+    out.write(b"%.4f\t" % 99.9999)
+    out.write(_strip(params, query_head))
+    out.write(b"\t")
+    out.write(_strip(params, db.getheader(res.seqnos[0])))
+    out.write(b"\t")
+    out.write(_strip(params, db.getheader(res.seqnos[1])))
+    out.write(b"\t")
+    if len(res.seqnos) > 2:
+        out.write(_strip(params, db.getheader(res.seqnos[2])))
+    else:
+        out.write(b"*")
+    out.write(b"\t")
+    QA = res.QP[0]
+    QB = res.QP[1]
+    QC = res.QP[2] if len(res.QP) > 2 else 0.0
+    out.write(b"%.2f\t%.2f\t%.2f\t%.2f\t%.2f\t%d\t%d\t%d\t%d\t%d\t%d\t%.2f\t%c\n"
+              % (100.0, QA, QB, QC, res.QT, 0, 0, 0, 0, 0, 0, 0.0, ord("Y")))
+
+
 def chimera_command(params: Parameters, command: str) -> None:
-    if command == "chimeras_denovo":
-        raise NotImplementedError("chimeras_denovo long variant pending")
     is_ref = command == "uchime_ref"
+    is_long = command == "chimeras_denovo"
     if params.opt_strand and is_ref:
         raise ValueError("Only --strand plus is allowed with uchime_ref.")
 
@@ -132,8 +194,14 @@ def chimera_command(params: Parameters, command: str) -> None:
         fp_chimeras = _open(stack, params.opt_chimeras)
         fp_nonchimeras = _open(stack, params.opt_nonchimeras)
         fp_borderline = _open(stack, params.opt_borderline)
-        fp_uchimealns = _open(stack, params.opt_uchimealns)
-        fp_uchimeout = _open(stack, params.opt_uchimeout)
+        # chimeras_denovo reuses the aln/tab handles for --alnout/--tabbedout
+        # (chimera.cpp:2441-2453)
+        if is_long:
+            fp_uchimealns = _open(stack, params.opt_alnout)
+            fp_uchimeout = _open(stack, params.opt_tabbedout)
+        else:
+            fp_uchimealns = _open(stack, params.opt_uchimealns)
+            fp_uchimeout = _open(stack, params.opt_uchimeout)
 
         if is_ref:
             from ..core.search import load_db_and_index
@@ -175,10 +243,17 @@ def chimera_command(params: Parameters, command: str) -> None:
             if res.status == Status.chimeric:
                 stats["chimera"] += 1
                 stats["chimera_ab"] += query_size
-                if fp_uchimealns is not None:
+                if is_long:
+                    if fp_uchimealns is not None:
+                        _write_long_alnout(fp_uchimealns, params, res,
+                                           query_head, len(query_seq), db)
+                    if fp_uchimeout is not None:
+                        _write_long_tabbedout(fp_uchimeout, params, res,
+                                              query_head, db)
+                elif fp_uchimealns is not None:
                     _write_uchimealns(fp_uchimealns, params, res, query_head,
                                       len(query_seq), db)
-                if fp_uchimeout is not None:
+                if not is_long and fp_uchimeout is not None:
                     _write_uchimeout_hit(fp_uchimeout, params, res,
                                          query_head, db)
                 if fp_chimeras is not None:
@@ -201,11 +276,13 @@ def chimera_command(params: Parameters, command: str) -> None:
                 stats["nonchimera"] += 1
                 stats["nonchimera_ab"] += query_size
                 if res.status == Status.low_score:
-                    if fp_uchimeout is not None:
+                    if not is_long and fp_uchimeout is not None:
                         _write_uchimeout_hit(fp_uchimeout, params, res,
                                              query_head, db)
                 else:
-                    if fp_uchimeout is not None:
+                    # long mode never writes no-hit rows: the reference gates
+                    # them on --uchimeout, not --tabbedout (:2293)
+                    if not is_long and fp_uchimeout is not None:
                         _write_uchimeout_nohit(fp_uchimeout, params,
                                                res.best_h, query_head)
                 if fp_nonchimeras is not None:
@@ -228,20 +305,76 @@ def chimera_command(params: Parameters, command: str) -> None:
                        db.getabundance(seqno), seqno, seqno)
 
         if not params.opt_quiet:
-            if stats["total"] > 0:
-                print("Found %d (%.1f%%) chimeras, %d (%.1f%%) non-chimeras,\n"
-                      "and %d (%.1f%%) borderline sequences in %d unique "
-                      "sequences." % (
-                          stats["chimera"],
-                          100.0 * stats["chimera"] / stats["total"],
-                          stats["nonchimera"],
-                          100.0 * stats["nonchimera"] / stats["total"],
-                          stats["borderline"],
-                          100.0 * stats["borderline"] / stats["total"],
-                          stats["total"]), file=sys.stderr)
-            else:
-                print("Found %d chimeras, %d non-chimeras,\nand %d borderline "
-                      "sequences in %d unique sequences." % (
-                          stats["chimera"], stats["nonchimera"],
-                          stats["borderline"], stats["total"]),
-                      file=sys.stderr)
+            _report_summary(stats, is_long)
+
+
+def _report_summary(stats, is_long: bool) -> None:
+    """reference: chimera() summary (:2609-2729)."""
+    if stats["total"] > 0:
+        if is_long:
+            print("Found %d (%.1f%%) chimeras and %d (%.1f%%) non-chimeras "
+                  "in %d unique sequences." % (
+                      stats["chimera"],
+                      100.0 * stats["chimera"] / stats["total"],
+                      stats["nonchimera"],
+                      100.0 * stats["nonchimera"] / stats["total"],
+                      stats["total"]), file=sys.stderr)
+        else:
+            print("Found %d (%.1f%%) chimeras, %d (%.1f%%) non-chimeras,\n"
+                  "and %d (%.1f%%) borderline sequences in %d unique "
+                  "sequences." % (
+                      stats["chimera"],
+                      100.0 * stats["chimera"] / stats["total"],
+                      stats["nonchimera"],
+                      100.0 * stats["nonchimera"] / stats["total"],
+                      stats["borderline"],
+                      100.0 * stats["borderline"] / stats["total"],
+                      stats["total"]), file=sys.stderr)
+    else:
+        if is_long:
+            print("Found %d chimeras and %d non-chimeras in %d unique "
+                  "sequences." % (stats["chimera"], stats["nonchimera"],
+                                  stats["total"]), file=sys.stderr)
+        else:
+            print("Found %d chimeras, %d non-chimeras,\nand %d borderline "
+                  "sequences in %d unique sequences." % (
+                      stats["chimera"], stats["nonchimera"],
+                      stats["borderline"], stats["total"]),
+                  file=sys.stderr)
+
+    if stats["total_ab"] > 0:
+        if is_long:
+            print("Taking abundance information into account, this "
+                  "corresponds to\n%d (%.1f%%) chimeras and %d (%.1f%%) "
+                  "non-chimeras in %d total sequences." % (
+                      stats["chimera_ab"],
+                      100.0 * stats["chimera_ab"] / stats["total_ab"],
+                      stats["nonchimera_ab"],
+                      100.0 * stats["nonchimera_ab"] / stats["total_ab"],
+                      stats["total_ab"]), file=sys.stderr)
+        else:
+            print("Taking abundance information into account, this "
+                  "corresponds to\n%d (%.1f%%) chimeras, %d (%.1f%%) "
+                  "non-chimeras,\nand %d (%.1f%%) borderline sequences in "
+                  "%d total sequences." % (
+                      stats["chimera_ab"],
+                      100.0 * stats["chimera_ab"] / stats["total_ab"],
+                      stats["nonchimera_ab"],
+                      100.0 * stats["nonchimera_ab"] / stats["total_ab"],
+                      stats["borderline_ab"],
+                      100.0 * stats["borderline_ab"] / stats["total_ab"],
+                      stats["total_ab"]), file=sys.stderr)
+    else:
+        if is_long:
+            print("Taking abundance information into account, this "
+                  "corresponds to\n%d chimeras, %d non-chimeras in %d total "
+                  "sequences." % (stats["chimera_ab"],
+                                  stats["nonchimera_ab"],
+                                  stats["total_ab"]), file=sys.stderr)
+        else:
+            print("Taking abundance information into account, this "
+                  "corresponds to\n%d chimeras, %d non-chimeras,\nand %d "
+                  "borderline sequences in %d total sequences." % (
+                      stats["chimera_ab"], stats["nonchimera_ab"],
+                      stats["borderline_ab"], stats["total_ab"]),
+                  file=sys.stderr)

@@ -62,6 +62,22 @@ def detection_parameters(params: Parameters) -> Parameters:
 
 
 @dataclasses.dataclass
+class ChimeraLongResult:
+    """Result of the chimeras_denovo 'long read' evaluation
+    (reference: eval_parents_long, chimera.cpp:995-1243)."""
+    status: Status
+    seqnos: List[int]        # parent db seqnos in query-position order
+    QP: List[float]          # per-parent global similarity
+    best_h: float = 0.0      # the long path never sets a score (:2017)
+    QT: float = 0.0
+    divfrac: float = 0.0
+    qaln: bytes = b""
+    palns: Tuple[bytes, ...] = ()
+    diffs: bytes = b""
+    model: bytes = b""
+
+
+@dataclasses.dataclass
 class ChimeraResult:
     status: Status
     best_h: float = 0.0
@@ -178,16 +194,18 @@ class ChimeraEngine:
         cigars = [a.cigar for a in alignments]
 
         if self.params.opt_chimeras_denovo is not None:
-            return self._long_variant(query_seq, cand_list, cigars)
+            parents = find_best_parents_long(self.params, query_seq,
+                                             cand_list, cigars, self.db)
+            if parents is None:
+                return ChimeraLongResult(Status.no_parents, [], [])
+            return eval_parents_long(query_seq, cand_list, cigars, parents,
+                                     self.db)
 
         best = find_best_parents(query_seq, cand_list, cigars, self.db)
         if best is None:
             return ChimeraResult(Status.no_parents)
         return eval_parents(self.params, query_seq, cand_list, cigars,
                             best, self.db)
-
-    def _long_variant(self, query_seq, cand_list, cigars) -> ChimeraResult:
-        raise NotImplementedError("chimeras_denovo long variant pending")
 
 
 # ---------------------------------------------------------------------------
@@ -539,3 +557,178 @@ def eval_parents(params: Parameters, query_seq: bytes, cand_list: List[int],
     result.votes = bytes(votes)
     result.model = bytes(model)
     return result
+
+
+# ---------------------------------------------------------------------------
+# chimeras_denovo "long read" variant
+# (chimera.cpp scan_matches :438-503, find_best_parents_long :505-812,
+#  eval_parents_long :995-1243)
+# ---------------------------------------------------------------------------
+
+def _scan_matches(matches: np.ndarray, percentage: float
+                  ) -> Optional[Tuple[int, int]]:
+    """Longest subsequence of `matches` (0/1) whose mismatch fraction is at
+    most `percentage`% (reference: scan_matches, chimera.cpp:438-503).
+    Returns (start, length) relative to the slice, or None."""
+    score_match = percentage
+    score_mismatch = percentage - 100.0
+    n = len(matches)
+    p = np.empty(n + 1, dtype=np.float64)
+    p[0] = 0.0
+    np.cumsum(np.where(matches != 0, score_match, score_mismatch), out=p[1:])
+    # q[i] = max(p[i:])
+    q = np.maximum.accumulate(p[::-1])[::-1]
+
+    best_i = 0
+    best_d = -1
+    best_c = -1.0
+    i = 1
+    j = 1
+    while j <= n:
+        c = q[j] - p[i - 1]
+        if c >= 0.0:
+            d = j - i + 1
+            if d > best_d:
+                best_i = i
+                best_d = d
+                best_c = c
+            j += 1
+        else:
+            i += 1
+    if best_c >= 0.0:
+        return best_i - 1, best_d
+    return None
+
+
+def find_best_parents_long(params: Parameters, query_seq: bytes,
+                           cand_list: List[int], cigars: List[str],
+                           db) -> Optional[List[Tuple[int, int, int]]]:
+    """Select up to --chimeras_parents_max parents with the longest indel-free
+    matching regions tiling the query (find_best_parents_long, :505-812).
+    Returns [(cand_idx, start, len)] sorted by start when the query is fully
+    covered by >1 parents, else None."""
+    qlen = len(query_seq)
+    n = len(cand_list)
+    match, insert = _match_insert_arrays(query_seq, cand_list, cigars, db)
+
+    position_used = np.zeros(qlen, dtype=bool)
+    pos_remaining = qlen
+    parents: List[Tuple[int, int, int]] = []
+
+    for _ in range(params.opt_chimeras_parents_max):
+        best_start = 0
+        best_len = 0
+        best_cand = -1
+        for i in range(n):
+            j = 0
+            while j < qlen:
+                start = j
+                run = 0
+                while (j < qlen and not position_used[j]
+                       and (run == 0 or insert[i, j] == 0)):
+                    run += 1
+                    j += 1
+                if run > best_len:
+                    scan = _scan_matches(match[i, start:start + run],
+                                         params.opt_chimeras_diff_pct)
+                    if scan is not None and scan[1] > best_len:
+                        best_cand = i
+                        best_start = start + scan[0]
+                        best_len = scan[1]
+                j += 1
+
+        if best_len >= params.opt_chimeras_length_min:
+            parents.append((best_cand, best_start, best_len))
+            position_used[best_start:best_start + best_len] = True
+            pos_remaining -= best_len
+        else:
+            break
+
+    if len(parents) > 1 and pos_remaining == 0:
+        return sorted(parents, key=lambda t: t[1])
+    return None
+
+
+def eval_parents_long(query_seq: bytes, cand_list: List[int],
+                      cigars: List[str],
+                      parents: List[Tuple[int, int, int]],
+                      db) -> ChimeraLongResult:
+    """reference: eval_parents_long (:995-1243); always chimeric."""
+    qlen = len(query_seq)
+    nparents = len(parents)
+
+    # max insertions per query position over all parents (:763-790)
+    maxi = np.zeros(qlen + 1, dtype=np.int64)
+    for cand, _, _ in parents:
+        pos = 0
+        for count, op in _CIGAR_RE.findall(cigars[cand]):
+            run = int(count) if count else 1
+            if op in ("M", "D"):
+                pos += run
+            else:
+                maxi[pos] = max(maxi[pos], run)
+    alnlen = int(qlen + maxi.sum())
+
+    paln = [
+        _build_parent_alignment(query_seq, cigars[cand],
+                                db.getsequence(cand_list[cand]), maxi)
+        for cand, _, _ in parents
+    ]
+
+    # query alignment string (fill_in_alignment_string_for_query :884-905)
+    qaln = bytearray()
+    for i in range(qlen):
+        qaln += b"-" * int(maxi[i])
+        qaln.append(CHRMAP_UPCASE[query_seq[i]])
+    qaln += b"-" * int(maxi[qlen])
+    qaln = bytes(qaln)
+
+    # model string (fill_in_model_string_for_query :908-948)
+    model = bytearray()
+    nth = 0
+    for qpos in range(qlen):
+        if (nth + 1 < nparents
+                and qpos >= parents[nth][1] + parents[nth][2]):
+            nth += 1
+        model += bytes([ord("A") + nth]) * int(maxi[qpos])
+        model.append(ord("A") + nth)
+    model += bytes([ord("A") + nth]) * int(maxi[qlen])
+
+    q4 = CHRMAP_4BIT[np.frombuffer(qaln, dtype=np.uint8)].astype(np.int32)
+    p4 = np.stack([
+        CHRMAP_4BIT[np.frombuffer(a, dtype=np.uint8)].astype(np.int32)
+        for a in paln
+    ])
+
+    # lowercase parent symbols differing from query (:1020-1026)
+    disp = []
+    for f in range(nparents):
+        arr = np.frombuffer(paln[f], dtype=np.uint8).copy()
+        low = (p4[f] != 0) & (p4[f] != q4)
+        arr[low] |= 0x20
+        disp.append(arr.tobytes())
+
+    # diffs (compute_diffs :974-993): defined columns with exactly one
+    # matching parent get that parent's letter
+    diffs = np.full(alnlen, ord(" "), dtype=np.uint8)
+    all_defined = (q4 != 0) & np.all(p4 != 0, axis=0)
+    eq = p4 == q4[None, :]
+    z = eq.sum(axis=0)
+    single = all_defined & (z == 1)
+    first = np.argmax(eq, axis=0)
+    diffs[single] = (ord("A") + first[single]).astype(np.uint8)
+
+    # global similarities (:1035-1046)
+    match_QP = [int((p4[f] == q4).sum()) for f in range(nparents)]
+    QP = [100.0 * m / alnlen for m in match_QP]
+    QT = max(QP)
+
+    QM = 100.0
+    divfrac = 100.0 * (QM - QT) / QT
+
+    return ChimeraLongResult(
+        status=Status.chimeric,
+        seqnos=[cand_list[cand] for cand, _, _ in parents],
+        QP=QP, QT=QT, divfrac=divfrac,
+        qaln=qaln, palns=tuple(disp), diffs=diffs.tobytes(),
+        model=bytes(model))
