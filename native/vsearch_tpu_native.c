@@ -117,6 +117,8 @@ void vstpu_dust(const unsigned char *seq, int len, int hardmask,
 /* Batch DUST: seqs concatenated, offsets[n+1]. */
 void vstpu_dust_batch(const unsigned char *data, const int64_t *offsets,
                       int n, int hardmask, unsigned char *out) {
+    init_maps();  /* once, before the parallel region (lazy init races) */
+    #pragma omp parallel for schedule(dynamic, 64)
     for (int i = 0; i < n; i++) {
         int64_t start = offsets[i];
         int len = (int)(offsets[i + 1] - start);
@@ -215,4 +217,33 @@ int vstpu_assemble(const int8_t *ops, int nops,
     stats[2] = mismatches;
     stats[3] = gaps;
     return (int)(out - cigar_out);
+}
+
+/* ---- device index bit packing ----
+ * bits: (hashsize + 1) rows x `words` uint32 (row-major, zeroed by caller);
+ * bit (p & 31) of word p >> 5 in row k set when index position p contains
+ * k-mer k.  This is the packed incidence matrix the TPU scoring kernel
+ * gathers (ops/score.py) -- the reference's per-kmer bitmap representation
+ * (src/core/dbindex.cpp:211-236) generalized to every k-mer.
+ * kmers: concatenated per-position unique-kmer lists; starts: n_pos+1
+ * prefix offsets into kmers. */
+void vstpu_pack_bits(const uint32_t *kmers, const int64_t *starts,
+                     int n_pos, int words, uint32_t *bits) {
+    /* chunked by 32-position word groups: two positions in one word would
+       race the read-modify-write, but each group owns a disjoint word
+       column, so groups parallelize without atomics */
+    int n_groups = (n_pos + 31) / 32;
+    #pragma omp parallel for schedule(dynamic, 8)
+    for (int g = 0; g < n_groups; g++) {
+        int p_end = (g + 1) * 32;
+        if (p_end > n_pos) p_end = n_pos;
+        for (int p = g * 32; p < p_end; p++) {
+            uint32_t bit = 1u << (p & 31);
+            int64_t w = (int64_t)(p >> 5);
+            const int64_t lo = starts[p], hi = starts[p + 1];
+            for (int64_t i = lo; i < hi; i++) {
+                bits[(int64_t)kmers[i] * (int64_t)words + w] |= bit;
+            }
+        }
+    }
 }

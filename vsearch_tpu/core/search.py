@@ -48,14 +48,36 @@ class QueryTask:
         raise NotImplementedError
 
 
+_db_cache: dict = {}
+
+
 def load_db_and_index(params: Parameters, filename: str,
                       do_mask: bool = True) -> Tuple[Database, KmerIndex]:
     """UDB-aware database + k-mer index loader.
 
-    Mirrors the four reference sites that accept a UDB --db:
-    usearch_global.cpp:562-589, orient.cpp:179-202, sintax.cpp:709-726,
-    chimera.cpp:2492-2515 (uchime_ref).  The UDB path skips masking (the
-    stored sequences/postings were masked at makeudb time)."""
+    Mirrors the four reference sites that accept a UDB --db
+    (usearch_global.cpp:562-589, orient.cpp:179-202, sintax.cpp:709-726,
+    chimera.cpp:2492-2515 uchime_ref).  The UDB path skips masking (the
+    stored sequences/postings were masked at makeudb time).
+
+    Embedding/session reuse: repeated runs against the same immutable --db
+    in one process (server or notebook embedding) reuse the loaded
+    Database/KmerIndex — and the device index cached on it — instead of
+    re-reading, re-masking and re-uploading.  Callers of this function
+    never mutate the returned objects (the mutating paths, clustering and
+    denovo chimera, build their own empty index)."""
+    import os as _os
+    try:
+        st = _os.stat(filename)
+        key = (filename, st.st_mtime_ns, st.st_size, params.opt_wordlength,
+               params.opt_dbmask, params.opt_hardmask, do_mask,
+               params.opt_minseqlength, params.opt_maxseqlength,
+               params.opt_minsize, params.opt_maxsize,
+               params.opt_sizein, params.opt_notrunclabels)
+    except OSError:
+        key = None
+    if key is not None and key in _db_cache:
+        return _db_cache[key]
     from ..io import udb as udb_io
     db = Database()
     index = KmerIndex(params.opt_wordlength)
@@ -69,6 +91,9 @@ def load_db_and_index(params: Parameters, filename: str,
             elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
                 mask_mod.hardmask_all(db)
         index.add_all_sequences(db, params.opt_dbmask)
+    if key is not None:
+        _db_cache.clear()          # hold at most one database
+        _db_cache[key] = (db, index)
     return db, index
 
 
@@ -118,10 +143,17 @@ class SearchContext:
             try:
                 from ..ops.score import DeviceKmerIndex
                 if index.count >= 512:
-                    device_index = DeviceKmerIndex(
-                        index.wordlength, index.kmer_lists_by_position(),
-                        np.asarray(index.lengths),
-                        np.asarray(index.mapping))
+                    # ride the load_db_and_index session cache: the packed
+                    # device tensors are immutable alongside the host index
+                    device_index = getattr(index, "_device_index", None)
+                    if (device_index is None
+                            or device_index.n != index.count):
+                        device_index = DeviceKmerIndex(
+                            index.wordlength,
+                            index.kmer_lists_by_position(),
+                            np.asarray(index.lengths),
+                            np.asarray(index.mapping))
+                        index._device_index = device_index
             except Exception:
                 device_index = None
         return cls(effective, db, index, tophits,

@@ -362,6 +362,15 @@ class QueryWalk:
         self.delayed = 0
         self.pop_idx = 0
         self.done = False
+        # progressive alignment budget: flush the first delayed candidate
+        # alone, then widen (1, 4, 16, 32).  Finalization replays the hits
+        # in pop order with the same gating either way, so batch size can
+        # never change outputs (align_delayed ignores everything popped
+        # after the accept/reject limits are hit, searchcore.cpp:783-786) —
+        # it only controls how many speculative alignments are wasted when
+        # an early candidate accepts (common at high --id with small
+        # maxaccepts).
+        self.batch_limit = 1
 
     def _loop_ok(self) -> bool:
         p = self.params
@@ -388,7 +397,7 @@ class QueryWalk:
             else:
                 hit.rejected = True
             self.hits.append(hit)
-            if self.delayed == MAXDELAYED:
+            if self.delayed >= self.batch_limit:
                 return self._delayed_targets()
         if self.delayed > 0:
             return self._delayed_targets()
@@ -417,6 +426,7 @@ class QueryWalk:
                     self.rejects += 1
         self.finalized = len(self.hits)
         self.delayed = 0
+        self.batch_limit = min(self.batch_limit * 4, 32)
         if not self._loop_ok():
             self.done = True
 

@@ -28,7 +28,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+            ["cc", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
              str(_SRC), "-o", str(_SO)],
             check=True, capture_output=True)
         return True
@@ -62,6 +62,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
         lib.vstpu_assemble.restype = ctypes.c_int
+        lib.vstpu_pack_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -112,6 +115,23 @@ def unique_kmers(seq: bytes, wordlength: int,
                                int(mask_lowercase),
                                out.ctypes.data, bitmap.ctypes.data)
     return out[:n].copy()
+
+
+def pack_bits(all_kmers: np.ndarray, starts: np.ndarray, n_pos: int,
+              words: int, bits: np.ndarray) -> bool:
+    """Set incidence bits for the device k-mer index in-place.
+
+    all_kmers uint32 (concatenated per-position lists), starts int64
+    (n_pos+1 offsets), bits (hashsize+1, words) uint32 zeroed."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert all_kmers.dtype == np.uint32 and all_kmers.flags.c_contiguous
+    assert starts.dtype == np.int64 and starts.flags.c_contiguous
+    assert bits.dtype == np.uint32 and bits.flags.c_contiguous
+    lib.vstpu_pack_bits(all_kmers.ctypes.data, starts.ctypes.data,
+                        n_pos, words, bits.ctypes.data)
+    return True
 
 
 def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,

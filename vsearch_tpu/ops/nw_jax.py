@@ -253,6 +253,8 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
         ops = backtrack(dirs, qlen, tlen)
         return score, overflow, ops
 
+    if Bp == -1:  # profiling hook: split forward/backtrack timings
+        return jax.jit(forward), jax.jit(backtrack)
     return jax.jit(full)
 
 
@@ -275,7 +277,7 @@ class BatchAligner:
     # kernel geometries ever compile per (M, N) — TPU compiles are the
     # scarce resource on a tunneled device (tens of seconds to minutes
     # each, queue-dependent), while padded lanes only cost idle VPU work
-    PAIR_BUCKETS = (64, 256, 1024)
+    PAIR_BUCKETS = (64, 256, 512, 1024)
 
     def align_pairs(self, qseqs: Sequence[bytes],
                     tseqs: Sequence[bytes]) -> List[AlignmentResult]:
@@ -283,12 +285,24 @@ class BatchAligner:
         if B == 0:
             return []
         if B > self.PAIR_BUCKETS[-1]:
+            # dispatch every chunk before fetching any: JAX dispatch is
+            # async, so the chunks pipeline on device and the per-call
+            # transfer latency (hundreds of ms on a tunneled TPU) is paid
+            # once instead of per chunk
             cap = self.PAIR_BUCKETS[-1]
+            chunks = [(qseqs[lo:lo + cap], tseqs[lo:lo + cap])
+                      for lo in range(0, B, cap)]
+            pending = [self._dispatch(qc, tc) for qc, tc in chunks]
             out: List[AlignmentResult] = []
-            for lo in range(0, B, cap):
-                out.extend(self.align_pairs(qseqs[lo:lo + cap],
-                                            tseqs[lo:lo + cap]))
+            for (qc, tc), handle in zip(chunks, pending):
+                out.extend(self._collect(qc, tc, handle))
             return out
+        handle = self._dispatch(qseqs, tseqs)
+        return self._collect(qseqs, tseqs, handle)
+
+    def _dispatch(self, qseqs: Sequence[bytes], tseqs: Sequence[bytes]):
+        """Encode, upload and launch one pair chunk; returns device arrays."""
+        B = len(qseqs)
         qlens = np.array([len(q) for q in qseqs], dtype=np.int32)
         tlens = np.array([len(t) for t in tseqs], dtype=np.int32)
         M = _bucket(int(qlens.max()))
@@ -306,11 +320,15 @@ class BatchAligner:
         tlens_p[:B] = tlens
 
         kernel = _build_kernels(self._key, M, N, Bp)
-        out = kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
-                     jnp.asarray(t4), jnp.asarray(tlens_p))
+        return kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
+                      jnp.asarray(t4), jnp.asarray(tlens_p))
+
+    def _collect(self, qseqs: Sequence[bytes], tseqs: Sequence[bytes],
+                 handle) -> List[AlignmentResult]:
+        B = len(qseqs)
         # one bundled device->host transfer (three sequential np.asarray
         # round-trips dominate latency on a tunneled device)
-        score, overflow, ops = jax.device_get(out)
+        score, overflow, ops = jax.device_get(handle)
 
         results: List[AlignmentResult] = []
         for b in range(B):

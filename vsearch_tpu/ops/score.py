@@ -68,28 +68,38 @@ class DeviceKmerIndex:
         sizes = np.fromiter((kmer_lists[orig].size for orig in perm),
                             dtype=np.int64, count=n)
         if n and sizes.sum():
-            all_kmers = np.concatenate(
-                [kmer_lists[orig] for orig in perm]).astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(sizes)))
-            POS_CHUNK = 8192           # 0.5 GB slab at 4^8
-            slab = np.zeros((self.hashsize, POS_CHUNK), dtype=bool)
-            for base in range(0, n, POS_CHUNK):
-                hi = min(base + POS_CHUNK, n)
-                lo_k, hi_k = starts[base], starts[hi]
-                rel = np.repeat(np.arange(base, hi, dtype=np.int64) - base,
-                                sizes[base:hi])
-                slab[:, :] = False
-                slab[all_kmers[lo_k:hi_k], rel] = True
-                # rows are contiguous along the pack axis; little-endian
-                # bit+byte order makes byte i bits 8i..8i+7 == positions
-                packed = np.packbits(slab, axis=1, bitorder="little")
-                w0 = base // 32
-                w1 = min(w0 + POS_CHUNK // 32, self.words)
-                bits[:self.hashsize, w0:w1] = \
-                    packed.view(np.uint32)[:, :w1 - w0]
+            all_kmers = np.ascontiguousarray(np.concatenate(
+                [kmer_lists[orig] for orig in perm]), dtype=np.uint32)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            from .. import native
+            if not native.pack_bits(all_kmers, starts, n, self.words, bits):
+                self._pack_bits_numpy(bits, all_kmers, starts, sizes, n)
         self.bits = jax.device_put(bits)
         self.seqno_by_pos = mapping[perm]
         self.length_by_pos = lengths[perm]
+
+    def _pack_bits_numpy(self, bits: np.ndarray, all_kmers: np.ndarray,
+                         starts: np.ndarray, sizes: np.ndarray,
+                         n: int) -> None:
+        """Pure-numpy fallback for native.pack_bits: scatter a boolean
+        (4^w, pos-chunk) slab and packbits along positions."""
+        POS_CHUNK = 8192           # 0.5 GB slab at 4^8
+        slab = np.zeros((self.hashsize, POS_CHUNK), dtype=bool)
+        for base in range(0, n, POS_CHUNK):
+            hi = min(base + POS_CHUNK, n)
+            lo_k, hi_k = starts[base], starts[hi]
+            rel = np.repeat(np.arange(base, hi, dtype=np.int64) - base,
+                            sizes[base:hi])
+            slab[:, :] = False
+            slab[all_kmers[lo_k:hi_k].astype(np.int64), rel] = True
+            # rows are contiguous along the pack axis; little-endian
+            # bit+byte order makes byte i bits 8i..8i+7 == positions
+            packed = np.packbits(slab, axis=1, bitorder="little")
+            w0 = base // 32
+            w1 = min(w0 + POS_CHUNK // 32, self.words)
+            bits[:self.hashsize, w0:w1] = \
+                packed.view(np.uint32)[:, :w1 - w0]
 
     def topk(self, query_kmer_lists: List[np.ndarray],
              k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -103,23 +113,33 @@ class DeviceKmerIndex:
         if q == 0 or self.n == 0 or k == 0:
             return (np.zeros((q, 0), dtype=np.int32),
                     np.zeros((q, 0), dtype=np.int32))
-        # coarse geometry ladders: every distinct (qp, maxk) is a separate
-        # TPU compile (expensive and queue-dependent on a tunneled device),
-        # so quantize hard — qp in {128, 512, 1024, ...}, maxk in
-        # multiples of 640 — and eat the padded-lane compute instead
-        qp = 128
-        while qp < q:
-            qp = qp * 4 if qp == 128 else qp * 2
+        # the gather kernel is fastest at qp<=512 (larger batches blow the
+        # unpack accumulator out of fast memory); bigger query sets run as
+        # asynchronously dispatched 512-query chunks with a single bundled
+        # device->host fetch, so tunnel latency is paid once
+        CHUNK = 512
         maxk = max((kl.size for kl in query_kmer_lists), default=1)
         maxk = max(_round_up(maxk, 640), 640)
-        # padded kmer ids; hashsize is a scratch column sliced off on device
-        ids = np.full((qp, maxk), self.hashsize, dtype=np.int32)
-        for qi, kmers in enumerate(query_kmer_lists):
-            ids[qi, :kmers.size] = kmers
-        vals, idx = _topk_kernel(self.hashsize, self.words, qp, maxk, k,
-                                 self.n)(jnp.asarray(ids), self.bits)
-        out = jax.device_get((vals, idx))
-        return np.asarray(out[0])[:q], np.asarray(out[1])[:q]
+        pending = []
+        for lo in range(0, q, CHUNK):
+            chunk = query_kmer_lists[lo:lo + CHUNK]
+            # coarse geometry ladder: qp in {128, 512}; every distinct
+            # (qp, maxk) is a separate TPU compile (expensive and
+            # queue-dependent on a tunneled device)
+            qp = 128 if len(chunk) <= 128 else CHUNK
+            # padded kmer ids; hashsize is a scratch column sliced on device
+            ids = np.full((qp, maxk), self.hashsize, dtype=np.int32)
+            for qi, kmers in enumerate(chunk):
+                ids[qi, :kmers.size] = kmers
+            pending.append((len(chunk), _topk_kernel(
+                self.hashsize, self.words, qp, maxk, k,
+                self.n)(jnp.asarray(ids), self.bits)))
+        fetched = jax.device_get([h for _, h in pending])
+        vals = np.concatenate([np.asarray(v)[:nq]
+                               for (nq, _), (v, _) in zip(pending, fetched)])
+        idx = np.concatenate([np.asarray(i)[:nq]
+                              for (nq, _), (_, i) in zip(pending, fetched)])
+        return vals, idx
 
 
 @functools.lru_cache(maxsize=32)
