@@ -22,7 +22,7 @@ from ..core.otutable import OtuTable
 
 # query batch per device round: large enough to amortize the tunnel
 # round-trip (~64 ms) across the topk + alignment calls of a batch
-BATCH = 512
+BATCH = 2048
 
 
 def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
@@ -170,15 +170,35 @@ def run_search_output(params: Parameters, db: Database, ctx,
                     dbmatched[hp.target] += (rec.abundance
                                              if params.opt_sizein else 1)
 
-        for chunk in _batches(fastx_io.read_fastx(query_file, params)):
-            tasks = [ctx.prepare_task(rec.header, rec.sequence,
-                                      rec.abundance, rec.seqno)
-                     for rec in chunk]
-            ctx.search_tasks(tasks)
+        # 1-deep software pipeline: while batch i's hits are walked and
+        # written on host, batch i+1's candidate scoring runs on device
+        # (the TPU analogue of the reference's reader/worker overlap,
+        # worker_loop.hpp:93-106)
+        def flush(prev):
+            chunk, tasks, state = prev
+            if hasattr(ctx, "search_tasks_finish"):
+                ctx.search_tasks_finish(state)
             for rec, task in zip(chunk, tasks):
                 hits = ctx.join_task(task)
                 emit(rec, hits, task.seqs[0],
                      task.seqs[1] if len(task.seqs) > 1 else None)
+
+        prev = None
+        for chunk in _batches(fastx_io.read_fastx(query_file, params)):
+            if hasattr(ctx, "prepare_tasks"):
+                tasks = ctx.prepare_tasks(chunk)
+                state = ctx.search_tasks_begin(tasks)
+            else:  # search_exact's hash-based context
+                tasks = [ctx.prepare_task(rec.header, rec.sequence,
+                                          rec.abundance, rec.seqno)
+                         for rec in chunk]
+                ctx.search_tasks(tasks)
+                state = None
+            if prev is not None:
+                flush(prev)
+            prev = (chunk, tasks, state)
+        if prev is not None:
+            flush(prev)
 
         if not params.opt_quiet:
             msg = "Matching unique query sequences: %d of %d" % (

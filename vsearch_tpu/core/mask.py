@@ -134,6 +134,15 @@ def _dust_mask_py(seq: bytes, hardmask: bool) -> bytes:
     return out.tobytes()
 
 
+def dust_mask_batch(seqs, hardmask: bool):
+    """DUST a batch of sequences in one native call (threads)."""
+    from .. import native
+    masked = native.dust_batch(seqs, hardmask)
+    if masked is None:
+        masked = [_dust_mask_py(s, hardmask) for s in seqs]
+    return masked
+
+
 def dust_all(db, params) -> None:
     """Mask every DB sequence in place (reference: mask.cpp dust_all)."""
     from .. import native

@@ -204,19 +204,23 @@ class SearchContext:
         """Per-query candidate lists in reference heap order."""
         if self.device_index is not None:
             vals, idx = self.device_index.topk(kmer_lists, self.tophits)
-            di = self.device_index
-            out = []
-            for qi in range(len(kmer_lists)):
-                minmatches = self._minmatches(samplecounts[qi])
-                row = []
-                for v, p in zip(vals[qi], idx[qi]):
-                    if v < minmatches or p >= di.n:
-                        break  # values are non-increasing
-                    row.append((int(di.seqno_by_pos[p]), int(v)))
-                out.append(row)
-            return out
+            return self._candidates_from_topk(vals, idx, samplecounts)
         return [self._candidates(self.index.counts_for_query(k), sc)
                 for k, sc in zip(kmer_lists, samplecounts)]
+
+    def _candidates_from_topk(self, vals, idx, samplecounts: List[int]
+                              ) -> List[List[Tuple[int, int]]]:
+        di = self.device_index
+        out = []
+        for qi in range(len(samplecounts)):
+            minmatches = self._minmatches(samplecounts[qi])
+            row = []
+            for v, p in zip(vals[qi], idx[qi]):
+                if v < minmatches or p >= di.n:
+                    break  # values are non-increasing
+                row.append((int(di.seqno_by_pos[p]), int(v)))
+            out.append(row)
+        return out
 
     def _minmatches(self, kmersamplecount: int) -> int:
         # the reference casts opt_minwordmatches to unsigned before the min
@@ -251,8 +255,40 @@ class SearchContext:
         return QueryTask(query_head, qsize, query_no, seqs,
                          [None] * strands)
 
+    def prepare_tasks(self, recs) -> List[QueryTask]:
+        """Batch construction of query tasks: masks the whole batch in one
+        native DUST call (threads) instead of per-query."""
+        params = self.params
+        strands = 2 if params.opt_strand else 1
+        raw: List[bytes] = []
+        for rec in recs:
+            raw.append(rec.sequence)
+            if strands == 2:
+                raw.append(maps.reverse_complement(rec.sequence))
+        if params.opt_qmask == Masking.dust:
+            masked = mask_mod.dust_mask_batch(raw, params.opt_hardmask)
+        elif params.opt_qmask == Masking.soft and params.opt_hardmask:
+            masked = [mask_mod.hardmask(s) for s in raw]
+        else:
+            masked = raw
+        tasks = []
+        for i, rec in enumerate(recs):
+            seqs = list(masked[i * strands:(i + 1) * strands])
+            tasks.append(QueryTask(rec.header, rec.abundance, rec.seqno,
+                                   seqs, [None] * strands))
+        return tasks
+
     def search_tasks(self, tasks: List[QueryTask]) -> None:
         """Run the full search for a batch of query tasks."""
+        self.search_tasks_finish(self.search_tasks_begin(tasks))
+
+    def search_tasks_begin(self, tasks: List[QueryTask]):
+        """Host prep + async candidate dispatch for a batch of tasks.
+
+        Returns an opaque state consumed by search_tasks_finish; the
+        device top-k runs while the caller does other (host) work —
+        the 1-deep pipeline that hides output writing behind device
+        compute."""
         params = self.params
         units = []  # (task, strand, QueryInfo)
         kmer_lists = []
@@ -266,9 +302,22 @@ class SearchContext:
                 qi.kmersamplecount = int(kmers.size)
                 units.append((task, strand, qi))
                 kmer_lists.append(kmers)
+        pending = None
+        if self.device_index is not None:
+            pending = self.device_index.topk_dispatch(kmer_lists,
+                                                      self.tophits)
+        return tasks, units, kmer_lists, pending
 
-        cand_lists = self._candidates_batch(
-            kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])
+    def search_tasks_finish(self, state) -> None:
+        tasks, units, kmer_lists, pending = state
+        params = self.params
+        if pending is not None:
+            vals, idx = self.device_index.topk_collect(pending)
+            cand_lists = self._candidates_from_topk(
+                vals, idx, [qi.kmersamplecount for (_, _, qi) in units])
+        else:
+            cand_lists = self._candidates_batch(
+                kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])
         walks: List[QueryWalk] = []
         for (task, strand, qi), candidates in zip(units, cand_lists):
             walks.append(QueryWalk(params, qi, self.db, candidates))

@@ -108,11 +108,16 @@ class DeviceKmerIndex:
         Returns (counts (Q, k) int32, positions (Q, k) int32); positions
         >= n or with count below the caller's minmatches must be dropped.
         """
+        return self.topk_collect(self.topk_dispatch(query_kmer_lists, k))
+
+    def topk_dispatch(self, query_kmer_lists: List[np.ndarray], k: int):
+        """Asynchronously launch the scoring kernel; collect with
+        topk_collect.  The split lets callers overlap host work (output
+        writing, walk replay) with the device scan."""
         q = len(query_kmer_lists)
         k = min(k, self.n)
         if q == 0 or self.n == 0 or k == 0:
-            return (np.zeros((q, 0), dtype=np.int32),
-                    np.zeros((q, 0), dtype=np.int32))
+            return (q, [])
         # the gather kernel is fastest at qp<=512 (larger batches blow the
         # unpack accumulator out of fast memory); bigger query sets run as
         # asynchronously dispatched 512-query chunks with a single bundled
@@ -134,6 +139,13 @@ class DeviceKmerIndex:
             pending.append((len(chunk), _topk_kernel(
                 self.hashsize, self.words, qp, maxk, k,
                 self.n)(jnp.asarray(ids), self.bits)))
+        return (q, pending)
+
+    def topk_collect(self, state) -> Tuple[np.ndarray, np.ndarray]:
+        q, pending = state
+        if not pending:
+            return (np.zeros((q, 0), dtype=np.int32),
+                    np.zeros((q, 0), dtype=np.int32))
         fetched = jax.device_get([h for _, h in pending])
         vals = np.concatenate([np.asarray(v)[:nq]
                                for (nq, _), (v, _) in zip(pending, fetched)])
