@@ -210,17 +210,24 @@ class SearchContext:
 
     def _candidates_from_topk(self, vals, idx, samplecounts: List[int]
                               ) -> List[List[Tuple[int, int]]]:
+        """Vectorized cut of the device top-k rows at the first entry below
+        minmatches (values are non-increasing per row)."""
         di = self.device_index
-        out = []
-        for qi in range(len(samplecounts)):
-            minmatches = self._minmatches(samplecounts[qi])
-            row = []
-            for v, p in zip(vals[qi], idx[qi]):
-                if v < minmatches or p >= di.n:
-                    break  # values are non-increasing
-                row.append((int(di.seqno_by_pos[p]), int(v)))
-            out.append(row)
-        return out
+        nq = len(samplecounts)
+        if vals.shape[1] == 0:
+            return [[] for _ in range(nq)]
+        sc = np.asarray(samplecounts, dtype=np.int64)
+        mwm = self.params.opt_minwordmatches
+        mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
+        minm = np.minimum(mwm_u, sc)
+        valid = (vals >= minm[:, None]) & (idx < di.n)
+        ncand = np.where(valid.all(axis=1), vals.shape[1],
+                         np.argmin(valid, axis=1))
+        seqnos = di.seqno_by_pos[np.minimum(idx, di.n - 1)]
+        vals_l = vals.tolist()
+        seqnos_l = seqnos.tolist()
+        return [list(zip(seqnos_l[qi][:ncand[qi]], vals_l[qi][:ncand[qi]]))
+                for qi in range(nq)]
 
     def _minmatches(self, kmersamplecount: int) -> int:
         # the reference casts opt_minwordmatches to unsigned before the min

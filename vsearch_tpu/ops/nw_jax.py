@@ -43,6 +43,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def encode_padded(seqs: Sequence[bytes], rows: int, width: int) -> np.ndarray:
+    """(rows, width) int8 matrix of 4-bit codes, zero padded."""
+    out = np.zeros((rows, width), dtype=np.int8)
+    if not seqs:
+        return out
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                       count=len(seqs))
+    flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    mask = np.arange(width)[None, :] < lens[:, None]
+    padded_mask = np.zeros((rows, width), dtype=bool)
+    padded_mask[:len(seqs)] = mask
+    out[padded_mask] = CHRMAP_4BIT[flat].astype(np.int8)
+    return out
+
+
 def _bucket(x: int, base: int = 64) -> int:
     """Shape bucket: powers of two with one midpoint (1.5x ladder), so the
     number of distinct compiled kernel geometries stays small."""
@@ -249,13 +264,36 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
                 forward_fn = forward
 
     def full(q4, qlen, t4, tlen):
-        score, overflow, dirs = forward_fn(q4, qlen, t4, tlen)
+        # codes may arrive as int8 (the wire format is 4x narrower than
+        # int32 over the tunneled host<->device link); widen on device
+        score, overflow, dirs = forward_fn(q4.astype(jnp.int32), qlen,
+                                           t4.astype(jnp.int32), tlen)
         ops = backtrack(dirs, qlen, tlen)
         return score, overflow, ops
 
     if Bp == -1:  # profiling hook: split forward/backtrack timings
         return jax.jit(forward), jax.jit(backtrack)
     return jax.jit(full)
+
+
+@functools.lru_cache(maxsize=64)
+def _gather_align_kernel(scheme_key: tuple, M: int, N: int, Bp: int):
+    """Forward+backtrack over pairs whose targets live on device.
+
+    Takes query codes (Bp, M) int8, query lengths, candidate index
+    positions (Bp,) int32, and the device-resident DB code matrix +
+    length table; gathers the target rows on device so a dispatch uploads
+    only the query-side data."""
+    full_kernel = _build_kernels(scheme_key, M, N)
+
+    @jax.jit
+    def run(q4, qlen, pos, db_codes, tlen_by_pos):
+        p = jnp.clip(pos, 0, db_codes.shape[0] - 1)
+        t4 = db_codes[p][:, :N]
+        tlen = jnp.minimum(tlen_by_pos[p], N)
+        return full_kernel(q4, qlen, t4, tlen)
+
+    return run
 
 
 class BatchAligner:
@@ -285,16 +323,17 @@ class BatchAligner:
         if B == 0:
             return []
         if B > self.PAIR_BUCKETS[-1]:
-            # dispatch every chunk before fetching any: JAX dispatch is
-            # async, so the chunks pipeline on device and the per-call
-            # transfer latency (hundreds of ms on a tunneled TPU) is paid
-            # once instead of per chunk
+            # dispatch every chunk before fetching any, then fetch ALL
+            # chunks in a single bundled device_get: on the tunneled TPU
+            # every fetch costs a ~40 ms round-trip regardless of size, so
+            # the latency is paid once instead of per chunk
             cap = self.PAIR_BUCKETS[-1]
             chunks = [(qseqs[lo:lo + cap], tseqs[lo:lo + cap])
                       for lo in range(0, B, cap)]
             pending = [self._dispatch(qc, tc) for qc, tc in chunks]
+            fetched = jax.device_get(pending)
             out: List[AlignmentResult] = []
-            for (qc, tc), handle in zip(chunks, pending):
+            for (qc, tc), handle in zip(chunks, fetched):
                 out.extend(self._collect(qc, tc, handle))
             return out
         handle = self._dispatch(qseqs, tseqs)
@@ -309,11 +348,10 @@ class BatchAligner:
         N = _bucket(int(tlens.max()))
         Bp = next(b for b in self.PAIR_BUCKETS if b >= B)
 
-        q4 = np.zeros((Bp, M), dtype=np.int32)
-        t4 = np.zeros((Bp, N), dtype=np.int32)
-        for b, (q, t) in enumerate(zip(qseqs, tseqs)):
-            q4[b, :len(q)] = CHRMAP_4BIT[np.frombuffer(q, dtype=np.uint8)]
-            t4[b, :len(t)] = CHRMAP_4BIT[np.frombuffer(t, dtype=np.uint8)]
+        # vectorized encode into the int8 wire format (one lookup over the
+        # concatenated bytes + masked scatter instead of per-pair slicing)
+        q4 = encode_padded(qseqs, Bp, M)
+        t4 = encode_padded(tseqs, Bp, N)
         qlens_p = np.ones(Bp, dtype=np.int32)
         qlens_p[:B] = qlens
         tlens_p = np.ones(Bp, dtype=np.int32)

@@ -41,6 +41,11 @@ def _round_up(x: int, m: int) -> int:
 class DeviceKmerIndex:
     """Packed-bit incidence matrix on device, positions in heap order."""
 
+    # device DB sequence storage is only built when the padded code matrix
+    # stays within this budget (int8 bytes); beyond it the residual
+    # host-driven alignment path carries the load
+    DB_CODES_BUDGET = 4 << 30
+
     def __init__(self, wordlength: int, kmer_lists: List[np.ndarray],
                  lengths: np.ndarray, mapping: np.ndarray,
                  capacity: Optional[int] = None) -> None:
@@ -78,6 +83,41 @@ class DeviceKmerIndex:
         self.bits = jax.device_put(bits)
         self.seqno_by_pos = mapping[perm]
         self.length_by_pos = lengths[perm]
+        self.perm = perm
+        # device-resident padded sequence codes in position order (attached
+        # by attach_db_codes); enables index-gather alignment dispatches that
+        # upload only query codes + candidate positions
+        self.db_codes = None           # (n, Nmax) int8 device array
+        self.tlen_by_pos_dev = None    # (n,) int32 device array
+        self.db_codes_width = 0
+        self._pos_of_seqno: Optional[dict] = None
+
+    def attach_db_codes(self, db, bucket_fn) -> bool:
+        """Upload padded 4-bit codes of every DB sequence, position order.
+
+        Returns False (and leaves the index without device sequences) when
+        the padded matrix exceeds DB_CODES_BUDGET."""
+        if self.db_codes is not None:
+            return True
+        if self.n == 0:
+            return False
+        maxlen = int(self.length_by_pos.max())
+        width = bucket_fn(max(maxlen, 1))
+        if self.n * width > self.DB_CODES_BUDGET:
+            return False
+        from ..utils.maps import CHRMAP_4BIT
+        lens = self.length_by_pos.astype(np.int64)
+        flat = b"".join(db.getsequence(int(s)) for s in self.seqno_by_pos)
+        arr = CHRMAP_4BIT[np.frombuffer(flat, dtype=np.uint8)].astype(np.int8)
+        codes = np.zeros((self.n, width), dtype=np.int8)
+        codes[np.arange(width)[None, :] < lens[:, None]] = arr
+        self.db_codes = jax.device_put(codes)
+        self.tlen_by_pos_dev = jax.device_put(
+            self.length_by_pos.astype(np.int32))
+        self.db_codes_width = width
+        self._pos_of_seqno = {int(s): p
+                              for p, s in enumerate(self.seqno_by_pos)}
+        return True
 
     def _pack_bits_numpy(self, bits: np.ndarray, all_kmers: np.ndarray,
                          starts: np.ndarray, sizes: np.ndarray,
@@ -125,6 +165,10 @@ class DeviceKmerIndex:
         CHUNK = 512
         maxk = max((kl.size for kl in query_kmer_lists), default=1)
         maxk = max(_round_up(maxk, 640), 640)
+        # u16 wire format halves the upload over the tunneled link; kmer ids
+        # fit u16 for wordlength <= 8 (the padding sentinel travels as a
+        # per-query count instead of an in-band id)
+        u16 = self.hashsize <= 65536
         pending = []
         for lo in range(0, q, CHUNK):
             chunk = query_kmer_lists[lo:lo + CHUNK]
@@ -132,13 +176,14 @@ class DeviceKmerIndex:
             # (qp, maxk) is a separate TPU compile (expensive and
             # queue-dependent on a tunneled device)
             qp = 128 if len(chunk) <= 128 else CHUNK
-            # padded kmer ids; hashsize is a scratch column sliced on device
-            ids = np.full((qp, maxk), self.hashsize, dtype=np.int32)
+            kcounts = np.zeros(qp, dtype=np.int32)
+            ids = np.zeros((qp, maxk), dtype=np.uint16 if u16 else np.int32)
             for qi, kmers in enumerate(chunk):
                 ids[qi, :kmers.size] = kmers
+                kcounts[qi] = kmers.size
             pending.append((len(chunk), _topk_kernel(
                 self.hashsize, self.words, qp, maxk, k,
-                self.n)(jnp.asarray(ids), self.bits)))
+                self.n)(jnp.asarray(ids), jnp.asarray(kcounts), self.bits)))
         return (q, pending)
 
     def topk_collect(self, state) -> Tuple[np.ndarray, np.ndarray]:
@@ -162,11 +207,15 @@ def _topk_kernel(hashsize: int, words: int, qp: int, maxk: int, k: int,
     n_cols = words * 32
 
     @jax.jit
-    def run(ids, bits):
-        # ids: (qp, maxk) int32 padded with `hashsize` (an all-zero row of
-        # bits); bits: (hashsize + 1, words) uint32.  Query kmer lists are
-        # unique per query, so each gathered row contributes exactly once.
+    def run(ids, kcounts, bits):
+        # ids: (qp, maxk) uint16/int32, real entries per query given by
+        # kcounts; padding resolves to row `hashsize` (all-zero bits).
+        # Query kmer lists are unique per query, so each gathered row
+        # contributes exactly once.
         shifts = jnp.arange(32, dtype=jnp.uint32)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (qp, maxk), 1)
+        ids = jnp.where(kpos < kcounts[:, None], ids.astype(jnp.int32),
+                        jnp.int32(hashsize))
 
         def body(acc, idx_chunk):
             rows = bits[idx_chunk]                     # (qp, chunk, words)
