@@ -156,6 +156,15 @@ class SearchContext:
                         index._device_index = device_index
             except Exception:
                 device_index = None
+            if device_index is not None and aligner is not None:
+                # device-resident DB codes enable the top-1 prefetch
+                # alignment (dispatched device-to-device off the top-k
+                # output, uploading only query codes)
+                try:
+                    from ..ops.nw_jax import _bucket
+                    device_index.attach_db_codes(db, _bucket)
+                except Exception:
+                    pass
         return cls(effective, db, index, tophits,
                    ScoreScheme.from_params(params), aligner, device_index)
 
@@ -310,18 +319,112 @@ class SearchContext:
                 units.append((task, strand, qi))
                 kmer_lists.append(kmers)
         pending = None
+        prefetch = None
         if self.device_index is not None:
             pending = self.device_index.topk_dispatch(kmer_lists,
                                                       self.tophits)
-        return tasks, units, kmer_lists, pending
+            prefetch = self._prefetch_dispatch(units, pending)
+        return tasks, units, kmer_lists, pending, prefetch
+
+    # -- top-1 prefetch ---------------------------------------------------
+
+    PREFETCH_MAXLEN = 4096  # beyond this the speculative DP costs too much
+
+    def _prefetch_dispatch(self, units, pending):
+        """Speculatively align every query against its top-1 candidate,
+        chained device-to-device off the top-k output (no host sync).
+
+        The first walk round requests exactly one target per query
+        (QueryWalk.batch_limit starts at 1), and that target is the top-1
+        candidate whenever it passes the unaligned gates — so in the common
+        case (high --id, small maxaccepts) this removes the entire first
+        alignment round, the dominant device round-trip of the search."""
+        di = self.device_index
+        if (di.db_codes is None or self.aligner is None
+                or self.scheme.force_scalar_fallback
+                or not pending[1]
+                or di.db_codes_width > self.PREFETCH_MAXLEN):
+            return None
+        N = di.db_codes_width
+        handles = []
+        lo = 0
+        for cnt, (vals, idx) in pending[1]:
+            qseqs = [units[lo + i][2].qsequence for i in range(cnt)]
+            lo += cnt
+            maxq = max((len(s) for s in qseqs), default=0)
+            if maxq == 0 or maxq > self.PREFETCH_MAXLEN:
+                handles.append(None)
+                continue
+            handles.append(self.aligner.dispatch_indexed(
+                qseqs, idx.shape[0], idx[:, 0], di.db_codes,
+                di.tlen_by_pos_dev, N))
+        return handles
+
+    def _prefetch_table(self, chunks, pref_h, idx) -> dict:
+        """unit index -> (seqno, score, overflow, ops column) for every
+        fetched prefetch row whose top-1 position is a real DB entry."""
+        if pref_h is None or idx.shape[1] == 0:
+            return {}
+        di = self.device_index
+        table = {}
+        lo = 0
+        for (cnt, _), pref in zip(chunks, pref_h):
+            if pref is not None:
+                score, overflow, ops = pref
+                for i in range(cnt):
+                    p = int(idx[lo + i, 0])
+                    if p < di.n:
+                        table[lo + i] = (int(di.seqno_by_pos[p]),
+                                         int(score[i]), bool(overflow[i]),
+                                         ops[:, i])
+            lo += cnt
+        return table
+
+    def _consume_prefetch(self, prefetched: dict, w: int, t: int,
+                          qseq: bytes) -> Optional[AlignmentResult]:
+        """Return the prefetched alignment for walk w / target t if the
+        speculative row matches and the pair is SIMD-engine eligible
+        (the same routing align_pairs applies), else None."""
+        entry = prefetched.get(w)
+        if entry is None or entry[0] != t:
+            return None
+        seqno, score, overflow, ops_col = entry
+        tseq = self.db.getsequence(t)
+        if (not fits_simd(len(qseq), len(tseq))
+                or len(qseq) == 0 or len(tseq) == 0):
+            return None
+        del prefetched[w]
+        if overflow:
+            # sentinel: same linear-memory fallback as align_pairs
+            from ..ops.linmem import linmem_align
+            return linmem_align(self.scheme, qseq, tseq)
+        return self.aligner.assemble_one(score, ops_col, qseq, tseq)
 
     def search_tasks_finish(self, state) -> None:
-        tasks, units, kmer_lists, pending = state
+        tasks, units, kmer_lists, pending, prefetch = state
         params = self.params
+        prefetched: dict = {}
         if pending is not None:
-            vals, idx = self.device_index.topk_collect(pending)
+            # one bundled device->host fetch: top-k chunks + prefetched
+            # alignments together (each fetch costs a full round-trip on a
+            # tunneled device)
+            import jax
+            q, chunks = pending
+            topk_h, pref_h = jax.device_get(
+                ([h for _, h in chunks], prefetch))
+            if chunks:
+                vals = np.concatenate(
+                    [np.asarray(v)[:nq]
+                     for (nq, _), (v, _) in zip(chunks, topk_h)])
+                idx = np.concatenate(
+                    [np.asarray(i)[:nq]
+                     for (nq, _), (_, i) in zip(chunks, topk_h)])
+            else:
+                vals = np.zeros((q, 0), dtype=np.int32)
+                idx = np.zeros((q, 0), dtype=np.int32)
             cand_lists = self._candidates_from_topk(
                 vals, idx, [qi.kmersamplecount for (_, _, qi) in units])
+            prefetched = self._prefetch_table(chunks, pref_h, idx)
         else:
             cand_lists = self._candidates_batch(
                 kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])
@@ -334,19 +437,28 @@ class SearchContext:
         while active:
             pair_list: List[Tuple[bytes, int]] = []
             owners: List[Tuple[int, int]] = []  # (walk idx, target)
-            requests: Dict[int, List[int]] = {}
+            pre_results: Dict[Tuple[int, int], AlignmentResult] = {}
+            any_request = False
             for w in active:
                 targets = walks[w].advance()
                 if targets:
-                    requests[w] = targets
+                    any_request = True
                     for t in targets:
-                        pair_list.append((walks[w].qi.qsequence, t))
-                        owners.append((w, t))
-            if not pair_list:
+                        res = self._consume_prefetch(
+                            prefetched, w, t,
+                            walks[w].qi.qsequence) if prefetched else None
+                        if res is not None:
+                            pre_results[(w, t)] = res
+                        else:
+                            pair_list.append((walks[w].qi.qsequence, t))
+                            owners.append((w, t))
+            if not any_request:
                 break
-            results = self.align_pairs(pair_list)
+            results = self.align_pairs(pair_list) if pair_list else []
             per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
             for (w, t), res in zip(owners, results):
+                per_walk.setdefault(w, {})[t] = res
+            for (w, t), res in pre_results.items():
                 per_walk.setdefault(w, {})[t] = res
             next_active = []
             for w in active:

@@ -339,6 +339,26 @@ class BatchAligner:
         handle = self._dispatch(qseqs, tseqs)
         return self._collect(qseqs, tseqs, handle)
 
+    def dispatch_indexed(self, qseqs: Sequence[bytes], rows: int, pos,
+                         db_codes, tlen_by_pos, N: int):
+        """Launch alignment of each query against a device-resident target
+        selected by index position (e.g. the top-1 column of a top-k
+        result).  ``pos`` is a device (rows,) int32 array, so no host sync
+        happens here; only the query codes are uploaded."""
+        qlens = np.ones(rows, dtype=np.int32)
+        for i, s in enumerate(qseqs):
+            qlens[i] = max(len(s), 1)
+        M = _bucket(max(len(s) for s in qseqs))
+        q4 = encode_padded(qseqs, rows, M)
+        kernel = _gather_align_kernel(self._key, M, N, rows)
+        return kernel(jnp.asarray(q4), jnp.asarray(qlens), pos,
+                      db_codes, tlen_by_pos)
+
+    def assemble_one(self, score: int, ops_col: np.ndarray, qseq: bytes,
+                     tseq: bytes) -> AlignmentResult:
+        """Host assembly of one prefetched (score, ops) row."""
+        return self._assemble(score, ops_col, qseq, tseq)
+
     def _dispatch(self, qseqs: Sequence[bytes], tseqs: Sequence[bytes]):
         """Encode, upload and launch one pair chunk; returns device arrays."""
         B = len(qseqs)
