@@ -197,6 +197,11 @@ def parse_args(argv: List[str]) -> Parameters:
             command = "help"
         elif name in ("version", "v"):
             command = "version"
+        elif name in ("band", "hspw", "minhsp", "xdrop_nw"):
+            # legacy usearch options, accepted but ignored
+            # (reference: cli.cc:3668-3686)
+            take_value()
+            sys.stderr.write("WARNING: Option --%s is ignored\n" % name)
         elif name == "gapopen":
             parse_gap_penalty_string(take_value(), True, params)
         elif name == "gapext":
