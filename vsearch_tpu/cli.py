@@ -163,12 +163,45 @@ def parse_gap_penalty_string(arg: str, is_open: bool,
                         is_infinite)
 
 
+# the tool this framework reimplements; shown by --version/--help
+# (reference: vsearch.cc show_publication)
+_PUBLICATION = (
+    "Rognes T, Flouri T, Nichols B, Quince C, Mahe F (2016)\n"
+    "VSEARCH: a versatile open source tool for metagenomics\n"
+    "PeerJ 4:e2584 doi: 10.7717/peerj.2584 "
+    "https://doi.org/10.7717/peerj.2584\n\n")
+
+
+def _prog_header() -> str:
+    """reference: vsearch.cc fill_prog_header (:544-556) —
+    "<name> v<ver>_<arch>, <ram>GB RAM, <n> cores"."""
+    import os
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        pagesize = os.sysconf("SC_PAGE_SIZE")
+        ram_gb = pages * pagesize / (1024.0 ** 3)
+    except (ValueError, OSError):
+        ram_gb = 0.0
+    cores = os.cpu_count() or 1
+    return ("%s %s_linux_x86_64, %.1fGB RAM, %d cores"
+            % (PROG_NAME, PROG_VERSION, ram_gb, cores))
+
+
+def show_header(params: Parameters) -> None:
+    """reference: vsearch.cc show_header (:573-578)."""
+    if params.opt_quiet:
+        return
+    sys.stderr.write("%s\n" % params.prog_header)
+    sys.stderr.write("https://github.com/torognes/vsearch\n")
+    sys.stderr.write("\n")
+
+
 def parse_args(argv: List[str]) -> Parameters:
     params = Parameters()
     params.opt_quiet = False
     params.opt_no_progress = not sys.stderr.isatty()
     params.command_line = " ".join([PROG_NAME] + argv)
-    params.prog_header = ("%s %s_linux_x86_64" % (PROG_NAME, PROG_VERSION))
+    params.prog_header = _prog_header()
 
     command: Optional[str] = None
     option_seen: Dict[str, bool] = {}
@@ -321,10 +354,38 @@ def dispatch(params: Parameters) -> None:
     """reference: vsearch.cc dispatch_command (:607-800)."""
     command = params._command  # type: ignore[attr-defined]
     if command == "version":
-        print("%s %s" % (PROG_NAME, PROG_VERSION))
+        # reference: vsearch.cc cmd_version → show_publication + build info
+        if not params.opt_quiet:
+            sys.stdout.write(_PUBLICATION)
+            sys.stdout.write(
+                "TPU-native reimplementation (JAX/XLA/Pallas); gzip and "
+                "bzip2 compressed files supported.\n")
         return
     if command == "help":
-        print("Usage: vsearch_tpu --<command> <file> [options]")
+        # reference: commands/help.cpp help() — publication, usage, then the
+        # option surface.  Ours is generated from the live option tables.
+        if not params.opt_quiet:
+            sys.stdout.write(_PUBLICATION)
+            sys.stdout.write("Usage: %s [OPTIONS]\n\n" % PROG_NAME)
+            sys.stdout.write("Commands (exactly one per invocation):\n")
+            for cmd in COMMANDS:
+                sys.stdout.write("  --%s FILENAME\n" % cmd)
+            sys.stdout.write("  --help | --version\n\n")
+            sys.stdout.write("Options (reference-compatible surface):\n")
+            names = sorted(set(STR_OPTS + INT_OPTS + FLOAT_OPTS + FLAG_OPTS)
+                           | {"strand", "userfields", "gapopen", "gapext",
+                              "qmask", "dbmask", "ee_cutoffs",
+                              "length_cutoffs"})
+            col = 0
+            for name in names:
+                tok = "--" + name
+                if col + len(tok) + 1 > 78:
+                    sys.stdout.write("\n")
+                    col = 0
+                sys.stdout.write(" " + tok)
+                col += len(tok) + 1
+            sys.stdout.write("\n\nSee the vsearch manual for option "
+                             "semantics; this implementation mirrors them.\n")
         return
     if command == "allpairs_global":
         # reference: dispatch forces single strand + uc_allhits
@@ -456,6 +517,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         argv = sys.argv[1:]
     try:
         params = parse_args(argv)
+        show_header(params)
         fp_log = None
         if params.opt_log is not None:
             # reference: utils/logfile.cpp LogFile — header, Started/Finished

@@ -67,7 +67,12 @@ def allpairs_global(params: Parameters) -> None:
         count_notmatched = 0
         seqcount = db.seqcount
 
+        from ..utils.progress import Progress
+        align_progress = Progress(
+            "Aligning", max(0, seqcount * (seqcount - 1)) // 2, params)
         for query_no in range(seqcount):
+            align_progress.update(align_progress._counter
+                                  + (seqcount - query_no - 1))
             qi = QueryInfo(query_head=db.getheader(query_no),
                            qsequence=db.getsequence(query_no),
                            qseqlen=db.getsequencelen(query_no),
@@ -155,9 +160,11 @@ def allpairs_global(params: Parameters) -> None:
                                                  query_head, qi.qsize,
                                                  count_notmatched)
 
-        if not params.opt_quiet:
-            msg = "Matching unique query sequences: %d of %d" % (qmatches,
-                                                                 seqcount)
-            if seqcount > 0:
-                msg += " (%.2f%%)" % (100.0 * qmatches / seqcount)
-            print(msg, file=sys.stderr)
+        align_progress.done()
+        # reference: allpairs_global.cpp:656-677 — "Matching query
+        # sequences" (no "unique"); the log copy gets an extra blank line
+        from ..utils.progress import message
+        msg = "Matching query sequences: %d of %d" % (qmatches, seqcount)
+        if seqcount > 0:
+            msg += " (%.2f%%)" % (100.0 * qmatches / seqcount)
+        message(params, msg)

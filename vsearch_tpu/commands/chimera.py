@@ -216,7 +216,9 @@ def chimera_command(params: Parameters, command: str) -> None:
                 mask_mod.dust_all(db, params)
             elif params.opt_qmask == Masking.soft and params.opt_hardmask:
                 mask_mod.hardmask_all(db)
-            db.sortbyabundance()
+            db.sortbyabundance(params)
+            from ..utils.progress import phase
+            phase(params, "Counting k-mers")  # chimera.cpp:2558 prepare
             queries = None  # queries come from the db in abundance order
 
         ctx = SearchContext.build(detection, db, index=index)
@@ -294,18 +296,57 @@ def chimera_command(params: Parameters, command: str) -> None:
             if res.status < Status.suspicious and not is_ref:
                 index.add_sequence(denovo_seqno, db, params.opt_qmask)
 
-        if is_ref:
-            for rec in queries:
-                seqlen = len(rec.sequence)
-                handle(rec.header, rec.sequence, rec.abundance, rec.seqno,
-                       None)
-        else:
-            for seqno in range(db.seqcount):
-                handle(db.getheader(seqno), db.getsequence(seqno),
-                       db.getabundance(seqno), seqno, seqno)
+        # log-only parameter block (chimera.cpp:2562-2591)
+        fp_log = getattr(params, "fp_log", None)
+        if fp_log is not None:
+            is_uchime = command in ("uchime_ref", "uchime_denovo",
+                                    "uchime2_denovo", "uchime3_denovo")
+            block = ""
+            if command in ("uchime_ref", "uchime_denovo"):
+                block += "%8.2f  minh\n" % params.opt_minh
+            if is_uchime:
+                block += "%8.2f  xn\n" % params.opt_xn
+                block += "%8.2f  dn\n" % params.opt_dn
+                block += "%8.2f  xa\n" % 1.0
+            if command in ("uchime_ref", "uchime_denovo"):
+                block += "%8.2f  mindiv\n" % params.opt_mindiv
+            block += "%8.2f  id\n" % detection.opt_id
+            if is_uchime:
+                block += "%8d  maxp\n" % 2
+            fp_log.write((block + "\n").encode())
+
+        from ..utils.progress import Progress
+        with Progress("Detecting chimeras",
+                      db.nucleotidecount if not is_ref else 1,
+                      params) as det_prog:
+            if is_ref:
+                for rec in queries:
+                    seqlen = len(rec.sequence)
+                    handle(rec.header, rec.sequence, rec.abundance,
+                           rec.seqno, None)
+                    det_prog.update()
+            else:
+                nt_done = 0
+                for seqno in range(db.seqcount):
+                    handle(db.getheader(seqno), db.getsequence(seqno),
+                           db.getabundance(seqno), seqno, seqno)
+                    nt_done += db.getsequencelen(seqno)
+                    det_prog.update(nt_done)
 
         if not params.opt_quiet:
             _report_summary(stats, is_long)
+
+        # log-only per-file chimera count (chimera.cpp:2731-2753)
+        if fp_log is not None:
+            name = (params.opt_uchime_ref if is_ref
+                    else getattr(params, "opt_" + command))
+            if stats["total"] > 0:
+                fp_log.write(("%s: %d/%d chimeras (%.1f%%)\n" % (
+                    name, stats["chimera"], stats["total"],
+                    100.0 * stats["chimera"] / stats["total"])).encode())
+            else:
+                fp_log.write(("%s: %d/%d chimeras\n" % (
+                    name, stats["chimera"], stats["total"])).encode())
 
 
 def _report_summary(stats, is_long: bool) -> None:

@@ -85,10 +85,10 @@ def cluster_command(params: Parameters, command: str) -> None:
             mask_mod.hardmask_all(db)
 
         if params.opt_cluster_fast is not None:
-            db.sortbylength()
+            db.sortbylength(params)
         elif (params.opt_cluster_size is not None
               or params.opt_cluster_unoise is not None):
-            db.sortbyabundance()
+            db.sortbyabundance(params)
 
         # empty index grown during the run (cluster.cpp:1212)
         index = KmerIndex(params.opt_wordlength)
@@ -172,7 +172,24 @@ def cluster_command(params: Parameters, command: str) -> None:
                                              qi.qsequence, qi.query_head,
                                              qi.qsize, count_notmatched[0])
 
-        engine.run(max(1, params.opt_threads), on_hit, on_nohit)
+        from ..utils.progress import Progress, phase
+        # reference narration: dbindex.prepare's counting pass runs on the
+        # (empty) index before clustering (cluster.cpp:1212, dbindex.cpp:185)
+        phase(params, "Counting k-mers")
+        # log-only index info block (cluster.cpp:1240-1254)
+        if getattr(params, "fp_log", None) is not None:
+            slots = 1 << (2 * params.opt_wordlength)
+            params.fp_log.write(
+                ("\n      Alphabet  nt\n    Word width  %d\n"
+                 "     Word ones  %d\n        Spaced  No\n"
+                 "        Hashed  No\n         Coded  No\n"
+                 "       Stepped  No\n         Slots  %d (%.1fk)\n"
+                 "       DBAccel  100%%\n\n"
+                 % (params.opt_wordlength, params.opt_wordlength, slots,
+                    slots / 1000.0)).encode())
+        with Progress("Clustering", db.nucleotidecount, params) as cprog:
+            engine.run(max(1, params.opt_threads), on_hit, on_nohit,
+                       progress=cprog)
 
         # post-pass (cluster.cpp:1269-1480)
         seqcount = db.seqcount
@@ -184,14 +201,17 @@ def cluster_command(params: Parameters, command: str) -> None:
             cluster_abundance[info.clusterno] += ab
             cluster_size[info.clusterno] += 1
 
-        order = sorted(range(seqcount), key=(
-            (lambda i: (-cluster_abundance[engine.clusterinfo[i].clusterno],
-                        engine.clusterinfo[i].clusterno,
-                        engine.clusterinfo[i].seqno))
-            if params.opt_clusterout_sort else
-            (lambda i: (engine.clusterinfo[i].clusterno,
-                        engine.clusterinfo[i].seqno))))
+        with Progress("Sorting clusters", clusters, params):
+            order = sorted(range(seqcount), key=(
+                (lambda i: (
+                    -cluster_abundance[engine.clusterinfo[i].clusterno],
+                    engine.clusterinfo[i].clusterno,
+                    engine.clusterinfo[i].seqno))
+                if params.opt_clusterout_sort else
+                (lambda i: (engine.clusterinfo[i].clusterno,
+                            engine.clusterinfo[i].seqno))))
 
+        write_progress = Progress("Writing clusters", seqcount, params)
         lastcluster = -1
         fp_clusters = None
         ordinal = 0
@@ -226,19 +246,22 @@ def cluster_command(params: Parameters, command: str) -> None:
                     db.getheader(seqno), db.getabundance(seqno), ordinal)
         if fp_clusters is not None:
             fp_clusters.close()
+        write_progress.done()
 
-        if not params.opt_quiet:
-            if clusters < 1:
-                print("Clusters: 0", file=sys.stderr)
-                print("Singletons: 0", file=sys.stderr)
-            else:
-                singletons = sum(1 for a in cluster_abundance if a == 1)
-                print("Clusters: %d Size min %d, max %d, avg %.1f" % (
+        # reference: cluster.cpp:1426-1470 — identical lines to stderr + log
+        from ..utils.progress import message_both
+        if clusters < 1:
+            message_both(params, "Clusters: 0\nSingletons: 0\n")
+        else:
+            singletons = sum(1 for a in cluster_abundance if a == 1)
+            message_both(
+                params,
+                "Clusters: %d Size min %d, max %d, avg %.1f\n"
+                "Singletons: %d, %.1f%% of seqs, %.1f%% of clusters\n" % (
                     clusters, min(cluster_abundance), max(cluster_abundance),
-                    1.0 * seqcount / clusters), file=sys.stderr)
-                print("Singletons: %d, %.1f%% of seqs, %.1f%% of clusters" % (
-                    singletons, 100.0 * singletons / seqcount,
-                    100.0 * singletons / clusters), file=sys.stderr)
+                    1.0 * seqcount / clusters, singletons,
+                    100.0 * singletons / seqcount,
+                    100.0 * singletons / clusters))
 
         if (params.opt_msaout is not None or params.opt_consout is not None
                 or params.opt_profile is not None):

@@ -23,10 +23,13 @@ def fastq_convert(params: Parameters) -> None:
     if not fastx_io.is_fastq(params.opt_fastq_convert):
         raise ValueError("The input file is not in FASTQ format")
 
-    with open(params.opt_fastqout, "wb") as out:
+    from ..utils.progress import Progress
+    with open(params.opt_fastqout, "wb") as out, \
+            Progress("Reading FASTQ file", 1, params) as prog:
         n = 0
         for rec in fastx_io.read_fastx(params.opt_fastq_convert, params,
                                        truncateatspace=False):
+            prog.update()
             n += 1
             qual = bytearray(rec.quality or b"")
             for i, symbol in enumerate(qual):
@@ -53,10 +56,13 @@ def fasta2fastq(params: Parameters) -> None:
     if params.opt_fastqout is None:
         raise ValueError("No output file specified with --fastqout")
     max_ascii = params.opt_fastq_asciiout + params.opt_fastq_qmaxout
-    with open(params.opt_fastqout, "wb") as out:
+    from ..utils.progress import Progress
+    with open(params.opt_fastqout, "wb") as out, \
+            Progress("Converting FASTA file to FASTQ", 1, params) as prog:
         n = 0
         for rec in fastx_io.read_fastx(params.opt_fasta2fastq, params,
                                        truncateatspace=False):
+            prog.update()
             n += 1
             qual = bytes([max_ascii]) * len(rec.sequence)
             fastx_io.fastq_print_general(out, params, rec.sequence,
@@ -89,8 +95,11 @@ def fastq_join(params: Parameters) -> None:
     fp_fa = open(params.opt_fastaout, "wb") if params.opt_fastaout else None
     fp_fq = open(params.opt_fastqout, "wb") if params.opt_fastqout else None
     total = 0
+    from ..utils.progress import Progress
+    join_progress = Progress("Joining reads", 1, params)
     try:
         for fwd in fwd_iter:
+            join_progress.update()
             try:
                 rev = next(rev_iter)
             except StopIteration:
@@ -117,8 +126,9 @@ def fastq_join(params: Parameters) -> None:
         if fp_fq is not None:
             fp_fq.close()
 
-    if not params.opt_quiet:
-        print("%d pairs joined" % total, file=sys.stderr)
+    join_progress.done()
+    from ..utils.progress import message_both
+    message_both(params, "%d pairs joined\n" % total)
 
 
 def _matching_key(header: bytes, separators: bytes) -> bytes:
@@ -188,21 +198,27 @@ def fastx_syncpairs(params: Parameters) -> None:
             dests.append((fa, fq, (h_fa, h_fq)))
         synced_fwd, synced_rev, orph_fwd, orph_rev = dests
 
+        from ..utils.progress import Progress
         reverse_records = []
         index: Dict[bytes, int] = {}
-        for rec in fastx_io.read_fastx(params.opt_reverse, params,
-                                       truncateatspace=False):
-            key = _matching_key(rec.header, separators)
-            if key in index:
-                raise ValueError("Duplicate read label in reverse file")
-            index[key] = len(reverse_records)
-            reverse_records.append(rec)
+        with Progress("Indexing reverse reads", 1, params) as prog:
+            for rec in fastx_io.read_fastx(params.opt_reverse, params,
+                                           truncateatspace=False):
+                prog.update()
+                key = _matching_key(rec.header, separators)
+                if key in index:
+                    raise ValueError(
+                        "Duplicate read label in reverse file")
+                index[key] = len(reverse_records)
+                reverse_records.append(rec)
 
         used = [False] * len(reverse_records)
         pairs = 0
         orphans_fwd = 0
+        sync_progress = Progress("Synchronizing reads", 1, params)
         for rec in fastx_io.read_fastx(params.opt_fastx_syncpairs, params,
                                        truncateatspace=False):
+            sync_progress.update()
             key = _matching_key(rec.header, separators)
             pos = index.get(key)
             if pos is None:
@@ -216,6 +232,7 @@ def fastx_syncpairs(params: Parameters) -> None:
                 write(synced_fwd, rec, pairs)
                 write(synced_rev, reverse_records[pos], pairs)
 
+        sync_progress.done()
         orphans_rev = 0
         for pos, rec in enumerate(reverse_records):
             if not used[pos]:
@@ -225,6 +242,7 @@ def fastx_syncpairs(params: Parameters) -> None:
         for h in opened:
             h.close()
 
-    if not params.opt_quiet:
-        print("%d pairs synchronized, %d forward and %d reverse orphan reads"
-              % (pairs, orphans_fwd, orphans_rev), file=sys.stderr)
+    from ..utils.progress import message_both
+    message_both(params,
+                 "%d pairs synchronized, %d forward and %d reverse orphan "
+                 "reads\n" % (pairs, orphans_fwd, orphans_rev))

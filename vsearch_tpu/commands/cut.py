@@ -53,9 +53,12 @@ def cut(params: Parameters) -> None:
 
     n_cut = n_uncut = n_matches = 0
     frag_no = frag_rev_no = disc_no = disc_rev_no = 0
+    from ..utils.progress import Progress
+    cut_progress = Progress("Cutting sequences", 1, params)
     try:
         for rec in fastx_io.read_fastx(params.opt_cut, params,
                                        truncateatspace=False):
+            cut_progress.update()
             seq = rec.sequence
             slen = len(seq)
             seq4 = CHRMAP_4BIT[np.frombuffer(seq, dtype=np.uint8)]
@@ -117,9 +120,13 @@ def cut(params: Parameters) -> None:
             if h is not None:
                 h.close()
 
+    # reference quirk (cut.cpp:451-466): the summary is printed while the
+    # "Cutting sequences" progress is still open, so the " 100%" tail lands
+    # after the summary line
     msg = ("%d sequence(s) cut %d times, %d sequence(s) never cut.\n"
            % (n_cut, n_matches, n_uncut))
     if not params.opt_quiet:
         sys.stderr.write(msg)
+    cut_progress.done()
     if params.fp_log is not None:
         params.fp_log.write(msg.encode())

@@ -74,14 +74,21 @@ def derep(params: Parameters, command: str) -> None:
             raise ValueError("Output file for dereplication must be "
                              "specified with --output or --uc")
 
+    from ..utils.progress import Progress, message_both
+
     table: Dict[bytes, _Cluster] = {}
     clusters: List[_Cluster] = []
     sequencecount = 0
+    nucleotidecount = 0
+    shortest_len = None
+    longest_len = 0
     sumsize = 0
     maxsize = 0
     discarded_short = discarded_long = 0
 
+    read_progress = Progress("Dereplicating file %s" % filename, 1, params)
     for rec in fastx_io.read_fastx(filename, params):
+        read_progress.update()
         seqlen = len(rec.sequence)
         if seqlen < params.opt_minseqlength:
             discarded_short += 1
@@ -89,6 +96,10 @@ def derep(params: Parameters, command: str) -> None:
         if seqlen > params.opt_maxseqlength:
             discarded_long += 1
             continue
+        nucleotidecount += seqlen
+        longest_len = max(longest_len, seqlen)
+        shortest_len = (seqlen if shortest_len is None
+                        else min(shortest_len, seqlen))
         seq_norm = normalize(rec.sequence)
         key = seq_norm + (b"\x00" + rec.header if use_header else b"")
         abundance = rec.abundance if params.opt_sizein else 1
@@ -127,28 +138,60 @@ def derep(params: Parameters, command: str) -> None:
         maxsize = max(maxsize, cluster.size)
         sequencecount += 1
 
-    # sort: abundance desc, label asc, first-seen asc (derep_compare_full)
-    clusters.sort(key=lambda c: (-c.size, c.header, c.seqno_first))
+    read_progress.done()
 
+    # read summary — quirk: derep's "nt in" log copy has NO extra blank line
+    # (derep.cpp:639-659), unlike db.cpp's; the discarded ones do (:671,:689)
+    if sequencecount > 0:
+        message_both(params,
+                     "%d nt in %d seqs, min %d, max %d, avg %.0f\n" % (
+                         nucleotidecount, sequencecount, shortest_len,
+                         longest_len, nucleotidecount / sequencecount))
+    else:
+        message_both(params, "%d nt in %d seqs\n" % (nucleotidecount,
+                                                     sequencecount))
+    for label, limit, count in (
+            ("minseqlength", params.opt_minseqlength, discarded_short),
+            ("maxseqlength", params.opt_maxseqlength, discarded_long)):
+        if count:
+            text = "%s %d: %d %s discarded.\n" % (
+                label, limit, count,
+                "sequence" if count == 1 else "sequences")
+            if not params.opt_quiet:
+                sys.stderr.write(text)
+            if getattr(params, "fp_log", None) is not None:
+                params.fp_log.write((text + "\n").encode())
+
+    # sort: abundance desc, label asc, first-seen asc (derep_compare_full)
+    with Progress("Sorting", 1, params):
+        clusters.sort(key=lambda c: (-c.size, c.header, c.seqno_first))
+
+    n = len(clusters)
+    if n < 1:
+        summary = "0 unique sequences"
+    else:
+        sizes = [c.size for c in clusters]
+        mid = n // 2
+        median = (float(sizes[mid]) if n % 2 else
+                  sizes[mid] + (sizes[mid - 1] - sizes[mid]) * 0.5)
+        summary = ("%d unique sequences, avg cluster %.1f, median %.0f, "
+                   "max %d" % (n, sumsize / n, median, maxsize))
     if not params.opt_quiet:
-        n = len(clusters)
-        if n < 1:
-            print("0 unique sequences", file=sys.stderr)
-        else:
-            sizes = [c.size for c in clusters]
-            mid = n // 2
-            median = (float(sizes[mid]) if n % 2 else
-                      sizes[mid] + (sizes[mid - 1] - sizes[mid]) * 0.5)
-            print("%d unique sequences, avg cluster %.1f, median %.0f, max %d"
-                  % (n, sumsize / n, median, maxsize), file=sys.stderr)
+        sys.stderr.write(summary + "\n")
+    if getattr(params, "fp_log", None) is not None:
+        params.fp_log.write((summary + "\n\n").encode())
 
     def selected(c: _Cluster) -> bool:
         return params.opt_minuniquesize <= c.size <= params.opt_maxuniquesize
 
+    n_selected = sum(1 for c in clusters if selected(c))
+
     if out_fasta is not None:
-        with open(out_fasta, "wb") as out:
+        with open(out_fasta, "wb") as out, \
+                Progress("Writing FASTA output file", n, params) as prog:
             relabel_count = 0
             for c in clusters:
+                prog.update()
                 if selected(c):
                     relabel_count += 1
                     fastx_io.fasta_print_general(out, params, c.seq, c.header,
@@ -157,9 +200,11 @@ def derep(params: Parameters, command: str) -> None:
                         break
 
     if is_uniques and params.opt_fastqout is not None:
-        with open(params.opt_fastqout, "wb") as out:
+        with open(params.opt_fastqout, "wb") as out, \
+                Progress("Writing FASTQ output file", n, params) as prog:
             relabel_count = 0
             for c in clusters:
+                prog.update()
                 if selected(c):
                     relabel_count += 1
                     fastx_io.fastq_print_general(out, params, c.seq, c.header,
@@ -170,20 +215,27 @@ def derep(params: Parameters, command: str) -> None:
 
     if params.opt_uc is not None:
         with open(params.opt_uc, "wb") as out:
-            for i, c in enumerate(clusters):
-                out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
-                          % (i, len(c.seq), c.header))
-                for header, strand in zip(c.members, c.strands):
-                    out.write(b"H\t%d\t%d\t%s\t%s\t0\t0\t*\t%s\t%s\n"
-                              % (i, len(c.seq), b"100.0",
-                                 b"-" if strand else b"+", header, c.header))
-            for i, c in enumerate(clusters):
-                out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
-                          % (i, c.size, c.header))
+            with Progress("Writing uc file, first part", n, params) as prog:
+                for i, c in enumerate(clusters):
+                    prog.update()
+                    out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                              % (i, len(c.seq), c.header))
+                    for header, strand in zip(c.members, c.strands):
+                        out.write(b"H\t%d\t%d\t%s\t%s\t0\t0\t*\t%s\t%s\n"
+                                  % (i, len(c.seq), b"100.0",
+                                     b"-" if strand else b"+", header,
+                                     c.header))
+            with Progress("Writing uc file, second part", n, params) as prog:
+                for i, c in enumerate(clusters):
+                    prog.update()
+                    out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                              % (i, c.size, c.header))
 
     if is_uniques and params.opt_tabbedout is not None:
-        with open(params.opt_tabbedout, "wb") as out:
+        with open(params.opt_tabbedout, "wb") as out, \
+                Progress("Writing tab separated file", n, params) as _prog:
             for i, c in enumerate(clusters):
+                _prog.update()
                 if params.opt_relabel is not None:
                     label = params.opt_relabel.encode() + b"%d" % (i + 1)
                     out.write(b"%s\t%s\t%d\t%d\t%d\t%s\n" % (
@@ -197,6 +249,15 @@ def derep(params: Parameters, command: str) -> None:
                     for j, header in enumerate(c.members, 1):
                         out.write(b"%s\t%s\t%d\t%d\t%d\t%s\n" % (
                             header, c.header, i, j, c.count, c.header))
+
+    # reference: derep.cpp:898-918 — discard summary after all writers
+    if n_selected < n:
+        text = "%d uniques written, %d clusters discarded (%.1f%%)" % (
+            n_selected, n - n_selected, 100.0 * (n - n_selected) / n)
+        if not params.opt_quiet:
+            sys.stderr.write(text + "\n")
+        if getattr(params, "fp_log", None) is not None:
+            params.fp_log.write((text + "\n\n").encode())
 
 
 def derep_prefix(params: Parameters) -> None:
@@ -212,7 +273,7 @@ def derep_prefix(params: Parameters) -> None:
     from ..db import Database
     db = Database()
     db.read(params.opt_derep_prefix, params)
-    db.sortbylength_shortest_first()
+    db.sortbylength_shortest_first(params)
 
     len_shortest = db.shortest if db.seqcount else 0
 
@@ -226,12 +287,15 @@ def derep_prefix(params: Parameters) -> None:
             self.size = size
             self.members = []  # seqnos after the representative, chain order
 
+    from ..utils.progress import Progress
     table: Dict[bytes, PCluster] = {}
     clusters: List[PCluster] = []
     sumsize = 0
     maxsize = 0
 
+    derep_progress = Progress("Dereplicating", db.seqcount, params)
     for i in range(db.seqcount):
+        derep_progress.update()
         norm = normalize(db.getsequence(i))
         abundance = db.getabundance(i) if params.opt_sizein else 1
         sumsize += abundance
@@ -267,31 +331,38 @@ def derep_prefix(params: Parameters) -> None:
             clusters.append(new)
             maxsize = max(maxsize, new.size)
 
+    derep_progress.done()
+
     # sort: size desc, header asc, seqno_first asc (derep_compare_prefix)
-    clusters.sort(key=lambda c: (-c.size, db.getheader(c.seqno_first),
-                                 c.seqno_first))
+    with Progress("Sorting", 1, params):
+        clusters.sort(key=lambda c: (-c.size, db.getheader(c.seqno_first),
+                                     c.seqno_first))
     n = len(clusters)
 
-    if not params.opt_quiet:
-        if n < 1:
-            print("0 unique sequences", file=sys.stderr)
+    if n < 1:
+        summary = "0 unique sequences"
+    else:
+        if n % 2 != 0:
+            median = float(clusters[(n - 1) // 2].size)
         else:
-            if n % 2 != 0:
-                median = float(clusters[(n - 1) // 2].size)
-            else:
-                median = (clusters[n // 2 - 1].size
-                          + clusters[n // 2].size) / 2.0
-            print("%d unique sequences, avg cluster %.1f, median %.0f, "
-                  "max %d" % (n, sumsize / n, median, maxsize),
-                  file=sys.stderr)
+            median = (clusters[n // 2 - 1].size
+                      + clusters[n // 2].size) / 2.0
+        summary = ("%d unique sequences, avg cluster %.1f, median %.0f, "
+                   "max %d" % (n, sumsize / n, median, maxsize))
+    if not params.opt_quiet:
+        sys.stderr.write(summary + "\n")
+    if getattr(params, "fp_log", None) is not None:
+        params.fp_log.write((summary + "\n\n").encode())
 
     def selected(c) -> bool:
         return params.opt_minuniquesize <= c.size <= params.opt_maxuniquesize
 
     if params.opt_output is not None:
-        with open(params.opt_output, "wb") as out:
+        with open(params.opt_output, "wb") as out, \
+                Progress("Writing output file", n, params) as _wprog:
             relabel_count = 0
             for c in clusters:
+                _wprog.update()
                 if selected(c):
                     relabel_count += 1
                     fastx_io.fasta_print_general(
@@ -302,18 +373,22 @@ def derep_prefix(params: Parameters) -> None:
 
     if params.opt_uc is not None:
         with open(params.opt_uc, "wb") as out:
-            for i, c in enumerate(clusters):
-                rep_head = db.getheader(c.seqno_first)
-                rep_len = db.getsequencelen(c.seqno_first)
-                out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
-                          % (i, rep_len, rep_head))
-                for next_seqno in c.members:
-                    out.write(b"H\t%d\t%d\t100.0\t+\t0\t0\t*\t%s\t%s\n"
-                              % (i, db.getsequencelen(next_seqno),
-                                 db.getheader(next_seqno), rep_head))
-            for i, c in enumerate(clusters):
-                out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
-                          % (i, c.size, db.getheader(c.seqno_first)))
+            with Progress("Writing uc file, first part", n, params) as prog:
+                for i, c in enumerate(clusters):
+                    prog.update()
+                    rep_head = db.getheader(c.seqno_first)
+                    rep_len = db.getsequencelen(c.seqno_first)
+                    out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                              % (i, rep_len, rep_head))
+                    for next_seqno in c.members:
+                        out.write(b"H\t%d\t%d\t100.0\t+\t0\t0\t*\t%s\t%s\n"
+                                  % (i, db.getsequencelen(next_seqno),
+                                     db.getheader(next_seqno), rep_head))
+            with Progress("Writing uc file, second part", n, params) as prog:
+                for i, c in enumerate(clusters):
+                    prog.update()
+                    out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                              % (i, c.size, db.getheader(c.seqno_first)))
 
 
 def derep_smallmem(params: Parameters) -> None:
@@ -321,6 +396,7 @@ def derep_smallmem(params: Parameters) -> None:
     keyed by sequence identity only (the reference matches 128-bit CityHash
     values; byte-exact keys are a strict superset of that behavior), output
     in order of first appearance."""
+    from ..utils.progress import Progress
     if params.opt_fastaout is None:
         raise ValueError(
             "Output file for dereplication must be specified with --fastaout")
@@ -340,7 +416,9 @@ def derep_smallmem(params: Parameters) -> None:
             if params.opt_strand else None
         return norm, rc
 
+    _rprog = Progress("Dereplicating file %s" % params.opt_derep_smallmem, 1, params)
     for rec in fastx_io.read_fastx(params.opt_derep_smallmem, params):
+        _rprog.update()
         seqlen = len(rec.sequence)
         if seqlen < params.opt_minseqlength:
             discarded_short += 1
@@ -360,6 +438,7 @@ def derep_smallmem(params: Parameters) -> None:
         sizes[key] = sizes.get(key, 0) + ab
         maxsize = max(maxsize, sizes[key])
         sequencecount += 1
+    _rprog.done()
 
     clusters = len(sizes)
 
@@ -400,8 +479,10 @@ def derep_smallmem(params: Parameters) -> None:
         params.fp_log.write(buf.getvalue().encode())
 
     selected = 0
+    _wprog = Progress("Writing FASTA output file", 1, params)
     with open(params.opt_fastaout, "wb") as out:
         for rec in fastx_io.read_fastx(params.opt_derep_smallmem, params):
+            _wprog.update()
             seqlen = len(rec.sequence)
             if not (params.opt_minseqlength <= seqlen
                     <= params.opt_maxseqlength):
@@ -418,6 +499,7 @@ def derep_smallmem(params: Parameters) -> None:
                     fastx_io.fasta_print_general(out, params, rec.sequence,
                                                  rec.header, size, selected)
                 sizes[key] = -1
+    _wprog.done()
 
     if selected < clusters:
         msg = "%d uniques written, %d clusters discarded (%.1f%%)\n" % (

@@ -45,8 +45,11 @@ def fastx_mask(params: Parameters) -> None:
         elif params.opt_qmask == Masking.soft and params.opt_hardmask:
             mask_mod.hardmask_all(db)
 
+        from ..utils.progress import Progress, message_both
         kept = 0
+        wprog = Progress("Writing output", db.seqcount, params)
         for i in range(db.seqcount):
+            wprog.update()
             seq = db.getsequence(i)
             length = len(seq)
             if params.opt_qmask == Masking.none:
@@ -70,6 +73,8 @@ def fastx_mask(params: Parameters) -> None:
                                              db.getheader(i),
                                              db.getquality(i) or b"",
                                              db.getabundance(i), kept)
+        wprog.done()
+        message_both(params, "%d sequences kept\n" % kept)
 
 
 def maskfasta(params: Parameters) -> None:
@@ -82,10 +87,13 @@ def maskfasta(params: Parameters) -> None:
             mask_mod.dust_all(db, params)
         elif params.opt_qmask == Masking.soft and params.opt_hardmask:
             mask_mod.hardmask_all(db)
-        for i in range(db.seqcount):
-            fastx_io.fasta_print_general(out, params, db.getsequence(i),
-                                         db.getheader(i), db.getabundance(i),
-                                         i + 1)
+        from ..utils.progress import Progress
+        with Progress("Writing output", db.seqcount, params) as prog:
+            for i in range(db.seqcount):
+                prog.update()
+                fastx_io.fasta_print_general(out, params, db.getsequence(i),
+                                             db.getheader(i),
+                                             db.getabundance(i), i + 1)
 
 
 def fastx_revcomp(params: Parameters) -> None:
@@ -99,9 +107,14 @@ def fastx_revcomp(params: Parameters) -> None:
     with ExitStack() as stack:
         fp_fastaout = _open(stack, params.opt_fastaout)
         fp_fastqout = _open(stack, params.opt_fastqout)
+        from ..utils.progress import Progress
         count = 0
+        rc_progress = Progress(
+            "Reading FASTQ file" if is_fq else "Reading FASTA file", 1,
+            params)
         for rec in fastx_io.read_fastx(params.opt_fastx_revcomp, params,
                                        truncateatspace=False):
+            rc_progress.update()
             count += 1
             seq = reverse_complement(rec.sequence)
             qual = rec.quality[::-1] if rec.quality is not None else None
@@ -113,6 +126,7 @@ def fastx_revcomp(params: Parameters) -> None:
                 fastx_io.fastq_print_general(fp_fastqout, params, seq,
                                              rec.header, qual or b"",
                                              rec.abundance, count)
+        rc_progress.done()
 
 
 def rereplicate(params: Parameters) -> None:
@@ -123,7 +137,10 @@ def rereplicate(params: Parameters) -> None:
         n_amplicons = 0
         n_reads = 0
         missing = False
+        from ..utils.progress import Progress
+        rprog = Progress("Rereplicating", 1, params)
         for rec in fastx_io.read_fastx(params.opt_rereplicate, params):
+            rprog.update()
             n_amplicons += 1
             abundance = header_get_size(rec.header)
             if abundance == 0:
@@ -133,12 +150,14 @@ def rereplicate(params: Parameters) -> None:
                 n_reads += 1
                 fastx_io.fasta_print_general(out, params, rec.sequence,
                                              rec.header, 1, n_reads)
-        if not params.opt_quiet:
-            if missing:
-                print("WARNING: Missing abundance information for some "
-                      "input sequences, assumed 1", file=sys.stderr)
-            print("Rereplicated %d reads from %d amplicons"
-                  % (n_reads, n_amplicons), file=sys.stderr)
+        rprog.done()
+        from ..utils.progress import message_both
+        if missing:
+            message_both(params,
+                         "WARNING: Missing abundance information for some "
+                         "input sequences, assumed 1\n")
+        message_both(params, "Rereplicated %d reads from %d amplicons\n"
+                     % (n_reads, n_amplicons))
 
 
 def fastx_subsample(params: Parameters) -> None:
@@ -159,9 +178,9 @@ def fastx_subsample(params: Parameters) -> None:
     mass_total = sum(original)
     subsampled = [0] * db.seqcount
 
-    if not params.opt_quiet:
-        print("Got %d reads from %d amplicons" % (mass_total, db.seqcount),
-              file=sys.stderr)
+    from ..utils.progress import Progress, message_both
+    message_both(params, "Got %d reads from %d amplicons\n"
+                 % (mass_total, db.seqcount))
 
     if params.opt_sample_size != 0:
         n_reads = params.opt_sample_size
@@ -174,6 +193,7 @@ def fastx_subsample(params: Parameters) -> None:
     # random_subsampling (:221-263): one uniform draw per read slot, loop
     # exits as soon as the requested count is reached (RNG-stream exact)
     gen = MT19937_64(random_base_seed(params))
+    subsample_progress = Progress("Subsampling", mass_total, params)
     n_reads_left = n_reads
     amplicon_number = 0
     n_read_being_checked = 0
@@ -191,6 +211,8 @@ def fastx_subsample(params: Parameters) -> None:
             if amplicon_number < db.seqcount:
                 amplicon_mass = original[amplicon_number]
             accumulated_mass = 0
+
+    subsample_progress.done()
 
     def write_deck(deck, fp_fasta, fp_fastq):
         printed = 0
@@ -214,12 +236,21 @@ def fastx_subsample(params: Parameters) -> None:
         fp_fastqout = _open(stack, params.opt_fastqout)
         fp_fastaout_d = _open(stack, params.opt_fastaout_discarded)
         fp_fastqout_d = _open(stack, params.opt_fastqout_discarded)
-        write_deck(subsampled, fp_fastaout, fp_fastqout)
+        if fp_fastaout is not None:
+            with Progress("Writing fasta output", 1, params):
+                write_deck(subsampled, fp_fastaout, None)
+        if fp_fastqout is not None:
+            with Progress("Writing fastq output", 1, params):
+                write_deck(subsampled, None, fp_fastqout)
         if fp_fastaout_d is not None or fp_fastqout_d is not None:
             discarded = [o - s for o, s in zip(original, subsampled)]
-            write_deck(discarded, fp_fastaout_d, fp_fastqout_d)
+            if fp_fastaout_d is not None:
+                with Progress("Writing fasta output", 1, params):
+                    write_deck(discarded, fp_fastaout_d, None)
+            if fp_fastqout_d is not None:
+                with Progress("Writing fastq output", 1, params):
+                    write_deck(discarded, None, fp_fastqout_d)
 
-    if not params.opt_quiet:
-        samples = sum(1 for s in subsampled if s)
-        print("Subsampled %d reads from %d amplicons" % (n_reads, samples),
-              file=sys.stderr)
+    samples = sum(1 for s in subsampled if s)
+    message_both(params, "Subsampled %d reads from %d amplicons\n"
+                 % (n_reads, samples))

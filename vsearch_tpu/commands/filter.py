@@ -172,8 +172,11 @@ def filter_command(params: Parameters, command: str) -> None:
         truncated = 0
 
         # filter reads with truncateatspace=False (filter.cpp:358)
+        from ..utils.progress import Progress
+        read_progress = Progress("Reading input file", 1, params)
         for rec1 in fastx_io.read_fastx(filename, params,
                                         truncateatspace=False):
+            read_progress.update()
             rec2 = None
             if reverse_reader is not None:
                 try:
@@ -210,7 +213,8 @@ def filter_command(params: Parameters, command: str) -> None:
                 if rec2 is not None:
                     emit(fp_fastaout_rev, fp_fastqout_rev, rec2, res2, kept)
 
-        if not params.opt_quiet:
-            print("%d sequences kept (of which %d truncated), %d sequences "
-                  "discarded." % (kept, truncated, discarded),
-                  file=sys.stderr)
+        read_progress.done()
+        from ..utils.progress import message_both
+        message_both(params,
+                     "%d sequences kept (of which %d truncated), %d "
+                     "sequences discarded.\n" % (kept, truncated, discarded))

@@ -136,8 +136,11 @@ def getseq(params: Parameters, command: str) -> None:
 
     kept = 0
     discarded = 0
+    from ..utils.progress import Progress
+    extract_progress = Progress("Extracting sequences", 1, params)
     try:
         for rec in fastx_io.read_fastx(filename, params):
+            extract_progress.update()
             if _match(rec.header, params, labels):
                 kept += 1
                 start, end = 1, len(rec.sequence)
@@ -172,6 +175,8 @@ def getseq(params: Parameters, command: str) -> None:
         for h in (fp_fa, fp_fq, fp_nm, fp_nmfq):
             if h is not None:
                 h.close()
+
+    extract_progress.done()
 
     def report(out) -> None:
         total = kept + discarded

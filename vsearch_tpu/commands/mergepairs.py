@@ -87,7 +87,10 @@ def fastq_mergepairs(params: Parameters) -> None:
                  "sum_errors_fwd": 0, "sum_errors_rev": 0}
         failed = {r: 0 for r, _ in FAILURE_LABELS}
 
+        from ..utils.progress import Progress
+        merge_progress = Progress("Merging reads", 1, params)
         for fwd in fwd_reader:
+            merge_progress.update()
             try:
                 rev = next(rev_reader)
             except StopIteration:
@@ -156,7 +159,16 @@ def fastq_mergepairs(params: Parameters) -> None:
                         pair.rev_header, pair.rev_abundance,
                         stats["notmerged"])
 
-        if not params.opt_quiet:
+        merge_progress.done()
+        # reference: fastq_mergepairs.cpp:1059-1064 — stats go to the
+        # log when open, otherwise to stderr (exclusive, not duplicated)
+        fp_log = getattr(params, "fp_log", None)
+        if fp_log is not None:
+            import io as _io
+            buf = _io.StringIO()
+            print_stats(stats, failed, buf)
+            fp_log.write(buf.getvalue().encode())
+        else:
             print_stats(stats, failed, sys.stderr)
 
 

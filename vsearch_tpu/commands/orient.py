@@ -76,7 +76,10 @@ def orient(params: Parameters) -> None:
         fp_notmatched = _open(stack, params.opt_notmatched)
         fp_tabbedout = _open(stack, params.opt_tabbedout)
 
+        from ..utils.progress import Progress, message_both
+        orient_progress = Progress("Orienting sequences", 1, params)
         for rec in fastx_io.read_fastx(params.opt_orient, params):
+            orient_progress.update()
             kmers = kmer_ops.unique_kmers(rec.sequence, w, params.opt_qmask)
             hits_fwd = matchcounts[kmers.astype(np.int64)]
             hits_rev = matchcounts[rc[kmers.astype(np.int64)]]
@@ -126,20 +129,21 @@ def orient(params: Parameters) -> None:
                         ord("-") if strand == 1 else ord("?")),
                     count_fwd, count_rev))
 
-        if not params.opt_quiet:
-            q = stats["queries"]
+        orient_progress.done()
+        # reference: orient.cpp:470-527 — identical block to stderr and log
+        q = stats["queries"]
 
-            def pct(x):
-                return " (%.2f%%)" % (100.0 * x / q) if q > 0 else ""
-            print("Forward oriented sequences: %d%s" % (stats["fwd"],
-                                                        pct(stats["fwd"])),
-                  file=sys.stderr)
-            print("Reverse oriented sequences: %d%s" % (stats["rev"],
-                                                        pct(stats["rev"])),
-                  file=sys.stderr)
-            print("All oriented sequences:     %d%s" % (
-                stats["fwd"] + stats["rev"], pct(stats["fwd"] + stats["rev"])),
-                file=sys.stderr)
-            print("Not oriented sequences:     %d%s" % (
-                stats["notmatched"], pct(stats["notmatched"])),
-                file=sys.stderr)
+        def pct(x):
+            return " (%.2f%%)" % (100.0 * x / q) if q > 0 else ""
+        message_both(
+            params,
+            "Forward oriented sequences: %d%s\n"
+            "Reverse oriented sequences: %d%s\n"
+            "All oriented sequences:     %d%s\n"
+            "Not oriented sequences:     %d%s\n"
+            "Total number of sequences:  %d\n" % (
+                stats["fwd"], pct(stats["fwd"]),
+                stats["rev"], pct(stats["rev"]),
+                stats["fwd"] + stats["rev"],
+                pct(stats["fwd"] + stats["rev"]),
+                stats["notmatched"], pct(stats["notmatched"]), q))

@@ -106,8 +106,19 @@ class ExactSearchContext:
 
 def search_exact(params: Parameters) -> None:
     from .usearch_global import run_search_output
+    from ..core import mask as mask_mod
+    from ..params import Masking
+    from ..utils.progress import phase
     db = Database()
     # search_exact loads the db with upcase (search_exact.cpp prep)
     db.read(params.opt_db, params)
+    # db masking before hashing (reference: search_exact.cpp:645-651);
+    # hardmask changes the hashed bytes, dust-soft does not (normalize
+    # upcases) but the narration still shows the phase
+    if params.opt_dbmask == Masking.dust:
+        mask_mod.dust_all(db, params)
+    elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
+        mask_mod.hardmask_all(db)
+    phase(params, "Hashing database sequences")
     ctx = ExactSearchContext(params, db)
     run_search_output(params, db, ctx, params.opt_search_exact)

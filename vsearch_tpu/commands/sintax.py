@@ -148,7 +148,10 @@ def sintax(params: Parameters) -> None:
 
     with ExitStack() as stack:
         out = stack.enter_context(open(params.opt_tabbedout, "wb"))
+        from ..utils.progress import Progress
+        classify_progress = Progress("Classifying sequences", 1, params)
         for rec in fastx_io.read_fastx(params.opt_sintax, params):
+            classify_progress.update()
             rng = SplitMix64(random_substream_seed(base_seed, rec.seqno))
             strands = 2 if params.opt_strand else 1
             all_seqno = [[], []]
@@ -189,10 +192,11 @@ def sintax(params: Parameters) -> None:
             _analyse(params, db, out, rec.header, best_strand,
                      all_seqno[best_strand], stats)
 
-        if not params.opt_quiet:
-            msg = "Classified %d of %d sequences" % (stats["classified"],
-                                                     stats["queries"])
-            if stats["queries"] > 0:
-                msg += " (%.2f%%)" % (100.0 * stats["classified"]
-                                      / stats["queries"])
-            print(msg, file=sys.stderr)
+        classify_progress.done()
+        from ..utils.progress import message_both
+        msg = "Classified %d of %d sequences" % (stats["classified"],
+                                                 stats["queries"])
+        if stats["queries"] > 0:
+            msg += " (%.2f%%)" % (100.0 * stats["classified"]
+                                  / stats["queries"])
+        message_both(params, msg + "\n")

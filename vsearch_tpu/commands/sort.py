@@ -12,6 +12,7 @@ from ..params import Parameters
 from ..db import Database
 from ..io import fastx as fastx_io
 from ..utils.random import MT19937_64, random_base_seed, random_shuffle
+from ..utils.progress import Progress, message_both, phase
 
 
 def _print_db_relabel(out, params: Parameters, db, seqno: int,
@@ -31,8 +32,7 @@ def _median_msg(sizes: List[int], params: Parameters) -> None:
             median = float(sizes[mid])
         else:
             median = sizes[mid] + (sizes[mid - 1] - sizes[mid]) * 0.5
-    if not params.opt_quiet:
-        print("Median abundance: %.0f" % median, file=sys.stderr)
+    message_both(params, "Median abundance: %.0f\n" % median)
 
 
 def sortbysize(params: Parameters) -> None:
@@ -40,13 +40,17 @@ def sortbysize(params: Parameters) -> None:
     minsize/maxsize, stable sort by (size desc, label asc), topn cut."""
     db = Database()
     db.read(params.opt_sortbysize, params)
+    phase(params, "Getting sizes")
     deck = [i for i in range(db.seqcount)
             if params.opt_minsize <= db.getabundance(i) <= params.opt_maxsize]
-    deck.sort(key=lambda i: (-db.getabundance(i), db.getheader(i), i))
+    with Progress("Sorting", 1, params):
+        deck.sort(key=lambda i: (-db.getabundance(i), db.getheader(i), i))
     _median_msg([db.getabundance(i) for i in deck], params)
     deck = deck[:params.opt_topn]
-    with open(params.opt_output, "wb") as out:
+    with open(params.opt_output, "wb") as out, \
+            Progress("Writing output", len(deck), params) as prog:
         for ordinal, seqno in enumerate(deck, 1):
+            prog.update()
             _print_db_relabel(out, params, db, seqno, ordinal)
 
 
@@ -55,12 +59,25 @@ def sortbylength(params: Parameters) -> None:
     label asc), topn cut (no min/max size filter)."""
     db = Database()
     db.read(params.opt_sortbylength, params)
+    phase(params, "Getting lengths")
     deck = list(range(db.seqcount))
-    deck.sort(key=lambda i: (-db.getsequencelen(i), -db.getabundance(i),
-                             db.getheader(i), i))
+    with Progress("Sorting", 1, params):
+        deck.sort(key=lambda i: (-db.getsequencelen(i), -db.getabundance(i),
+                                 db.getheader(i), i))
+    # median of deck lengths (sortbylength.cpp:137-173)
+    lens = [db.getsequencelen(i) for i in deck]
+    if not lens:
+        median = 0.0
+    else:
+        mid = len(lens) // 2
+        median = (float(lens[mid]) if len(lens) % 2 else
+                  lens[mid] + (lens[mid - 1] - lens[mid]) * 0.5)
+    message_both(params, "Median length: %.0f\n" % median)
     deck = deck[:params.opt_topn]
-    with open(params.opt_output, "wb") as out:
+    with open(params.opt_output, "wb") as out, \
+            Progress("Writing output", len(deck), params) as prog:
         for ordinal, seqno in enumerate(deck, 1):
+            prog.update()
             _print_db_relabel(out, params, db, seqno, ordinal)
 
 
@@ -70,8 +87,11 @@ def shuffle(params: Parameters) -> None:
     db.read(params.opt_shuffle, params)
     deck = list(range(db.seqcount))
     gen = MT19937_64(random_base_seed(params))
-    random_shuffle(deck, gen)
+    with Progress("Shuffling", 1, params):
+        random_shuffle(deck, gen)
     deck = deck[:params.opt_topn]
-    with open(params.opt_output, "wb") as out:
+    with open(params.opt_output, "wb") as out, \
+            Progress("Writing output", len(deck), params) as prog:
         for ordinal, seqno in enumerate(deck, 1):
+            prog.update()
             _print_db_relabel(out, params, db, seqno, ordinal)

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..params import Parameters
 from ..io import fastx as fastx_io
+from ..utils.progress import Progress
 
 
 def _q2p(q: float) -> float:
@@ -32,6 +33,7 @@ def fastq_chars(params: Parameters) -> None:
     qmin_n, qmax_n = 255, 0
     tail_len = params.opt_fastq_tail
 
+    _prog = Progress("Reading FASTQ file", 1, params)
     for rec in fastx_io.read_fastx(params.opt_fastq_chars, params,
                                    truncateatspace=False, upcase=True):
         seq = np.frombuffer(rec.sequence, dtype=np.uint8)
@@ -59,6 +61,7 @@ def fastq_chars(params: Parameters) -> None:
             if (tail == qual[-1]).all():
                 tail_chars[qual[-1]] += 1
 
+    _prog.done()
     nz = np.flatnonzero(qual_chars)
     qmin = int(nz[0]) if len(nz) else 0
     qmax = int(nz[-1]) if len(nz) else 0
@@ -135,6 +138,7 @@ def fastq_stats(params: Parameters) -> None:
     q_length_table = np.zeros((size, 4), dtype=np.int64)
     sumee_length_table = np.zeros(size, dtype=np.float64)
 
+    _prog = Progress("Reading FASTQ file", 1, params)
     for rec in fastx_io.read_fastx(params.opt_fastq_stats, params,
                                    truncateatspace=False, upcase=True):
         length = len(rec.sequence)
@@ -170,6 +174,7 @@ def fastq_stats(params: Parameters) -> None:
         for k, thr in enumerate(ee_thresholds):
             ee_length_table[:length, k] += ee <= thr
 
+    _prog.done()
     nz = np.flatnonzero(read_length_table)
     len_min = int(nz[0]) if len(nz) else 0
     len_max = int(nz[-1]) if len(nz) else 0
@@ -309,6 +314,7 @@ def fastq_eestats(params: Parameters) -> None:
     sum_ee = np.zeros(0, dtype=np.float64)
     sum_pe = np.zeros(0, dtype=np.float64)
 
+    _prog = Progress("Reading FASTQ file", 1, params)
     for rec in fastx_io.read_fastx(params.opt_fastq_eestats, params,
                                    truncateatspace=False, upcase=True):
         seq_count += 1
@@ -341,6 +347,7 @@ def fastq_eestats(params: Parameters) -> None:
             h = ee_hist[i]
             h[int(b)] = h.get(int(b), 0) + 1
 
+    _prog.done()
     def quantiles_from_hist(items, reads):
         """(value, count) ascending -> (min, low, med, hi, max)."""
         mn = lo = md = hi = mx = -1.0
@@ -408,6 +415,7 @@ def fastq_eestats2(params: Parameters) -> None:
     len_steps = 0
     count_table = np.zeros((0, ncut), dtype=np.int64)
 
+    _prog = Progress("Reading FASTQ file", 1, params)
     for rec in fastx_io.read_fastx(params.opt_fastq_eestats2, params,
                                    truncateatspace=False, upcase=True):
         seq_count += 1
@@ -436,6 +444,7 @@ def fastq_eestats2(params: Parameters) -> None:
                     if e <= cut:
                         count_table[x, y] += 1
 
+    _prog.done()
     def report(out) -> None:
         out.write(b"%d reads" % seq_count)
         if seq_count > 0:

@@ -35,8 +35,10 @@ def makeudb_usearch(params: Parameters) -> None:
     elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
         mask_mod.hardmask_all(db)
     index = KmerIndex(params.opt_wordlength)
-    index.add_all_sequences(db, params.opt_dbmask)
-    udb_io.write_udb(params.opt_output, params, db, index)
+    index.add_all_sequences(db, params.opt_dbmask, params)
+    from ..utils.progress import Progress
+    with Progress("Writing UDB file", 1, params):
+        udb_io.write_udb(params.opt_output, params, db, index)
 
 
 def udb2fasta(params: Parameters) -> None:

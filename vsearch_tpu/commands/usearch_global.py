@@ -183,30 +183,42 @@ def run_search_output(params: Parameters, db: Database, ctx,
                 emit(rec, hits, task.seqs[0],
                      task.seqs[1] if len(task.seqs) > 1 else None)
 
+        from ..utils.progress import Progress, message_both
         prev = None
-        for chunk in _batches(fastx_io.read_fastx(query_file, params)):
-            if hasattr(ctx, "prepare_tasks"):
-                tasks = ctx.prepare_tasks(chunk)
-                state = ctx.search_tasks_begin(tasks)
-            else:  # search_exact's hash-based context
-                tasks = [ctx.prepare_task(rec.header, rec.sequence,
-                                          rec.abundance, rec.seqno)
-                         for rec in chunk]
-                ctx.search_tasks(tasks)
-                state = None
+        with Progress("Searching", 1, params) as search_progress:
+            for chunk in _batches(fastx_io.read_fastx(query_file, params)):
+                if hasattr(ctx, "prepare_tasks"):
+                    tasks = ctx.prepare_tasks(chunk)
+                    state = ctx.search_tasks_begin(tasks)
+                else:  # search_exact's hash-based context
+                    tasks = [ctx.prepare_task(rec.header, rec.sequence,
+                                              rec.abundance, rec.seqno)
+                             for rec in chunk]
+                    ctx.search_tasks(tasks)
+                    state = None
+                if prev is not None:
+                    flush(prev)
+                prev = (chunk, tasks, state)
+                search_progress.update()
             if prev is not None:
                 flush(prev)
-            prev = (chunk, tasks, state)
-        if prev is not None:
-            flush(prev)
 
-        if not params.opt_quiet:
-            msg = "Matching unique query sequences: %d of %d" % (
-                stats["qmatches"], stats["queries"])
-            if stats["queries"] > 0:
-                msg += " (%.2f%%)" % (100.0 * stats["qmatches"]
-                                      / stats["queries"])
-            print(msg, file=sys.stderr)
+        # summary (reference: usearch_global.cpp:715-760 — identical text to
+        # stderr and the log, plus the sizein abundance-weighted variant)
+        msg = "Matching unique query sequences: %d of %d" % (
+            stats["qmatches"], stats["queries"])
+        if stats["queries"] > 0:
+            msg += " (%.2f%%)" % (100.0 * stats["qmatches"]
+                                  / stats["queries"])
+        msg += "\n"
+        if params.opt_sizein:
+            msg += "Matching total query sequences: %d of %d" % (
+                stats["qmatches_abundance"], stats["queries_abundance"])
+            if stats["queries_abundance"] > 0:
+                msg += " (%.2f%%)" % (100.0 * stats["qmatches_abundance"]
+                                      / stats["queries_abundance"])
+            msg += "\n"
+        message_both(params, msg)
 
         if otutab is not None:
             for i in range(db.seqcount):

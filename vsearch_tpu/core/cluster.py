@@ -250,11 +250,13 @@ class ClusterEngine:
 
     def run(self, round_size: int,
             on_hit: Callable[[Hit, int, _StrandState, Optional[_StrandState]], None],
-            on_nohit: Callable[[int, _StrandState], None]) -> None:
+            on_nohit: Callable[[int, _StrandState], None],
+            progress=None) -> None:
         params = self.params
         seqcount = self.db.seqcount
         lastlength = None
         seqno = 0
+        nt_done = 0
         while seqno < seqcount:
             round_seqnos = []
             while seqno < seqcount and len(round_seqnos) < round_size:
@@ -266,7 +268,10 @@ class ClusterEngine:
                                      "--usersort not specified.")
                 lastlength = length
                 round_seqnos.append(seqno)
+                nt_done += length
                 seqno += 1
+            if progress is not None:
+                progress.update(nt_done)
 
             per_query = self._search_round(round_seqnos)
 

@@ -144,8 +144,11 @@ def dust_mask_batch(seqs, hardmask: bool):
 
 
 def dust_all(db, params) -> None:
-    """Mask every DB sequence in place (reference: mask.cpp dust_all)."""
+    """Mask every DB sequence in place (reference: mask.cpp dust_all,
+    "Masking" progress at :238)."""
     from .. import native
+    from ..utils.progress import phase
+    phase(params, "Masking")
     seqs = [bytes(entry.sequence) for entry in db.entries]
     masked = native.dust_batch(seqs, params.opt_hardmask)
     if masked is None:

@@ -213,6 +213,9 @@ def write_msa_outputs(params: Parameters, db, engine, order: List[int],
     fp_profile = stack.enter_context(open(params.opt_profile, "wb")) \
         if params.opt_profile else None
 
+    from ..utils.progress import phase
+    phase(params, "Multiple alignments")  # cluster.cpp:1488
+
     lastcluster = -1
     targets: List[MsaTarget] = []
     abundance_sum = 0

@@ -90,7 +90,7 @@ def load_db_and_index(params: Parameters, filename: str,
                 mask_mod.dust_all(db, params)
             elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
                 mask_mod.hardmask_all(db)
-        index.add_all_sequences(db, params.opt_dbmask)
+        index.add_all_sequences(db, params.opt_dbmask, params)
     if key is not None:
         _db_cache.clear()          # hold at most one database
         _db_cache[key] = (db, index)
@@ -122,7 +122,7 @@ class SearchContext:
             elif params.opt_dbmask == Masking.soft and params.opt_hardmask:
                 mask_mod.hardmask_all(db)
             index = KmerIndex(params.opt_wordlength)
-            index.add_all_sequences(db, params.opt_dbmask)
+            index.add_all_sequences(db, params.opt_dbmask, params)
 
         effective = dataclasses.replace(params)
         seqcount = db.seqcount

@@ -39,27 +39,59 @@ class Database:
 
     def read(self, filename: str, params: Parameters, upcase: bool = False,
              quiet: Optional[bool] = None) -> None:
-        """reference: db.cpp Database::read (length filters, unoise minsize)."""
+        """reference: db.cpp Database::read (length filters, unoise minsize,
+        "Reading file" progress + "nt in" summary narration, :230-400)."""
+        from .utils.progress import Progress, message
         discarded_short = 0
         discarded_long = 0
         discarded_unoise = 0
         self.fastq_format = fastx.is_fastq(filename)
-        for rec in fastx.read_fastx(filename, params, upcase=upcase):
-            seqlen = len(rec.sequence)
-            if params.opt_minseqlength > 0 and seqlen < params.opt_minseqlength:
-                discarded_short += 1
-            elif seqlen > params.opt_maxseqlength:
-                discarded_long += 1
-            elif (params.opt_cluster_unoise is not None
-                  and rec.abundance < params.opt_minsize):
-                discarded_unoise += 1
-            else:
-                self.entries.append(DbEntry(rec.header, bytearray(rec.sequence),
-                                            rec.quality, rec.abundance))
+        warn_out = []
+        with Progress("Reading file %s" % filename, 1, params) as prog:
+            for rec in fastx.read_fastx(filename, params, upcase=upcase,
+                                        warn_out=warn_out):
+                seqlen = len(rec.sequence)
+                if (params.opt_minseqlength > 0
+                        and seqlen < params.opt_minseqlength):
+                    discarded_short += 1
+                elif seqlen > params.opt_maxseqlength:
+                    discarded_long += 1
+                elif (params.opt_cluster_unoise is not None
+                      and rec.abundance < params.opt_minsize):
+                    discarded_unoise += 1
+                else:
+                    self.entries.append(
+                        DbEntry(rec.header, bytearray(rec.sequence),
+                                rec.quality, rec.abundance))
+                prog.update()
+        for stripped, is_fq in warn_out:
+            fastx._warn_stripped(params, stripped, is_fq)
         self.discarded_short = discarded_short
         self.discarded_long = discarded_long
         self.discarded_unoise = discarded_unoise
         self._encoded_cache = None
+        if self.seqcount > 0:
+            message(params, "%d nt in %d seqs, min %d, max %d, avg %.0f" % (
+                self.nucleotidecount, self.seqcount, self.shortest,
+                self.longest, self.nucleotidecount / self.seqcount))
+        else:
+            message(params, "%d nt in %d seqs" % (self.nucleotidecount,
+                                                  self.seqcount))
+        if discarded_short:
+            message(params, "minseqlength %d: %d %s discarded." % (
+                params.opt_minseqlength, discarded_short,
+                "sequence" if discarded_short == 1 else "sequences"))
+        if discarded_long:
+            message(params, "maxseqlength %d: %d %s discarded." % (
+                params.opt_maxseqlength, discarded_long,
+                "sequence" if discarded_long == 1 else "sequences"))
+        if discarded_unoise:
+            # quirk: the reference writes this one to the log WITHOUT the
+            # extra blank line (db.cpp:392-397)
+            from .utils.progress import message_both
+            message_both(params, "minsize %d: %d %s discarded.\n" % (
+                params.opt_minsize, discarded_unoise,
+                "sequence" if discarded_unoise == 1 else "sequences"))
 
     def add(self, header: bytes, sequence: bytes,
             quality: Optional[bytes] = None, abundance: int = 1) -> None:
@@ -106,10 +138,13 @@ class Database:
     # -- sorting (reference: db.cpp sortbylength/sortbyabundance; both are
     #    stable by original ordinal) --------------------------------------
 
-    def sortbylength(self) -> None:
+    def sortbylength(self, params: Optional[Parameters] = None) -> None:
         """Longest first, then abundance desc, then label asc, then ordinal.
 
         reference: db.cpp Database::sortbylength (:433-450)."""
+        from .utils.progress import phase
+        if params is not None:
+            phase(params, "Sorting by length")
         order = sorted(range(len(self.entries)),
                        key=lambda i: (-len(self.entries[i].sequence),
                                       -self.entries[i].abundance,
@@ -117,8 +152,12 @@ class Database:
         self.entries = [self.entries[i] for i in order]
         self._encoded_cache = None
 
-    def sortbylength_shortest_first(self) -> None:
+    def sortbylength_shortest_first(
+            self, params: Optional[Parameters] = None) -> None:
         """reference: db.cpp Database::sortbylength_shortest_first (:452-469)."""
+        from .utils.progress import phase
+        if params is not None:
+            phase(params, "Sorting by length")
         order = sorted(range(len(self.entries)),
                        key=lambda i: (len(self.entries[i].sequence),
                                       -self.entries[i].abundance,
@@ -126,10 +165,13 @@ class Database:
         self.entries = [self.entries[i] for i in order]
         self._encoded_cache = None
 
-    def sortbyabundance(self) -> None:
+    def sortbyabundance(self, params: Optional[Parameters] = None) -> None:
         """Most abundant first, then label asc, then ordinal.
 
         reference: db.cpp Database::sortbyabundance (:471-486)."""
+        from .utils.progress import phase
+        if params is not None:
+            phase(params, "Sorting by abundance")
         order = sorted(range(len(self.entries)),
                        key=lambda i: (-self.entries[i].abundance,
                                       self.entries[i].header, i))

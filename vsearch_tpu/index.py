@@ -52,9 +52,21 @@ class KmerIndex:
         self._kmer_lists.append(kmers)
         self._csr_dirty = True
 
-    def add_all_sequences(self, db, seqmask: Masking) -> None:
-        for seqno in range(db.seqcount):
-            self.add_sequence(seqno, db, seqmask)
+    def add_all_sequences(self, db, seqmask: Masking,
+                          params: Optional[Parameters] = None) -> None:
+        """reference: dbindex.cpp prepare ("Counting k-mers", :185) +
+        add_all_sequences ("Creating k-mer index", :154)."""
+        if params is not None:
+            from .utils.progress import Progress
+            with Progress("Counting k-mers", db.seqcount, params) as prog:
+                for seqno in range(db.seqcount):
+                    self.add_sequence(seqno, db, seqmask)
+                    prog.update()
+            with Progress("Creating k-mer index", 1, params):
+                self._build_csr()
+        else:
+            for seqno in range(db.seqcount):
+                self.add_sequence(seqno, db, seqmask)
 
     # -- host counting ----------------------------------------------------
 

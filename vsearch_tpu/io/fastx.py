@@ -14,6 +14,7 @@ import dataclasses
 import gzip
 import io
 import os
+import sys
 from typing import IO, Iterator, List, Optional
 
 import numpy as np
@@ -77,20 +78,53 @@ def _truncate_header(header: bytes, truncateatspace: bool) -> bytes:
     return header
 
 
-def _filter_sequence(seq: bytes, upcase: bool = False) -> bytes:
+_STRIP_MASK = _ACTION == 0
+# C-speed translate tables: delete everything except the accepted alphabet;
+# a second pass isolates fatal/stripped chars only when something was removed
+_DELETE_NON_ACCEPT = bytes(i for i in range(256) if not _ACCEPT_MASK[i])
+_DELETE_ACCEPT_AND_WS = bytes(
+    i for i in range(256) if _ACCEPT_MASK[i] or _ACTION[i] in (4, 5))
+from ..utils.maps import CHRMAP_UPCASE as _CHRMAP_UPCASE  # noqa: E402
+_UPCASE_TABLE = bytes(_CHRMAP_UPCASE.tolist())
+
+
+def _filter_sequence(seq: bytes, upcase: bool = False,
+                     stripped=None) -> bytes:
     """Strip non-accepted characters; fatal on '-'/'.'/control chars.
 
     reference: fasta.cpp fasta_filter_sequence."""
-    arr = np.frombuffer(seq, dtype=np.uint8)
-    if _FATAL_MASK[arr].any():
-        bad = arr[_FATAL_MASK[arr]][0]
-        raise ValueError(
-            "Illegal character '%c' in sequence of FASTA file" % chr(bad))
-    out = arr[_ACCEPT_MASK[arr]]
+    out = seq.translate(None, _DELETE_NON_ACCEPT)
+    if len(out) + seq.count(b"\n") + seq.count(b"\r") != len(seq):
+        # slow path: something beyond newlines was removed — classify it
+        leftover = seq.translate(None, _DELETE_ACCEPT_AND_WS)
+        arr = np.frombuffer(leftover, dtype=np.uint8)
+        if arr.size and _FATAL_MASK[arr].any():
+            bad = arr[_FATAL_MASK[arr]][0]
+            raise ValueError(
+                "Illegal character '%c' in sequence of FASTA file" % chr(bad))
+        if stripped is not None and arr.size:
+            np.add.at(stripped, arr, 1)
     if upcase:
-        from ..utils.maps import CHRMAP_UPCASE
-        out = CHRMAP_UPCASE[out]
-    return out.tobytes()
+        out = out.translate(_UPCASE_TABLE)
+    return out
+
+
+def _warn_stripped(params, stripped, is_fastq: bool) -> None:
+    """reference: fastx.cpp fastx_close (:527-557) — stripped-character
+    warning on stderr (not gated on --quiet) duplicated to the log."""
+    total = int(stripped.sum())
+    if total == 0:
+        return
+    parts = ["WARNING: %d invalid characters stripped from %s file:"
+             % (total, "FASTQ" if is_fastq else "FASTA")]
+    for i in np.flatnonzero(stripped):
+        parts.append(" %c(%d)" % (chr(int(i)), int(stripped[i])))
+    text = ("".join(parts)
+            + "\nREMINDER: vsearch does not support amino acid sequences\n")
+    sys.stderr.write(text)
+    log = getattr(params, "fp_log", None) if params is not None else None
+    if log is not None:
+        log.write(text.encode())
 
 
 def is_fastq(filename: str) -> bool:
@@ -101,26 +135,36 @@ def is_fastq(filename: str) -> bool:
 
 def read_fastx(filename: str, params: Optional[Parameters] = None,
                truncateatspace: Optional[bool] = None,
-               upcase: bool = False) -> Iterator[SeqRecord]:
-    """Stream records from a FASTA or FASTQ file (auto-detected)."""
+               upcase: bool = False, warn_out=None) -> Iterator[SeqRecord]:
+    """Stream records from a FASTA or FASTQ file (auto-detected).
+
+    warn_out: optional list; when given, the stripped-character warning is
+    deferred into it as (stripped_counts, is_fastq) for the caller to flush
+    after its progress meter completes (reference emits the warning at
+    fastx_close, after the Progress is destroyed — db.cpp:296-298)."""
     if truncateatspace is None:
         truncateatspace = not (params is not None and params.opt_notrunclabels)
     if is_fastq(filename):
-        yield from read_fastq(filename, truncateatspace, upcase)
+        yield from read_fastq(filename, truncateatspace, upcase, params,
+                              warn_out)
     else:
-        yield from read_fasta(filename, truncateatspace, upcase)
+        yield from read_fasta(filename, truncateatspace, upcase, params,
+                              warn_out)
 
 
 def read_fasta(filename: str, truncateatspace: bool = True,
-               upcase: bool = False) -> Iterator[SeqRecord]:
+               upcase: bool = False, params=None,
+               warn_out=None) -> Iterator[SeqRecord]:
     seqno = 0
     header: Optional[bytes] = None
     seq_parts: List[bytes] = []
+    stripped = np.zeros(256, dtype=np.int64)
     with open_maybe_compressed(filename) as handle:
         for line in handle:
             if line.startswith(b">"):
                 if header is not None:
-                    seq = _filter_sequence(b"".join(seq_parts), upcase)
+                    seq = _filter_sequence(b"".join(seq_parts), upcase,
+                                           stripped)
                     yield SeqRecord(header, seq, None, seqno,
                                     attributes.get_abundance(header))
                     seqno += 1
@@ -132,14 +176,20 @@ def read_fasta(filename: str, truncateatspace: bool = True,
                 raise ValueError(
                     "Invalid FASTA - header must start with > character")
         if header is not None:
-            seq = _filter_sequence(b"".join(seq_parts), upcase)
+            seq = _filter_sequence(b"".join(seq_parts), upcase, stripped)
             yield SeqRecord(header, seq, None, seqno,
                             attributes.get_abundance(header))
+    if warn_out is not None:
+        warn_out.append((stripped, False))
+    else:
+        _warn_stripped(params, stripped, False)
 
 
 def read_fastq(filename: str, truncateatspace: bool = True,
-               upcase: bool = False) -> Iterator[SeqRecord]:
+               upcase: bool = False, params=None,
+               warn_out=None) -> Iterator[SeqRecord]:
     seqno = 0
+    stripped = np.zeros(256, dtype=np.int64)
     with open_maybe_compressed(filename) as handle:
         while True:
             line1 = handle.readline()
@@ -155,7 +205,7 @@ def read_fastq(filename: str, truncateatspace: bool = True,
                 line = handle.readline()
             if not line:
                 raise ValueError("Invalid FASTQ - missing '+' line")
-            seq = _filter_sequence(b"".join(seq_parts), upcase)
+            seq = _filter_sequence(b"".join(seq_parts), upcase, stripped)
             qual_parts: List[bytes] = []
             qual_len = 0
             seq_len = sum(len(p) for p in seq_parts)
@@ -178,6 +228,10 @@ def read_fastq(filename: str, truncateatspace: bool = True,
             yield SeqRecord(header, seq, qual, seqno,
                             attributes.get_abundance(header))
             seqno += 1
+    if warn_out is not None:
+        warn_out.append((stripped, True))
+    else:
+        _warn_stripped(params, stripped, True)
 
 
 # ---------------------------------------------------------------------------

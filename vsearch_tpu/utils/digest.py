@@ -7,14 +7,15 @@ lowercase hex.
 
 from __future__ import annotations
 
-import numpy as np
-
 from .maps import CHRMAP_NORMALIZE
+
+# bytes.translate runs the 256-entry map at C speed
+_NORMALIZE_TABLE = bytes(CHRMAP_NORMALIZE.tolist())
 
 
 def normalize(seq: bytes) -> bytes:
     """reference: src/utils/string_normalize.cpp (chrmap_normalize map)."""
-    return CHRMAP_NORMALIZE[np.frombuffer(seq, dtype=np.uint8)].tobytes()
+    return seq.translate(_NORMALIZE_TABLE)
 
 
 def normalized_digest(algo, seq: bytes) -> bytes:
