@@ -12,6 +12,7 @@
  * (Written from the algorithm spec; no code copied.)
  */
 
+#define _GNU_SOURCE /* memmem */
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -246,4 +247,310 @@ void vstpu_pack_bits(const uint32_t *kmers, const int64_t *starts,
             }
         }
     }
+}
+
+/* ---- FASTA/FASTQ record scanners ------------------------------------
+ *
+ * Single-pass scanners over an in-memory file image; they replace the
+ * per-record Python parsing loop (vsearch_tpu/io/fastx.py read_fasta /
+ * read_fastq) on the streaming-command hot path.  Semantics mirror the
+ * reference readers (src/core/fasta.cpp / fastq.cpp): per-character
+ * actions (accept / strip-with-warning / fatal / silent-skip), header
+ * truncation at whitespace, ;size= abundance parsing
+ * (src/core/attributes.cpp header_find_attribute), and dropping quality
+ * symbols in sync with stripped sequence symbols.
+ *
+ * Error returns: -1 fatal sequence char, -2 zero ;size= annotation,
+ * -3 malformed input.
+ */
+
+static unsigned char seq_action[256]; /* 0 strip,1 accept,2 fatal,4 skip */
+static unsigned char upcase_map[256];
+static int scan_ready = 0;
+
+static void init_scan(void) {
+    if (scan_ready) return;
+    int i;
+    for (i = 0; i < 256; i++) {
+        seq_action[i] = 0;
+        upcase_map[i] = (unsigned char)i;
+    }
+    for (i = 0; i < 32; i++) seq_action[i] = 2;      /* control: fatal */
+    seq_action[9] = seq_action[11] = seq_action[12] = seq_action[13] = 4;
+    seq_action[10] = 4;                               /* newline: skip  */
+    seq_action['-'] = 2;
+    seq_action['.'] = 2;
+    const char *ok = "ABCDGHKMNRSTUVWYabcdghkmnrstuvwy";
+    for (const char *p = ok; *p; p++) seq_action[(unsigned char)*p] = 1;
+    for (i = 'a'; i <= 'z'; i++) upcase_map[i] = (unsigned char)(i - 32);
+    scan_ready = 1;
+}
+
+/* (^|;)size=<digits>(;|$) -> value, 1 if absent, -2 on zero value
+ * mirrors attributes.cpp header_find_attribute + header_get_size */
+static int64_t parse_size(const uint8_t *h, int64_t n) {
+    int64_t off = 0;
+    while (off + 5 < n) {
+        const uint8_t *hit = (const uint8_t *)memmem(h + off,
+                                                     (size_t)(n - off),
+                                                     "size=", 5);
+        if (!hit) break;
+        int64_t pos = hit - h;
+        if (pos > 0 && h[pos - 1] != ';') { off = pos + 6; continue; }
+        int64_t i = pos + 5, digits = 0;
+        while (i < n && h[i] >= '0' && h[i] <= '9') { digits++; i++; }
+        if (digits == 0) { off = pos + 6; continue; }
+        if (i < n && h[i] != ';') { off = i + 2; continue; }
+        int64_t v = 0;
+        for (int64_t j = pos + 5; j < i; j++) {
+            v = v * 10 + (h[j] - '0');
+            if (v > (int64_t)1 << 62) break;
+        }
+        if (v == 0) return -2;
+        return v;
+    }
+    return 1;
+}
+
+static int64_t truncate_header(const uint8_t *h, int64_t n, int at_space) {
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = h[i];
+        if (c == 0 || c == '\r' || c == '\n') return i;
+        if (at_space && (c == ' ' || c == '\t')) return i;
+    }
+    return n;
+}
+
+int64_t vstpu_scan_fasta(const uint8_t *buf, int64_t n, int truncateatspace,
+                         int upcase, uint8_t *seq_out, int64_t *seq_off,
+                         int64_t *head_off, int64_t *head_len,
+                         int64_t *sizes, uint64_t *stripped) {
+    init_scan();
+    int64_t nrec = 0, w = 0, i = 0;
+    while (i < n) {
+        /* find line end */
+        const uint8_t *nl = memchr(buf + i, '\n', (size_t)(n - i));
+        int64_t lend = nl ? (nl - buf) : n;
+        if (buf[i] == '>') {
+            if (nrec > 0) seq_off[nrec] = w;
+            head_off[nrec] = i + 1;
+            head_len[nrec] = truncate_header(buf + i + 1, lend - i - 1,
+                                             truncateatspace);
+            int64_t sz = parse_size(buf + i + 1, head_len[nrec]);
+            if (sz == -2) return -2;
+            sizes[nrec] = sz;
+            if (nrec == 0) seq_off[0] = 0;
+            nrec++;
+        } else if (nrec == 0) {
+            /* content before the first header: blank lines allowed */
+            for (int64_t j = i; j < lend; j++)
+                if (buf[j] != ' ' && buf[j] != '\t' && buf[j] != '\r')
+                    return -3;
+        } else {
+            for (int64_t j = i; j < lend; j++) {
+                uint8_t c = buf[j];
+                unsigned char a = seq_action[c];
+                if (a == 1) {
+                    seq_out[w++] = upcase ? upcase_map[c] : c;
+                } else if (a == 0) {
+                    stripped[c]++;
+                } else if (a == 2 && c != '\r') {
+                    return -1;
+                }
+            }
+        }
+        i = lend + 1;
+    }
+    if (nrec > 0) seq_off[nrec] = w;
+    return nrec;
+}
+
+int64_t vstpu_scan_fastq(const uint8_t *buf, int64_t n, int truncateatspace,
+                         int upcase, uint8_t *seq_out, uint8_t *qual_out,
+                         int64_t *seq_off, int64_t *head_off,
+                         int64_t *head_len, int64_t *sizes,
+                         uint64_t *stripped) {
+    init_scan();
+    int64_t nrec = 0, w = 0, i = 0;
+    seq_off[0] = 0;
+    while (i < n) {
+        if (buf[i] != '@') return -3;
+        const uint8_t *nl = memchr(buf + i, '\n', (size_t)(n - i));
+        if (!nl) return -3;
+        int64_t lend = nl - buf;
+        head_off[nrec] = i + 1;
+        head_len[nrec] = truncate_header(buf + i + 1, lend - i - 1,
+                                         truncateatspace);
+        int64_t sz = parse_size(buf + i + 1, head_len[nrec]);
+        if (sz == -2) return -2;
+        sizes[nrec] = sz;
+        i = lend + 1;
+        /* raw sequence lines until '+' */
+        int64_t raw_start = w;
+        while (i < n && buf[i] != '+') {
+            nl = memchr(buf + i, '\n', (size_t)(n - i));
+            lend = nl ? (nl - buf) : n;
+            int64_t stop = lend;
+            while (stop > i && (buf[stop - 1] == '\r')) stop--;
+            memcpy(seq_out + w, buf + i, (size_t)(stop - i));
+            w += stop - i;
+            i = lend + 1;
+        }
+        if (i >= n) return -3;                 /* missing '+' line */
+        nl = memchr(buf + i, '\n', (size_t)(n - i));
+        lend = nl ? (nl - buf) : n;
+        i = lend + 1;                          /* skip '+' line */
+        /* quality lines until length matches the raw sequence */
+        int64_t raw_len = w - raw_start, q = 0;
+        while (q < raw_len) {
+            if (i >= n) return -3;             /* truncated quality */
+            nl = memchr(buf + i, '\n', (size_t)(n - i));
+            lend = nl ? (nl - buf) : n;
+            int64_t stop = lend;
+            while (stop > i && (buf[stop - 1] == '\r')) stop--;
+            if (q + (stop - i) > raw_len) return -3;
+            memcpy(qual_out + raw_start + q, buf + i, (size_t)(stop - i));
+            q += stop - i;
+            i = lend + 1;
+        }
+        /* compact seq+qual in place through the action map */
+        int64_t w2 = raw_start;
+        for (int64_t j = raw_start; j < raw_start + raw_len; j++) {
+            uint8_t c = seq_out[j];
+            unsigned char a = seq_action[c];
+            if (a == 1) {
+                seq_out[w2] = upcase ? upcase_map[c] : c;
+                qual_out[w2] = qual_out[j];
+                w2++;
+            } else if (a == 0) {
+                stripped[c]++;
+            } else if (a == 2) {
+                return -1;
+            }
+        }
+        w = w2;
+        nrec++;
+        seq_off[nrec] = w;
+    }
+    return nrec;
+}
+
+/* ---- dereplication core ---------------------------------------------
+ *
+ * Exact-duplicate clustering of pre-parsed records: normalize (upcase,
+ * U->T; src/utils/string_normalize.cpp), hash, open-addressing probe with
+ * full-sequence confirm, optional minus-strand second probe
+ * (src/core/derep.cpp:253-533 semantics).  Returns per-record cluster
+ * ordinal (first-seen order) and matched strand (0 plus / 1 minus).
+ */
+
+static unsigned char norm_map[256];
+static unsigned char comp_map[256];
+static int derep_ready = 0;
+
+static void init_derep(void) {
+    if (derep_ready) return;
+    int i;
+    for (i = 0; i < 256; i++) norm_map[i] = (unsigned char)i;
+    for (i = 'a'; i <= 'z'; i++) norm_map[i] = (unsigned char)(i - 32);
+    norm_map['u'] = 'T'; norm_map['U'] = 'T';
+    /* complement of the normalized alphabet (maps.cpp chrmap_complement) */
+    const char *fr = "ABCDGHKMNRSTUVWY";
+    const char *to = "TVGHCDMKNYSAABWR";
+    for (i = 0; i < 256; i++) comp_map[i] = 'N';
+    for (i = 0; fr[i]; i++) comp_map[(unsigned char)fr[i]] =
+        (unsigned char)to[i];
+    derep_ready = 1;
+}
+
+static uint64_t hash_bytes(const uint8_t *p, int64_t n) {
+    /* FNV-1a 64 with a finalizer mix */
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t i = 0; i < n; i++) {
+        h ^= p[i];
+        h *= 1099511628211ULL;
+    }
+    h ^= h >> 33; h *= 0xff51afd7ed558ccdULL; h ^= h >> 33;
+    return h;
+}
+
+int64_t vstpu_derep_assign(const uint8_t *seq, const int64_t *off, int64_t n,
+                           int use_rc, int64_t *cluster_of,
+                           uint8_t *strand_of) {
+    init_derep();
+    /* normalized copy of the packed buffer */
+    int64_t total = off[n];
+    uint8_t *norm = (uint8_t *)malloc((size_t)total);
+    if (!norm) return -1;
+    for (int64_t i = 0; i < total; i++) norm[i] = norm_map[seq[i]];
+
+    uint64_t cap = 1;
+    while (cap < (uint64_t)n * 2 + 8) cap <<= 1;
+    int64_t *slot_rec = (int64_t *)malloc(cap * sizeof(int64_t));
+    uint64_t *slot_hash = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    if (!slot_rec || !slot_hash) { free(norm); free(slot_rec);
+                                   free(slot_hash); return -1; }
+    for (uint64_t i = 0; i < cap; i++) slot_rec[i] = -1;
+
+    uint8_t *rcbuf = NULL;
+    int64_t rccap = 0;
+    int64_t nclusters = 0;
+
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t *s = norm + off[r];
+        int64_t len = off[r + 1] - off[r];
+        uint64_t h = hash_bytes(s, len);
+        int64_t found = -1;
+        uint64_t j = h & (cap - 1);
+        while (slot_rec[j] >= 0) {
+            int64_t other = slot_rec[j];
+            if (slot_hash[j] == h
+                    && off[other + 1] - off[other] == len
+                    && memcmp(norm + off[other], s, (size_t)len) == 0) {
+                found = other;
+                break;
+            }
+            j = (j + 1) & (cap - 1);
+        }
+        uint8_t strand = 0;
+        if (found < 0 && use_rc) {
+            if (len > rccap) {
+                free(rcbuf);
+                rccap = len * 2 + 64;
+                rcbuf = (uint8_t *)malloc((size_t)rccap);
+                if (!rcbuf) { free(norm); free(slot_rec); free(slot_hash);
+                              return -1; }
+            }
+            for (int64_t k = 0; k < len; k++)
+                rcbuf[k] = comp_map[s[len - 1 - k]];
+            uint64_t h2 = hash_bytes(rcbuf, len);
+            uint64_t j2 = h2 & (cap - 1);
+            while (slot_rec[j2] >= 0) {
+                int64_t other = slot_rec[j2];
+                if (slot_hash[j2] == h2
+                        && off[other + 1] - off[other] == len
+                        && memcmp(norm + off[other], rcbuf,
+                                  (size_t)len) == 0) {
+                    found = other;
+                    strand = 1;
+                    break;
+                }
+                j2 = (j2 + 1) & (cap - 1);
+            }
+        }
+        if (found >= 0) {
+            cluster_of[r] = cluster_of[found];
+            strand_of[r] = strand;
+        } else {
+            slot_rec[j] = r;
+            slot_hash[j] = h;
+            cluster_of[r] = nclusters++;
+            strand_of[r] = 0;
+        }
+    }
+    free(rcbuf);
+    free(norm);
+    free(slot_rec);
+    free(slot_hash);
+    return nclusters;
 }

@@ -86,6 +86,20 @@ def derep(params: Parameters, command: str) -> None:
     maxsize = 0
     discarded_short = discarded_long = 0
 
+    fast = None
+    if not use_header and params.opt_fastqout is None:
+        fast = _derep_fast(params, filename)
+    if fast is not None:
+        (clusters, sequencecount, nucleotidecount, shortest_len, longest_len,
+         sumsize, maxsize, discarded_short, discarded_long) = fast
+        read_progress = Progress("Dereplicating file %s" % filename, 1,
+                                 params)
+        read_progress.done()
+        _post_derep(params, is_uniques, out_fasta, clusters, sequencecount,
+                    nucleotidecount, shortest_len, longest_len, sumsize,
+                    maxsize, discarded_short, discarded_long)
+        return
+
     read_progress = Progress("Dereplicating file %s" % filename, 1, params)
     for rec in fastx_io.read_fastx(filename, params):
         read_progress.update()
@@ -139,6 +153,133 @@ def derep(params: Parameters, command: str) -> None:
         sequencecount += 1
 
     read_progress.done()
+    _post_derep(params, is_uniques, out_fasta, clusters, sequencecount,
+                nucleotidecount, shortest_len, longest_len, sumsize,
+                maxsize, discarded_short, discarded_long)
+
+
+def _derep_fast(params: Parameters, filename: str):
+    """Native-core dereplication: single-pass C scan + C hash clustering.
+
+    Returns the same aggregates the Python loop computes, or None when the
+    native library is unavailable or the input needs the Python path (bad
+    characters / zero ;size= — the fallback raises the exact reference
+    error messages)."""
+    from .. import native
+    import numpy as np
+    if not native.available():
+        return None
+    input_is_fastq = fastx_io.is_fastq(filename)
+    with fastx_io.open_maybe_compressed(filename) as handle:
+        data = handle.read()
+    truncateatspace = not params.opt_notrunclabels
+    if input_is_fastq:
+        res = native.scan_fastq(data, truncateatspace, False)
+        if res is None:
+            return None
+        (nrec, seq_out, qual_out, seq_off, head_off, head_len, sizes,
+         stripped) = res
+    else:
+        res = native.scan_fasta(data, truncateatspace, False)
+        if res is None:
+            return None
+        nrec, seq_out, seq_off, head_off, head_len, sizes, stripped = res
+        qual_out = None
+    import ctypes as ct
+    lib = native._load()
+    if not hasattr(lib, "_derep_ready"):
+        lib.vstpu_derep_assign.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_int, ct.c_void_p,
+            ct.c_void_p]
+        lib.vstpu_derep_assign.restype = ct.c_int64
+        lib._derep_ready = True
+
+    lens = np.diff(seq_off[:nrec + 1])
+    keep = ((lens >= params.opt_minseqlength)
+            & (lens <= params.opt_maxseqlength))
+    discarded_short = int((lens < params.opt_minseqlength).sum())
+    discarded_long = int((lens > params.opt_maxseqlength).sum())
+    kept_idx = np.flatnonzero(keep)
+    n = int(kept_idx.size)
+    if n != nrec:
+        # compact the packed seq buffer for the kept records
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens[kept_idx], out=new_off[1:])
+        packed = np.empty(int(new_off[-1]), dtype=np.uint8)
+        for j, r in enumerate(kept_idx):
+            packed[int(new_off[j]):int(new_off[j + 1])] = \
+                seq_out[int(seq_off[r]):int(seq_off[r + 1])]
+        coff = new_off
+        cseq = packed
+    else:
+        coff = seq_off[:nrec + 1]
+        cseq = seq_out
+
+    cluster_of = np.empty(n, dtype=np.int64)
+    strand_of = np.empty(n, dtype=np.uint8)
+    nclusters = lib.vstpu_derep_assign(
+        cseq.ctypes.data, coff.ctypes.data, n, int(bool(params.opt_strand)),
+        cluster_of.ctypes.data, strand_of.ctypes.data)
+    if nclusters < 0:
+        return None
+
+    abund = (sizes[:nrec][kept_idx] if params.opt_sizein
+             else np.ones(n, dtype=np.int64))
+    cluster_sizes = np.zeros(max(1, nclusters), dtype=np.int64)
+    np.add.at(cluster_sizes, cluster_of, abund)
+    counts = np.bincount(cluster_of, minlength=nclusters)
+    first_idx = np.full(nclusters, n, dtype=np.int64)
+    np.minimum.at(first_idx, cluster_of, np.arange(n, dtype=np.int64))
+
+    seq_bytes = cseq.tobytes()
+    qual_bytes = qual_out.tobytes() if qual_out is not None else None
+
+    def header_of(j):
+        r = int(kept_idx[j])
+        ho = int(head_off[r])
+        return data[ho:ho + int(head_len[r])]
+
+    clusters = []
+    for c in range(nclusters):
+        j = int(first_idx[c])
+        lo, hi = int(coff[j]), int(coff[j + 1])
+        qual = None
+        if qual_bytes is not None:
+            r = int(kept_idx[j])
+            qlo, qhi = int(seq_off[r]), int(seq_off[r + 1])
+            qual = qual_bytes[qlo:qhi] if n == nrec else None
+        cl = _Cluster(header_of(j), seq_bytes[lo:hi], qual,
+                      int(cluster_sizes[c]), j)
+        cl.count = int(counts[c])
+        clusters.append(cl)
+    # member chains (headers after the representative, input order)
+    need_members = (params.opt_uc is not None
+                    or params.opt_tabbedout is not None)
+    if need_members:
+        for j in range(n):
+            c = int(cluster_of[j])
+            if j != int(first_idx[c]):
+                clusters[c].members.append(header_of(j))
+                clusters[c].strands.append(int(strand_of[j]))
+
+    from ..io.fastx import _warn_stripped
+    _warn_stripped(params, stripped.astype(np.int64),
+                   input_is_fastq)
+
+    nucleotidecount = int(lens[kept_idx].sum())
+    shortest_len = int(lens[kept_idx].min()) if n else None
+    longest_len = int(lens[kept_idx].max()) if n else 0
+    return (clusters, n, nucleotidecount, shortest_len, longest_len,
+            int(abund.sum()), int(cluster_sizes.max()) if nclusters else 0,
+            discarded_short, discarded_long)
+
+
+def _post_derep(params: Parameters, is_uniques: bool, out_fasta,
+                clusters: List[_Cluster], sequencecount: int,
+                nucleotidecount: int, shortest_len, longest_len: int,
+                sumsize: int, maxsize: int, discarded_short: int,
+                discarded_long: int) -> None:
+    from ..utils.progress import Progress, message_both
 
     # read summary — quirk: derep's "nt in" log copy has NO extra blank line
     # (derep.cpp:639-659), unlike db.cpp's; the discarded ones do (:671,:689)

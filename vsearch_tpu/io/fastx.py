@@ -155,6 +155,35 @@ def read_fastx(filename: str, params: Optional[Parameters] = None,
 def read_fasta(filename: str, truncateatspace: bool = True,
                upcase: bool = False, params=None,
                warn_out=None) -> Iterator[SeqRecord]:
+    """FASTA records; native single-pass scanner when available, Python
+    fallback otherwise (and for the exact error messages on bad input)."""
+    from .. import native
+    if native.available():
+        with open_maybe_compressed(filename) as handle:
+            data = handle.read()
+        res = native.scan_fasta(data, truncateatspace, upcase)
+        if res is not None:
+            nrec, seq_out, seq_off, head_off, head_len, sizes, stripped = res
+            seq_bytes = seq_out.tobytes()
+            for i in range(nrec):
+                ho = int(head_off[i])
+                header = data[ho:ho + int(head_len[i])]
+                yield SeqRecord(header,
+                                seq_bytes[int(seq_off[i]):int(seq_off[i + 1])],
+                                None, i, int(sizes[i]))
+            stripped = stripped.astype(np.int64)
+            if warn_out is not None:
+                warn_out.append((stripped, False))
+            else:
+                _warn_stripped(params, stripped, False)
+            return
+    yield from _read_fasta_py(filename, truncateatspace, upcase, params,
+                              warn_out)
+
+
+def _read_fasta_py(filename: str, truncateatspace: bool = True,
+                   upcase: bool = False, params=None,
+                   warn_out=None) -> Iterator[SeqRecord]:
     seqno = 0
     header: Optional[bytes] = None
     seq_parts: List[bytes] = []
@@ -188,6 +217,36 @@ def read_fasta(filename: str, truncateatspace: bool = True,
 def read_fastq(filename: str, truncateatspace: bool = True,
                upcase: bool = False, params=None,
                warn_out=None) -> Iterator[SeqRecord]:
+    """FASTQ records; native scanner with Python fallback (see read_fasta)."""
+    from .. import native
+    if native.available():
+        with open_maybe_compressed(filename) as handle:
+            data = handle.read()
+        res = native.scan_fastq(data, truncateatspace, upcase)
+        if res is not None:
+            (nrec, seq_out, qual_out, seq_off, head_off, head_len, sizes,
+             stripped) = res
+            seq_bytes = seq_out.tobytes()
+            qual_bytes = qual_out.tobytes()
+            for i in range(nrec):
+                ho = int(head_off[i])
+                lo, hi = int(seq_off[i]), int(seq_off[i + 1])
+                yield SeqRecord(data[ho:ho + int(head_len[i])],
+                                seq_bytes[lo:hi], qual_bytes[lo:hi], i,
+                                int(sizes[i]))
+            stripped = stripped.astype(np.int64)
+            if warn_out is not None:
+                warn_out.append((stripped, True))
+            else:
+                _warn_stripped(params, stripped, True)
+            return
+    yield from _read_fastq_py(filename, truncateatspace, upcase, params,
+                              warn_out)
+
+
+def _read_fastq_py(filename: str, truncateatspace: bool = True,
+                   upcase: bool = False, params=None,
+                   warn_out=None) -> Iterator[SeqRecord]:
     seqno = 0
     stripped = np.zeros(256, dtype=np.int64)
     with open_maybe_compressed(filename) as handle:

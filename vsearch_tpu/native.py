@@ -147,3 +147,71 @@ def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,
                            int(n_mismatch), cigar_buf, stats.ctypes.data)
     return (cigar_buf.raw[:n].decode(), int(stats[0]), int(stats[1]),
             int(stats[2]), int(stats[3]))
+
+
+def scan_fasta(data: bytes, truncateatspace: bool, upcase: bool):
+    """Native FASTA scan of an in-memory file image.
+
+    Returns (nrec, seq_out, seq_off, head_off, head_len, sizes, stripped)
+    or None when the native library is unavailable or the scan hit an
+    error (caller falls back to the Python parser, which raises the
+    reference-exact error message)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_scan_ready"):
+        import ctypes as ct
+        lib.vstpu_scan_fasta.argtypes = [
+            ct.c_void_p, ct.c_int64, ct.c_int, ct.c_int, ct.c_void_p,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p]
+        lib.vstpu_scan_fasta.restype = ct.c_int64
+        lib.vstpu_scan_fastq.argtypes = [
+            ct.c_void_p, ct.c_int64, ct.c_int, ct.c_int, ct.c_void_p,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p]
+        lib.vstpu_scan_fastq.restype = ct.c_int64
+        lib._scan_ready = True
+    nmax = data.count(b">") + 1
+    seq_out = np.empty(max(1, len(data)), dtype=np.uint8)
+    seq_off = np.zeros(nmax + 1, dtype=np.int64)
+    head_off = np.empty(nmax, dtype=np.int64)
+    head_len = np.empty(nmax, dtype=np.int64)
+    sizes = np.empty(nmax, dtype=np.int64)
+    stripped = np.zeros(256, dtype=np.uint64)
+    data_arr = np.frombuffer(data, dtype=np.uint8)
+    nrec = lib.vstpu_scan_fasta(
+        data_arr.ctypes.data if len(data) else None, len(data),
+        int(truncateatspace), int(upcase),
+        seq_out.ctypes.data, seq_off.ctypes.data, head_off.ctypes.data,
+        head_len.ctypes.data, sizes.ctypes.data, stripped.ctypes.data)
+    if nrec < 0:
+        return None
+    return nrec, seq_out, seq_off, head_off, head_len, sizes, stripped
+
+
+def scan_fastq(data: bytes, truncateatspace: bool, upcase: bool):
+    """Native FASTQ scan; like scan_fasta plus a quality buffer aligned
+    with seq_out."""
+    lib = _load()
+    if lib is None:
+        return None
+    scan_fasta(b"", True, False)  # ensure argtypes registered
+    nmax = data.count(b"\n@") + 2
+    seq_out = np.empty(max(1, len(data)), dtype=np.uint8)
+    qual_out = np.empty(max(1, len(data)), dtype=np.uint8)
+    seq_off = np.zeros(nmax + 1, dtype=np.int64)
+    head_off = np.empty(nmax, dtype=np.int64)
+    head_len = np.empty(nmax, dtype=np.int64)
+    sizes = np.empty(nmax, dtype=np.int64)
+    stripped = np.zeros(256, dtype=np.uint64)
+    data_arr = np.frombuffer(data, dtype=np.uint8)
+    nrec = lib.vstpu_scan_fastq(
+        data_arr.ctypes.data if len(data) else None, len(data),
+        int(truncateatspace), int(upcase),
+        seq_out.ctypes.data, qual_out.ctypes.data, seq_off.ctypes.data,
+        head_off.ctypes.data, head_len.ctypes.data, sizes.ctypes.data,
+        stripped.ctypes.data)
+    if nrec < 0:
+        return None
+    return (nrec, seq_out, qual_out, seq_off, head_off, head_len, sizes,
+            stripped)

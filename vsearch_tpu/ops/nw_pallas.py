@@ -17,6 +17,8 @@ from typing import Tuple
 
 import numpy as np
 
+from vsearch_tpu import configure_jax as _cfg
+_cfg()
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -30,6 +30,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from vsearch_tpu import configure_jax as _cfg
+_cfg()
 import jax
 import jax.numpy as jnp
 

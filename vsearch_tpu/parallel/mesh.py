@@ -22,6 +22,8 @@ from typing import Tuple
 
 import numpy as np
 
+from vsearch_tpu import configure_jax as _cfg
+_cfg()
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
