@@ -554,3 +554,308 @@ int64_t vstpu_derep_assign(const uint8_t *seq, const int64_t *off, int64_t n,
     free(slot_hash);
     return nclusters;
 }
+
+/* ---- paired-end merge core -------------------------------------------
+ *
+ * Batched port of the vsearch_tpu Python merge core
+ * (vsearch_tpu/core/mergepairs.py process/optimize/merge), which mirrors
+ * src/core/mergepairs.cpp semantics: per-read truncation and N handling,
+ * 5-mer diagonal voting overlap detection, per-diagonal log-odds scan
+ * with drop-max rejection, Edgar-Flyvbjerg posterior-quality consensus.
+ * Character maps and the 94x94 quality tables are passed in from Python
+ * so the two implementations share one source of truth.
+ *
+ * Per pair outputs (int64 x8): reason, offset, merged_len, fwd_errors,
+ * rev_errors, fwd_trunc, rev_trunc, fatal_q; (double x3): ee_merged,
+ * ee_fwd, ee_rev.  Merged seq/qual written at out_off[pair].
+ * Reasons use the Python Reason enum values.  fatal_q: -1 ok, else the
+ * offending quality value (reason distinguishes below/above via sign of
+ * offset slot: offset=-1 below qmin, -2 above qmax).
+ */
+
+#define MR_UNDEFINED 0
+#define MR_OK 1
+#define MR_MINLEN 2
+#define MR_MAXLEN 3
+#define MR_MAXNS 4
+#define MR_MINOVLEN 5
+#define MR_MAXDIFFS 6
+#define MR_MAXDIFFPCT 7
+#define MR_STAGGERED 8
+#define MR_REPEAT 10
+#define MR_MINMERGELEN 11
+#define MR_MAXMERGELEN 12
+#define MR_MAXEE 13
+#define MR_MINSCORE 14
+#define MR_NOKMERS 15
+
+#define MERGE_K 5
+#define MERGE_KMERS 1024
+#define MERGE_DROPMAX_C 16.0
+
+typedef struct {
+    int64_t minlen, maxlen, ascii_off, qmin, qmax, truncqual, maxns,
+            minovlen, maxdiffs, minmergelen, maxmergelen;
+    double maxdiffpct, maxee;
+    int allowstagger;
+} merge_params_t;
+
+typedef struct {
+    const double *q2p;            /* [128] */
+    const uint8_t *qual_same;     /* [128*128] */
+    const uint8_t *qual_diff;     /* [128*128] */
+    const double *match_score;    /* [128*128] */
+    const double *mism_score;     /* [128*128] */
+    const uint8_t *comp;          /* [256] */
+    const uint8_t *ambig;         /* [256] 1=ambiguous */
+    const uint8_t *two_bit;       /* [256] */
+} merge_tables_t;
+
+typedef struct {
+    int32_t first[MERGE_KMERS];
+    int32_t *next;      /* per fwd position chain */
+    int32_t *poslist;   /* 1-based fwd kmer positions */
+    int64_t *diags;
+    int64_t cap;
+} merge_scratch_t;
+
+static void merge_one(const uint8_t *fwd, int64_t fwd_len, uint8_t *fq,
+                      const uint8_t *rev, int64_t rev_len, uint8_t *rq,
+                      const merge_params_t *P, const merge_tables_t *T,
+                      merge_scratch_t *S, uint8_t *oseq, uint8_t *oqual,
+                      int64_t *oi, double *od) {
+    int64_t reason = MR_UNDEFINED, offset = 0, merged_len = 0;
+    int64_t fwd_errors = 0, rev_errors = 0, fatal_q = -1;
+    double ee_merged = 0, ee_fwd = 0, ee_rev = 0;
+    int skip = 0;
+
+    if (fwd_len < P->minlen || rev_len < P->minlen) {
+        reason = MR_MINLEN; skip = 1;
+    }
+    if (fwd_len > P->maxlen || rev_len > P->maxlen) {
+        reason = MR_MAXLEN; skip = 1;
+    }
+
+    int64_t ft = fwd_len, rt = rev_len;
+    if (!skip) {
+        for (int64_t i = 0; i < fwd_len; i++) {
+            int64_t q = (int64_t)fq[i] - P->ascii_off;
+            if (q < P->qmin) { fatal_q = q; offset = -1; goto out; }
+            if (q > P->qmax) { fatal_q = q; offset = -2; goto out; }
+            if (q <= P->truncqual) { ft = i; break; }
+        }
+        if (ft < P->minlen) { reason = MR_MINLEN; skip = 1; }
+    }
+    if (!skip) {
+        for (int64_t i = 0; i < rev_len; i++) {
+            int64_t q = (int64_t)rq[i] - P->ascii_off;
+            if (q < P->qmin) { fatal_q = q; offset = -1; goto out; }
+            if (q > P->qmax) { fatal_q = q; offset = -2; goto out; }
+            if (q <= P->truncqual) { rt = i; break; }
+        }
+        if (rt < P->minlen) { reason = MR_MINLEN; skip = 1; }
+    }
+    if (!skip) {
+        int64_t nc = 0;
+        for (int64_t i = 0; i < ft; i++)
+            if (fwd[i] == 'N') { fq[i] = (uint8_t)P->ascii_off; nc++; }
+        if (nc > P->maxns) { reason = MR_MAXNS; skip = 1; }
+    }
+    if (!skip) {
+        int64_t nc = 0;
+        for (int64_t i = 0; i < rt; i++)
+            if (rev[i] == 'N') { rq[i] = (uint8_t)P->ascii_off; nc++; }
+        if (nc > P->maxns) { reason = MR_MAXNS; skip = 1; }
+    }
+
+    if (!skip) {
+        /* ---- optimize: 5-mer diagonal voting + score scan ---- */
+        int64_t mindiag, i;
+        double minscore;
+        if (P->minovlen < 9) {
+            mindiag = P->minovlen - 4;
+            minscore = 1.6 * (double)P->minovlen;
+        } else { mindiag = 4; minscore = 16.0; }
+
+        if (ft + rt > S->cap) {
+            free(S->next); free(S->poslist); free(S->diags);
+            S->cap = (ft + rt) * 2 + 64;
+            S->next = (int32_t *)malloc((size_t)S->cap * 4);
+            S->poslist = (int32_t *)malloc((size_t)S->cap * 4);
+            S->diags = (int64_t *)malloc((size_t)S->cap * 8);
+        }
+        memset(S->first, -1, sizeof(S->first));
+        memset(S->diags, 0, (size_t)(ft + rt) * 8);
+
+        uint32_t kmer = 0, bad = MERGE_KMERS - 1;
+        int32_t npos = 0;
+        for (i = 0; i < ft; i++) {
+            uint8_t c = fwd[i];
+            bad = ((bad << 2) | T->ambig[c]) & (MERGE_KMERS - 1);
+            kmer = ((kmer << 2) | T->two_bit[c]) & (MERGE_KMERS - 1);
+            if (bad == 0) {
+                /* chain in reverse build order; walk order must match the
+                   Python append order, so record and reverse below */
+                S->poslist[npos] = (int32_t)(i - MERGE_K + 1 + 1);
+                S->next[npos] = S->first[kmer];
+                S->first[kmer] = npos;
+                npos++;
+            }
+        }
+        kmer = 0; bad = MERGE_KMERS - 1;
+        for (i = 0; i < rt; i++) {
+            uint8_t c = rev[rt - 1 - i];
+            bad = ((bad << 2) | T->ambig[c]) & (MERGE_KMERS - 1);
+            kmer = ((kmer << 2) | T->two_bit[T->comp[c]]) & (MERGE_KMERS - 1);
+            if (bad == 0) {
+                for (int32_t p = S->first[kmer]; p >= 0; p = S->next[p]) {
+                    int64_t diag = rt + (S->poslist[p] - 1) - (i - MERGE_K + 1);
+                    if (diag >= 0) S->diags[diag]++;
+                }
+            }
+        }
+
+        double best_score = 0.0;
+        int64_t best_i = 0, best_diffs = 0, hits = 0, kmers_seen = 0;
+        for (i = 1; i < ft + rt; i++) {
+            if (S->diags[rt + ft - i] < mindiag) continue;
+            kmers_seen = 1;
+            int64_t fwd_3p = i > rt ? i - rt : 0;
+            int64_t rev_3p = i > ft ? i - ft : 0;
+            int64_t overlap = i - fwd_3p - rev_3p;
+            int64_t fwd_pos = ft - fwd_3p - 1;
+            int64_t rev_pos = rt - rev_3p - overlap;
+            double score = 0.0, score_high = 0.0, dropmax = 0.0;
+            int64_t diffs = 0;
+            for (int64_t k = 0; k < overlap; k++) {
+                uint8_t fs = fwd[fwd_pos], rs = T->comp[rev[rev_pos]];
+                uint8_t fqs = fq[fwd_pos], rqs = rq[rev_pos];
+                fwd_pos--; rev_pos++;
+                if (fs == rs) {
+                    score += T->match_score[(size_t)fqs * 128 + rqs];
+                    if (score > score_high) score_high = score;
+                } else {
+                    score += T->mism_score[(size_t)fqs * 128 + rqs];
+                    diffs++;
+                    if (score < score_high - dropmax)
+                        dropmax = score_high - score;
+                }
+            }
+            if (dropmax >= MERGE_DROPMAX_C) score = 0.0;
+            if (score >= minscore) hits++;
+            if (score > best_score) {
+                best_score = score; best_i = i; best_diffs = diffs;
+            }
+        }
+
+        if (hits > 1) reason = MR_REPEAT;
+        else if (!P->allowstagger && best_i > ft) reason = MR_STAGGERED;
+        else if (best_diffs > P->maxdiffs) reason = MR_MAXDIFFS;
+        else if (best_i > 0
+                 && 100.0 * (double)best_diffs / (double)best_i
+                    > P->maxdiffpct) reason = MR_MAXDIFFPCT;
+        else if (kmers_seen == 0) reason = MR_NOKMERS;
+        else if (best_score < minscore) reason = MR_MINSCORE;
+        else if (best_i < P->minovlen) reason = MR_MINOVLEN;
+        else if (ft + rt - best_i < P->minmergelen) reason = MR_MINMERGELEN;
+        else if (ft + rt - best_i > P->maxmergelen) reason = MR_MAXMERGELEN;
+        else offset = best_i;
+    }
+
+    if (offset > 0) {
+        /* ---- merge ---- */
+        int64_t fwd_5p = ft > offset ? ft - offset : 0;
+        int64_t w = 0;
+        int64_t fwd_pos = 0;
+        while (fwd_pos < fwd_5p) {
+            uint8_t q = fq[fwd_pos];
+            oseq[w] = fwd[fwd_pos]; oqual[w] = q; w++;
+            double e = T->q2p[q];
+            ee_merged += e; ee_fwd += e;
+            fwd_pos++;
+        }
+        int64_t rev_3p = offset > ft ? offset - ft : 0;
+        int64_t rev_pos = rt - 1 - rev_3p;
+        while (fwd_pos < ft && rev_pos >= 0) {
+            uint8_t fs = fwd[fwd_pos], rs = T->comp[rev[rev_pos]];
+            uint8_t fqs = fq[fwd_pos], rqs = rq[rev_pos];
+            uint8_t f_sym = fqs < 2 ? 'N' : fs;
+            uint8_t r_sym = rqs < 2 ? 'N' : rs;
+            uint8_t sym, q;
+            if (r_sym == 'N') { sym = f_sym; q = fqs; }
+            else if (f_sym == 'N') { sym = r_sym; q = rqs; }
+            else if (f_sym == r_sym) {
+                sym = f_sym;
+                q = T->qual_same[(size_t)fqs * 128 + rqs];
+            } else if (fqs > rqs) {
+                sym = f_sym;
+                q = T->qual_diff[(size_t)fqs * 128 + rqs];
+            } else {
+                sym = r_sym;
+                q = T->qual_diff[(size_t)rqs * 128 + fqs];
+            }
+            if (sym != fs) fwd_errors++;
+            if (sym != rs) rev_errors++;
+            oseq[w] = sym; oqual[w] = q; w++;
+            ee_merged += T->q2p[q];
+            ee_fwd += T->q2p[fqs];
+            ee_rev += T->q2p[rqs];
+            fwd_pos++; rev_pos--;
+        }
+        while (rev_pos >= 0) {
+            uint8_t q = rq[rev_pos];
+            oseq[w] = T->comp[rev[rev_pos]]; oqual[w] = q; w++;
+            double e = T->q2p[q];
+            ee_merged += e; ee_rev += e;
+            rev_pos--;
+        }
+        merged_len = w;
+        reason = (ee_merged <= P->maxee) ? MR_OK : MR_MAXEE;
+    }
+
+out:
+    oi[0] = reason; oi[1] = offset; oi[2] = merged_len;
+    oi[3] = fwd_errors; oi[4] = rev_errors; oi[5] = ft; oi[6] = rt;
+    oi[7] = fatal_q;
+    od[0] = ee_merged; od[1] = ee_fwd; od[2] = ee_rev;
+}
+
+void vstpu_merge_batch(
+        uint8_t *fwd_buf, const int64_t *fwd_off,
+        uint8_t *fq_buf,
+        uint8_t *rev_buf, const int64_t *rev_off,
+        uint8_t *rq_buf,
+        int64_t npairs,
+        const int64_t *iparams,   /* 11 ints + allowstagger as [13] */
+        const double *dparams,    /* maxdiffpct, maxee */
+        const double *q2p, const uint8_t *qual_same, const uint8_t *qual_diff,
+        const double *match_score, const double *mism_score,
+        const uint8_t *comp, const uint8_t *ambig, const uint8_t *two_bit,
+        uint8_t *out_seq, uint8_t *out_qual, const int64_t *out_off,
+        int64_t *out_ints /* npairs*8 */, double *out_doubles /* npairs*3 */) {
+    merge_params_t P;
+    P.minlen = iparams[0]; P.maxlen = iparams[1]; P.ascii_off = iparams[2];
+    P.qmin = iparams[3]; P.qmax = iparams[4]; P.truncqual = iparams[5];
+    P.maxns = iparams[6]; P.minovlen = iparams[7]; P.maxdiffs = iparams[8];
+    P.minmergelen = iparams[9]; P.maxmergelen = iparams[10];
+    P.allowstagger = (int)iparams[11];
+    P.maxdiffpct = dparams[0]; P.maxee = dparams[1];
+    merge_tables_t T = { q2p, qual_same, qual_diff, match_score, mism_score,
+                         comp, ambig, two_bit };
+    #pragma omp parallel
+    {
+        merge_scratch_t S;
+        memset(&S, 0, sizeof(S));
+        #pragma omp for schedule(dynamic, 64)
+        for (int64_t p = 0; p < npairs; p++) {
+            merge_one(fwd_buf + fwd_off[p], fwd_off[p + 1] - fwd_off[p],
+                      fq_buf + fwd_off[p],
+                      rev_buf + rev_off[p], rev_off[p + 1] - rev_off[p],
+                      rq_buf + rev_off[p],
+                      &P, &T, &S,
+                      out_seq + out_off[p], out_qual + out_off[p],
+                      out_ints + p * 8, out_doubles + p * 3);
+        }
+        free(S.next); free(S.poslist); free(S.diags);
+    }
+}

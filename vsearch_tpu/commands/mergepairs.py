@@ -88,7 +88,19 @@ def fastq_mergepairs(params: Parameters) -> None:
         failed = {r: 0 for r, _ in FAILURE_LABELS}
 
         from ..utils.progress import Progress
+        from .. import native
         merge_progress = Progress("Merging reads", 1, params)
+
+        if native.available():
+            _merge_native(params, tables, fwd_reader, rev_reader, stats,
+                          failed, fp_fastqout, fp_fastaout,
+                          fp_fastqout_nm_fwd, fp_fastqout_nm_rev,
+                          fp_fastaout_nm_fwd, fp_fastaout_nm_rev,
+                          fp_eetabbedout, merge_progress)
+            merge_progress.done()
+            _emit_merge_stats(params, stats, failed)
+            return
+
         for fwd in fwd_reader:
             merge_progress.update()
             try:
@@ -160,16 +172,147 @@ def fastq_mergepairs(params: Parameters) -> None:
                         stats["notmerged"])
 
         merge_progress.done()
-        # reference: fastq_mergepairs.cpp:1059-1064 — stats go to the
-        # log when open, otherwise to stderr (exclusive, not duplicated)
-        fp_log = getattr(params, "fp_log", None)
-        if fp_log is not None:
-            import io as _io
-            buf = _io.StringIO()
-            print_stats(stats, failed, buf)
-            fp_log.write(buf.getvalue().encode())
+        _emit_merge_stats(params, stats, failed)
+
+
+def _emit_merge_stats(params, stats, failed) -> None:
+    # reference: fastq_mergepairs.cpp:1059-1064 — stats go to the
+    # log when open, otherwise to stderr (exclusive, not duplicated)
+    fp_log = getattr(params, "fp_log", None)
+    if fp_log is not None:
+        import io as _io
+        buf = _io.StringIO()
+        print_stats(stats, failed, buf)
+        fp_log.write(buf.getvalue().encode())
+    else:
+        print_stats(stats, failed, sys.stderr)
+
+
+def _merge_native(params, tables, fwd_reader, rev_reader, stats, failed,
+                  fp_fastqout, fp_fastaout, fp_fastqout_nm_fwd,
+                  fp_fastqout_nm_rev, fp_fastaout_nm_fwd, fp_fastaout_nm_rev,
+                  fp_eetabbedout, merge_progress) -> None:
+    """Batched native merge path: pack all pairs, one OpenMP C call
+    (native/vsearch_tpu_native.c vstpu_merge_batch), then ordered output."""
+    from .. import native
+    from ..params import INT64_MAX
+
+    fwd_heads, fwd_seqs, fwd_quals, fwd_abunds = [], [], [], []
+    for rec in fwd_reader:
+        fwd_heads.append(rec.header)
+        fwd_seqs.append(rec.sequence)
+        fwd_quals.append(rec.quality or b"")
+        fwd_abunds.append(rec.abundance)
+    rev_heads, rev_seqs, rev_quals, rev_abunds = [], [], [], []
+    for rec in rev_reader:
+        rev_heads.append(rec.header)
+        rev_seqs.append(rec.sequence)
+        rev_quals.append(rec.quality or b"")
+        rev_abunds.append(rec.abundance)
+    if len(rev_seqs) > len(fwd_seqs):
+        raise SystemExit("Fatal error: More reverse reads than forward "
+                         "reads")
+    if len(fwd_seqs) > len(rev_seqs):
+        raise SystemExit("Fatal error: More forward reads than reverse "
+                         "reads")
+    n = len(fwd_seqs)
+
+    iparams = [params.opt_fastq_minlen, params.opt_fastq_maxlen,
+               params.opt_fastq_ascii, params.opt_fastq_qmin,
+               params.opt_fastq_qmax,
+               max(params.opt_fastq_truncqual, -(2 ** 62)),
+               params.opt_fastq_maxns, params.opt_fastq_minovlen,
+               params.opt_fastq_maxdiffs,
+               params.opt_fastq_minmergelen,
+               min(params.opt_fastq_maxmergelen, INT64_MAX),
+               1 if params.opt_fastq_allowmergestagger else 0]
+    dparams = [params.opt_fastq_maxdiffpct, params.opt_fastq_maxee]
+
+    res = native.merge_batch(fwd_seqs, fwd_quals, rev_seqs, rev_quals,
+                             iparams, dparams, tables)
+    (out_ints, out_doubles, out_seq, out_qual, out_off,
+     fwd_buf, fq_buf, fwd_off, rev_buf, rq_buf, rev_off) = res
+
+    out_seq_b = out_seq.tobytes()
+    out_qual_b = out_qual.tobytes()
+    fq_b = fq_buf.tobytes()
+    rq_b = rq_buf.tobytes()
+    oi_rows = out_ints.tolist()
+    od_rows = out_doubles.tolist()
+    out_off_l = out_off.tolist()
+    fwd_off_l = fwd_off.tolist()
+    rev_off_l = rev_off.tolist()
+
+    for p in range(n):
+        merge_progress.update()
+        (reason_i, offset, merged_len, fwd_errors, rev_errors, ft, rt,
+         fatal_q) = oi_rows[p]
+        if fatal_q >= 0:
+            if offset == -1:
+                raise SystemExit(
+                    "\n\nFatal error: FASTQ quality value (%d) below qmin "
+                    "(%d)" % (fatal_q, params.opt_fastq_qmin))
+            raise SystemExit(
+                "\n\nFatal error: FASTQ quality value (%d) above qmax "
+                "(%d)" % (fatal_q, params.opt_fastq_qmax))
+        ee_merged, ee_fwd, ee_rev = od_rows[p]
+        stats["pairs_read"] += 1
+        stats["sum_read_length"] += len(fwd_seqs[p]) + len(rev_seqs[p])
+        stats["total"] += 1
+        merged = reason_i == Reason.ok.value
+        if merged:
+            stats["merged"] += 1
+            stats["sum_fragment_length"] += merged_len
+            stats["sum_squared_fragment_length"] += merged_len * merged_len
+            stats["sum_ee_merged"] += ee_merged
+            stats["sum_ee_fwd"] += ee_fwd
+            stats["sum_ee_rev"] += ee_rev
+            stats["sum_errors_fwd"] += fwd_errors
+            stats["sum_errors_rev"] += rev_errors
+            lo = out_off_l[p]
+            mseq = out_seq_b[lo:lo + merged_len]
+            mqual = out_qual_b[lo:lo + merged_len]
+            if fp_fastqout is not None:
+                fastx_io.fastq_print_general(
+                    fp_fastqout, params, mseq, fwd_heads[p], mqual,
+                    fwd_abunds[p], stats["merged"], ee_merged)
+            if fp_fastaout is not None:
+                fastx_io.fasta_print_general(
+                    fp_fastaout, params, mseq, fwd_heads[p], fwd_abunds[p],
+                    stats["merged"], ee_merged)
+            if fp_eetabbedout is not None:
+                _ee_value(fp_eetabbedout, ee_fwd)
+                fp_eetabbedout.write(b"\t")
+                _ee_value(fp_eetabbedout, ee_rev)
+                fp_eetabbedout.write(b"\t%d\t%d\n" % (fwd_errors,
+                                                      rev_errors))
         else:
-            print_stats(stats, failed, sys.stderr)
+            failed[Reason(reason_i)] = failed.get(Reason(reason_i), 0) + 1
+            stats["notmerged"] += 1
+            if (fp_fastqout_nm_fwd is not None
+                    or fp_fastaout_nm_fwd is not None):
+                flo, fhi = fwd_off_l[p], fwd_off_l[p + 1]
+                if fp_fastqout_nm_fwd is not None:
+                    fastx_io.fastq_print_general(
+                        fp_fastqout_nm_fwd, params, fwd_seqs[p],
+                        fwd_heads[p], fq_b[flo:fhi], fwd_abunds[p],
+                        stats["notmerged"])
+                if fp_fastaout_nm_fwd is not None:
+                    fastx_io.fasta_print_general(
+                        fp_fastaout_nm_fwd, params, fwd_seqs[p],
+                        fwd_heads[p], fwd_abunds[p], stats["notmerged"])
+            if (fp_fastqout_nm_rev is not None
+                    or fp_fastaout_nm_rev is not None):
+                rlo, rhi = rev_off_l[p], rev_off_l[p + 1]
+                if fp_fastqout_nm_rev is not None:
+                    fastx_io.fastq_print_general(
+                        fp_fastqout_nm_rev, params, rev_seqs[p],
+                        rev_heads[p], rq_b[rlo:rhi], rev_abunds[p],
+                        stats["notmerged"])
+                if fp_fastaout_nm_rev is not None:
+                    fastx_io.fasta_print_general(
+                        fp_fastaout_nm_rev, params, rev_seqs[p],
+                        rev_heads[p], rev_abunds[p], stats["notmerged"])
 
 
 def print_stats(stats, failed, out) -> None:

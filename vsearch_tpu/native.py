@@ -215,3 +215,64 @@ def scan_fastq(data: bytes, truncateatspace: bool, upcase: bool):
         return None
     return (nrec, seq_out, qual_out, seq_off, head_off, head_len, sizes,
             stripped)
+
+
+def merge_batch(fwd_seqs, fwd_quals, rev_seqs, rev_quals, iparams, dparams,
+                tables):
+    """Batched paired-end merge (native core, OpenMP over pairs).
+
+    fwd_seqs/rev_seqs: list of bytes; fwd_quals/rev_quals: list of bytes.
+    Returns (out_ints (n,8), out_doubles (n,3), merged seq/qual buffers +
+    offsets, mutated fwd/rev quality buffers + offsets) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ctypes as ct
+    if not hasattr(lib, "_merge_ready"):
+        lib.vstpu_merge_batch.argtypes = [ct.c_void_p] * 6 + [ct.c_int64] + \
+            [ct.c_void_p] * 15
+        lib.vstpu_merge_batch.restype = None
+        lib._merge_ready = True
+    n = len(fwd_seqs)
+
+    def pack(seqs, quals):
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        buf = np.frombuffer(bytearray(b"".join(seqs)), dtype=np.uint8)
+        qbuf = np.frombuffer(bytearray(b"".join(quals)), dtype=np.uint8)
+        return off, buf, qbuf
+
+    fwd_off, fwd_buf, fq_buf = pack(fwd_seqs, fwd_quals)
+    rev_off, rev_buf, rq_buf = pack(rev_seqs, rev_quals)
+    out_off = fwd_off + rev_off
+    total_out = int(out_off[-1])
+    out_seq = np.empty(max(1, total_out), dtype=np.uint8)
+    out_qual = np.empty(max(1, total_out), dtype=np.uint8)
+    out_ints = np.zeros((n, 8), dtype=np.int64)
+    out_doubles = np.zeros((n, 3), dtype=np.float64)
+    from .utils.maps import (CHRMAP_COMPLEMENT, CHRMAP_MASK_AMBIG,
+                             CHRMAP_2BIT)
+    qs = np.ascontiguousarray(tables.merge_qual_same, dtype=np.uint8)
+    qd = np.ascontiguousarray(tables.merge_qual_diff, dtype=np.uint8)
+    ms = np.ascontiguousarray(tables.match_score, dtype=np.float64)
+    xs = np.ascontiguousarray(tables.mism_score, dtype=np.float64)
+    q2p = np.ascontiguousarray(tables.q2p, dtype=np.float64)
+    ip = np.asarray(iparams, dtype=np.int64)
+    dp = np.asarray(dparams, dtype=np.float64)
+
+    def p(a):
+        return a.ctypes.data if a.size else None
+
+    lib.vstpu_merge_batch(
+        p(fwd_buf), fwd_off.ctypes.data, p(fq_buf),
+        p(rev_buf), rev_off.ctypes.data, p(rq_buf),
+        n, ip.ctypes.data, dp.ctypes.data,
+        q2p.ctypes.data, qs.ctypes.data, qd.ctypes.data,
+        ms.ctypes.data, xs.ctypes.data,
+        CHRMAP_COMPLEMENT.ctypes.data, CHRMAP_MASK_AMBIG.ctypes.data,
+        CHRMAP_2BIT.ctypes.data,
+        p(out_seq), p(out_qual), out_off.ctypes.data,
+        out_ints.ctypes.data, out_doubles.ctypes.data)
+    return (out_ints, out_doubles, out_seq, out_qual, out_off,
+            fwd_buf, fq_buf, fwd_off, rev_buf, rq_buf, rev_off)
