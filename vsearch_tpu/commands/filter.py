@@ -25,6 +25,22 @@ class AnalysisRes:
     ee: float = -1.0
 
 
+
+_Q2P_CACHE = {}
+
+
+def _q2p_table(params: Parameters):
+    """256-entry raw-quality-symbol -> error-probability lookup."""
+    import numpy as np
+    key = params.opt_fastq_ascii
+    tab = _Q2P_CACHE.get(key)
+    if tab is None:
+        q = np.arange(256, dtype=np.float64) - key
+        tab = 10.0 ** (-q / 10.0)
+        _Q2P_CACHE[key] = tab
+    return tab
+
+
 def analyse(rec: fastx_io.SeqRecord, is_fastq: bool,
             params: Parameters) -> AnalysisRes:
     """reference: filter.cpp analyse (:122-268)."""
@@ -50,28 +66,60 @@ def analyse(rec: fastx_io.SeqRecord, is_fastq: bool,
         res.length = min(res.length, params.opt_fastq_trunclen_keep)
 
     if is_fastq:
+        # vectorized form of the reference per-base scan (filter.cpp
+        # analyse quality loop): cumulative expected error with
+        # truncqual / truncee / truncee_rate cut at the first violation
+        import numpy as np
         res.ee = 0.0
-        qual = rec.quality
-        for i in range(res.length):
-            q = qual[res.start + i] - params.opt_fastq_ascii
-            if q < params.opt_fastq_qmin:
+        if res.length > 0:
+            qual_u8 = np.frombuffer(rec.quality, dtype=np.uint8,
+                                    count=res.length, offset=res.start)
+            q_lo = int(qual_u8.min()) - params.opt_fastq_ascii
+            q_hi = int(qual_u8.max()) - params.opt_fastq_ascii
+            if q_lo < params.opt_fastq_qmin:
+                qarr = qual_u8.astype(np.int64) - params.opt_fastq_ascii
+                bad = qarr < params.opt_fastq_qmin
                 raise SystemExit(
-                    "\n\nFatal error: FASTQ quality value (%d) below qmin (%d)"
-                    % (q, params.opt_fastq_qmin))
-            if q > params.opt_fastq_qmax:
+                    "\n\nFatal error: FASTQ quality value (%d) below qmin "
+                    "(%d)" % (int(qarr[np.argmax(bad)]),
+                              params.opt_fastq_qmin))
+            if q_hi > params.opt_fastq_qmax:
+                qarr = qual_u8.astype(np.int64) - params.opt_fastq_ascii
+                bad = qarr > params.opt_fastq_qmax
                 raise SystemExit(
-                    "\n\nFatal error: FASTQ quality value (%d) above qmax (%d)"
-                    % (q, params.opt_fastq_qmax))
-            expected_error = 10.0 ** (-q / 10.0)
-            res.ee += expected_error
-            if (q <= params.opt_fastq_truncqual
-                    or res.ee > params.opt_fastq_truncee
-                    or res.ee > params.opt_fastq_truncee_rate * (i + 1)):
-                res.ee -= expected_error
-                res.length = i
-                break
-            if q < params.opt_fastq_minqual:
-                res.discarded = True
+                    "\n\nFatal error: FASTQ quality value (%d) above qmax "
+                    "(%d)" % (int(qarr[np.argmax(bad)]),
+                              params.opt_fastq_qmax))
+            terms = _q2p_table(params)[qual_u8]
+            ee_cum = np.cumsum(terms)
+            truncqual_on = q_lo <= params.opt_fastq_truncqual
+            truncee_on = (params.opt_fastq_truncee < DBL_MAX
+                          or params.opt_fastq_truncee_rate < DBL_MAX)
+            if truncqual_on or truncee_on:
+                cut = (qual_u8.astype(np.int64) - params.opt_fastq_ascii
+                       <= params.opt_fastq_truncqual)
+                if params.opt_fastq_truncee < DBL_MAX:
+                    cut |= ee_cum > params.opt_fastq_truncee
+                if params.opt_fastq_truncee_rate < DBL_MAX:
+                    cut |= (ee_cum > params.opt_fastq_truncee_rate
+                            * np.arange(1, res.length + 1))
+                has_cut = bool(cut.any())
+            else:
+                has_cut = False
+            if has_cut:
+                trunc_at = int(np.argmax(cut))
+                # float-exact replay of the reference's `ee += e; ee -= e`
+                # at the truncation base (filter.cpp analyse loop)
+                res.ee = float(ee_cum[trunc_at]) - float(terms[trunc_at])
+            else:
+                trunc_at = res.length
+                res.ee = float(ee_cum[-1])
+            if q_lo < params.opt_fastq_minqual:
+                qarr = (qual_u8[:trunc_at].astype(np.int64)
+                        - params.opt_fastq_ascii)
+                if (qarr < params.opt_fastq_minqual).any():
+                    res.discarded = True
+            res.length = trunc_at
         if res.ee > params.opt_fastq_maxee:
             res.discarded = True
         if res.length > 0 and res.ee / res.length > params.opt_fastq_maxee_rate:

@@ -299,13 +299,14 @@ def _read_fastq_py(filename: str, truncateatspace: bool = True,
 
 def print_sequence(out: IO[bytes], seq: bytes, width: int) -> None:
     """reference: fasta.cpp fasta_print_sequence"""
-    if width < 1:
-        out.write(seq)
-        out.write(b"\n")
-        return
-    for i in range(0, len(seq), width):
-        out.write(seq[i:i + width])
-        out.write(b"\n")
+    out.write(wrap_sequence(seq, width))
+
+
+def wrap_sequence(seq: bytes, width: int) -> bytes:
+    if width < 1 or len(seq) <= width:
+        return seq + b"\n"
+    return b"\n".join(seq[i:i + width]
+                      for i in range(0, len(seq), width)) + b"\n"
 
 
 def _format_ee(expected_error: float) -> bytes:
@@ -326,24 +327,43 @@ def fasta_print_general(out: IO[bytes], params: Parameters,
                         score_name: Optional[bytes] = None, score: float = 0.0,
                         centroid_size: int = 0,
                         prefix: Optional[bytes] = None) -> None:
-    """reference: fasta.cpp fasta_print_general (full annotation pipeline)."""
-    out.write(b">")
+    """reference: fasta.cpp fasta_print_general (full annotation pipeline).
+
+    Assembled into one buffer and written with a single call — the writer
+    is on the hot path of every streaming command."""
+    head = _general_header(params, seq, header, abundance, ordinal,
+                           expected_error, clustersize, clusterid,
+                           score_name, score, centroid_size, prefix)
+    if seq is not None:
+        out.write(b">" + head + wrap_sequence(seq,
+                                              int(params.opt_fasta_width)))
+    else:
+        out.write(b">" + head)
+
+
+def _general_header(params: Parameters, seq: Optional[bytes], header: bytes,
+                    abundance: int, ordinal: int, expected_error: float,
+                    clustersize: int = -1, clusterid: int = -1,
+                    score_name: Optional[bytes] = None, score: float = 0.0,
+                    centroid_size: int = 0,
+                    prefix: Optional[bytes] = None) -> bytes:
+    parts = []
     if prefix:
-        out.write(prefix)
+        parts.append(prefix)
 
     trailing_separator = False
     if params.opt_relabel_self:
-        out.write(seq or b"")
+        parts.append(seq or b"")
     elif params.opt_relabel_sha1:
         import hashlib
         from ..utils.digest import normalized_digest
-        out.write(normalized_digest(hashlib.sha1, seq or b""))
+        parts.append(normalized_digest(hashlib.sha1, seq or b""))
     elif params.opt_relabel_md5:
         import hashlib
         from ..utils.digest import normalized_digest
-        out.write(normalized_digest(hashlib.md5, seq or b""))
+        parts.append(normalized_digest(hashlib.md5, seq or b""))
     elif params.opt_relabel is not None and ordinal > 0:
-        out.write(params.opt_relabel.encode() + b"%d" % ordinal)
+        parts.append(params.opt_relabel.encode() + b"%d" % ordinal)
     else:
         strip_size = params.opt_xsize or (params.opt_sizeout and abundance > 0)
         strip_ee = params.opt_xee or (
@@ -351,11 +371,11 @@ def fasta_print_general(out: IO[bytes], params: Parameters,
         strip_length = params.opt_xlength or params.opt_lengthout
         stripped, trailing_separator = attributes.header_strip(
             header, strip_size, strip_ee, strip_length)
-        out.write(stripped)
+        parts.append(stripped)
 
     if params.opt_label_suffix is not None:
         suffix = params.opt_label_suffix.encode()
-        out.write(suffix)
+        parts.append(suffix)
         if suffix:
             trailing_separator = suffix.endswith(b";")
 
@@ -367,30 +387,28 @@ def fasta_print_general(out: IO[bytes], params: Parameters,
         return b";"
 
     if params.opt_sample is not None:
-        out.write(sep() + b"sample=" + params.opt_sample.encode())
+        parts.append(sep() + b"sample=" + params.opt_sample.encode())
     if clustersize > 0:
-        out.write(sep() + b"seqs=%d" % clustersize)
+        parts.append(sep() + b"seqs=%d" % clustersize)
     if clusterid >= 0:
-        out.write(sep() + b"clusterid=%d" % clusterid)
+        parts.append(sep() + b"clusterid=%d" % clusterid)
     if params.opt_sizeout and abundance > 0:
-        out.write(sep() + b"size=%d" % abundance)
+        parts.append(sep() + b"size=%d" % abundance)
     if params.opt_centroid_sizeout and centroid_size > 0:
-        out.write(sep() + b"centroid_size=%d" % centroid_size)
+        parts.append(sep() + b"centroid_size=%d" % centroid_size)
     if (params.opt_eeout or params.opt_fastq_eeout) and expected_error >= 0.0:
-        out.write(sep() + _format_ee(expected_error))
+        parts.append(sep() + _format_ee(expected_error))
     if params.opt_lengthout:
-        out.write(sep() + b"length=%d" % len(seq or b""))
+        parts.append(sep() + b"length=%d" % len(seq or b""))
     if score_name is not None:
-        out.write(sep() + score_name + b"=%.4f" % score)
+        parts.append(sep() + score_name + b"=%.4f" % score)
     if params.opt_relabel_keep and (
             (params.opt_relabel is not None and ordinal > 0)
             or params.opt_relabel_sha1 or params.opt_relabel_md5
             or params.opt_relabel_self):
-        out.write(b" " + header)
-    out.write(b"\n")
-
-    if seq is not None:
-        print_sequence(out, seq, int(params.opt_fasta_width))
+        parts.append(b" " + header)
+    parts.append(b"\n")
+    return b"".join(parts)
 
 
 def fastq_print_general(out: IO[bytes], params: Parameters,
@@ -399,10 +417,6 @@ def fastq_print_general(out: IO[bytes], params: Parameters,
                         expected_error: float = -1.0) -> None:
     """reference: fastq.cpp fastq_print_general (header pipeline shared with
     fasta_print_general; sequence and quality always on single lines)."""
-    buf = io.BytesIO()
-    fasta_print_general(buf, params, None, header, abundance, ordinal,
-                        expected_error)
-    head = buf.getvalue()
-    assert head.startswith(b">")
-    out.write(b"@" + head[1:])
-    out.write(seq + b"\n+\n" + qual + b"\n")
+    head = _general_header(params, None, header, abundance, ordinal,
+                           expected_error)
+    out.write(b"@" + head + seq + b"\n+\n" + qual + b"\n")
