@@ -221,14 +221,18 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
         B = qlen.shape[0]
         # lane stride may exceed M (Pallas pads lanes to the int8 tiling)
         Ms = dirs.shape[2]
-        dirs_flat = jnp.moveaxis(dirs, 1, 0).reshape(B, D * Ms)
+        # flat 1-D gather: a per-step 2-D take_along_axis over the (B, D*Ms)
+        # transpose lowers to a gather ~5x slower than indexing the
+        # row-major (D, B, Ms) buffer directly with linearized offsets
+        dirs_flat = dirs.reshape(D * B * Ms)
+        brange = jnp.arange(B, dtype=jnp.int32) * Ms
 
         def step(carry, _):
             i, j, prev = carry
             both = (i >= 0) & (j >= 0)
-            idx = jnp.clip((i + j) * Ms + i, 0, D * Ms - 1)
-            dword = jnp.take_along_axis(dirs_flat, idx[:, None],
-                                        axis=1)[:, 0].astype(jnp.int32)
+            idx = (jnp.clip(i + j, 0, D - 1) * (B * Ms) + brange
+                   + jnp.clip(i, 0, Ms - 1))
+            dword = dirs_flat[idx].astype(jnp.int32)
             extleft = (dword & DIR_EXTLEFT) != 0
             extup = (dword & DIR_EXTUP) != 0
             left = (dword & DIR_LEFT) != 0
@@ -252,10 +256,12 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
         return ops
 
     forward_fn = forward
-    # The Pallas forward is opt-in: its steady-state speed matches the XLA
-    # scan at amplicon sizes but its Mosaic compile is ~16x slower (~570s vs
-    # ~35s per geometry measured on v5e) and does not hit the persistent
-    # compilation cache, which dominates CLI-style one-shot runs.
+    # The Pallas forward keeps the H/E/F carries VMEM-resident (the XLA scan
+    # round-trips them through HBM every diagonal): forward-only it measures
+    # ~1.35x the XLA scan at (512, 768x768) on v5e, but end-to-end the gain
+    # vanishes (the backtrack gather pays a relayout on the Pallas dirs
+    # layout) while first-run Mosaic compiles add ~200s across the geometry
+    # ladder — so it stays opt-in.
     if Bp > 0 and os.environ.get("VSEARCH_TPU_PALLAS"):
         tb = _pallas_tile(Bp, M)
         if tb >= 8 and Bp % tb == 0 and jax.default_backend() != "cpu":
@@ -286,7 +292,7 @@ def _gather_align_kernel(scheme_key: tuple, M: int, N: int, Bp: int):
     positions (Bp,) int32, and the device-resident DB code matrix +
     length table; gathers the target rows on device so a dispatch uploads
     only the query-side data."""
-    full_kernel = _build_kernels(scheme_key, M, N)
+    full_kernel = _build_kernels(scheme_key, M, N, Bp)
 
     @jax.jit
     def run(q4, qlen, pos, db_codes, tlen_by_pos):
