@@ -166,10 +166,9 @@ int vstpu_unique_kmers(const unsigned char *seq, int len, int wordlength,
  * (caller-sized >= 12 * nops) and returns its length; fills
  * stats[0..3] = aligned, matches, mismatches, gaps.
  * q/t are the original sequences (for IUPAC match counting). */
-int vstpu_assemble(const int8_t *ops, int nops,
-                   const unsigned char *q, const unsigned char *t,
-                   int n_mismatch, char *cigar_out, int64_t *stats) {
-    init_maps();
+static int assemble_core(const int8_t *ops, int64_t stride, int nops,
+                         const unsigned char *q, const unsigned char *t,
+                         int n_mismatch, char *cigar_out, int64_t *stats) {
     int aligned = 0, matches = 0, mismatches = 0, gaps = 0;
     int qpos = 0, tpos = 0;
     char *out = cigar_out;
@@ -178,10 +177,10 @@ int vstpu_assemble(const int8_t *ops, int nops,
 
     /* forward order = reverse of ops, skipping 0s */
     int start = nops - 1;
-    while (start >= 0 && ops[start] == 0) start--;
+    while (start >= 0 && ops[(int64_t)start * stride] == 0) start--;
 
     for (int k = start; k >= 0; k--) {
-        int op = ops[k];
+        int op = ops[(int64_t)k * stride];
         if (op == 0) continue;
         aligned++;
         if (op == 1) { /* M */
@@ -218,6 +217,36 @@ int vstpu_assemble(const int8_t *ops, int nops,
     stats[2] = mismatches;
     stats[3] = gaps;
     return (int)(out - cigar_out);
+}
+
+int vstpu_assemble(const int8_t *ops, int nops,
+                   const unsigned char *q, const unsigned char *t,
+                   int n_mismatch, char *cigar_out, int64_t *stats) {
+    init_maps();
+    return assemble_core(ops, 1, nops, q, t, n_mismatch, cigar_out, stats);
+}
+
+/* Batched, threaded assembly over columns of a row-major (S, B) ops
+ * matrix (the device backtrack's native output shape — no host
+ * transpose/copy needed).  Entry e assembles column cols[e] against
+ * query/target slices qbuf[qoff[e]:qoff[e+1]] / tbuf[toff[e]:toff[e+1]];
+ * its cigar is written at cigars + e * (12*S + 16) with the length in
+ * cigar_len[e], stats in stats[e*4..]. */
+void vstpu_assemble_batch(const int8_t *ops, int64_t S, int64_t B,
+                          const int32_t *cols, int64_t ncols,
+                          const unsigned char *qbuf, const int64_t *qoff,
+                          const unsigned char *tbuf, const int64_t *toff,
+                          int n_mismatch, char *cigars,
+                          int32_t *cigar_len, int64_t *stats) {
+    init_maps();
+    int64_t cstride = 12 * S + 16;
+    #pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t e = 0; e < ncols; e++) {
+        cigar_len[e] = assemble_core(
+            ops + cols[e], B, (int)S,
+            qbuf + qoff[e], tbuf + toff[e], n_mismatch,
+            cigars + e * cstride, stats + e * 4);
+    }
 }
 
 /* ---- device index bit packing ----

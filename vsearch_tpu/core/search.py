@@ -360,9 +360,12 @@ class SearchContext:
                 di.tlen_by_pos_dev, N))
         return handles
 
-    def _prefetch_table(self, chunks, pref_h, idx) -> dict:
-        """unit index -> (seqno, score, overflow, ops column) for every
-        fetched prefetch row whose top-1 position is a real DB entry."""
+    def _prefetch_table(self, chunks, pref_h, idx, units) -> dict:
+        """unit index -> (seqno, AlignmentResult | None, overflow) for every
+        fetched prefetch row whose top-1 position is a real DB entry.
+
+        Eligible rows (SIMD-engine envelope, no overflow) are assembled
+        in ONE threaded native call per chunk instead of lazily per walk."""
         if pref_h is None or idx.shape[1] == 0:
             return {}
         di = self.device_index
@@ -371,12 +374,45 @@ class SearchContext:
         for (cnt, _), pref in zip(chunks, pref_h):
             if pref is not None:
                 score, overflow, ops = pref
+                batch_w, batch_cols, batch_q, batch_t = [], [], [], []
                 for i in range(cnt):
                     p = int(idx[lo + i, 0])
-                    if p < di.n:
-                        table[lo + i] = (int(di.seqno_by_pos[p]),
-                                         int(score[i]), bool(overflow[i]),
-                                         ops[:, i])
+                    if p >= di.n:
+                        continue
+                    w = lo + i
+                    seqno = int(di.seqno_by_pos[p])
+                    qseq = units[w][2].qsequence
+                    tseq = self.db.getsequence(seqno)
+                    if (not fits_simd(len(qseq), len(tseq))
+                            or len(qseq) == 0 or len(tseq) == 0):
+                        continue
+                    if overflow[i]:
+                        table[w] = (seqno, None, True)
+                        continue
+                    table[w] = (seqno, int(score[i]), False)
+                    batch_w.append(w)
+                    batch_cols.append(i)
+                    batch_q.append(qseq)
+                    batch_t.append(tseq)
+                if batch_w:
+                    from .. import native
+                    res = native.assemble_batch(
+                        np.asarray(ops), batch_cols, batch_q, batch_t,
+                        self.scheme.n_mismatch)
+                    if res is not None:
+                        for w, (cigar, aligned, matches, mism, gaps), q \
+                                in zip(batch_w, res, batch_q):
+                            seqno, score_w, _ = table[w]
+                            table[w] = (seqno, AlignmentResult(
+                                score_w, cigar, aligned, matches, mism,
+                                gaps), False)
+                    else:
+                        for w, col, q, t in zip(batch_w, batch_cols,
+                                                batch_q, batch_t):
+                            seqno, score_w, _ = table[w]
+                            table[w] = (seqno, self.aligner.assemble_one(
+                                score_w, np.asarray(ops)[:, col], q, t),
+                                False)
             lo += cnt
         return table
 
@@ -388,17 +424,14 @@ class SearchContext:
         entry = prefetched.get(w)
         if entry is None or entry[0] != t:
             return None
-        seqno, score, overflow, ops_col = entry
-        tseq = self.db.getsequence(t)
-        if (not fits_simd(len(qseq), len(tseq))
-                or len(qseq) == 0 or len(tseq) == 0):
-            return None
+        seqno, res, overflow = entry
         del prefetched[w]
         if overflow:
             # sentinel: same linear-memory fallback as align_pairs
             from ..ops.linmem import linmem_align
-            return linmem_align(self.scheme, qseq, tseq)
-        return self.aligner.assemble_one(score, ops_col, qseq, tseq)
+            return linmem_align(self.scheme, qseq,
+                                self.db.getsequence(t))
+        return res
 
     def search_tasks_finish(self, state) -> None:
         tasks, units, kmer_lists, pending, prefetch = state
@@ -424,7 +457,7 @@ class SearchContext:
                 idx = np.zeros((q, 0), dtype=np.int32)
             cand_lists = self._candidates_from_topk(
                 vals, idx, [qi.kmersamplecount for (_, _, qi) in units])
-            prefetched = self._prefetch_table(chunks, pref_h, idx)
+            prefetched = self._prefetch_table(chunks, pref_h, idx, units)
         else:
             cand_lists = self._candidates_batch(
                 kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])

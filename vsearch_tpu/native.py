@@ -149,6 +149,49 @@ def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,
             int(stats[2]), int(stats[3]))
 
 
+def assemble_batch(ops_matrix: np.ndarray, cols, qseqs, tseqs,
+                   n_mismatch: bool):
+    """Threaded assembly of columns of a row-major (S, B) ops matrix.
+
+    cols: per-entry column index; qseqs/tseqs: per-entry sequences.
+    Returns a list of (cigar, aligned, matches, mismatches, gaps) or None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_asm_batch_ready"):
+        ct = ctypes
+        lib.vstpu_assemble_batch.argtypes = [
+            ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_int64,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p]
+        lib._asm_batch_ready = True
+    ops_matrix = np.ascontiguousarray(ops_matrix, dtype=np.int8)
+    S, B = ops_matrix.shape
+    n = len(cols)
+    if n == 0:
+        return []
+    cols_a = np.asarray(cols, dtype=np.int32)
+    qbuf = b"".join(qseqs)
+    tbuf = b"".join(tseqs)
+    qoff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in qseqs], out=qoff[1:])
+    toff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in tseqs], out=toff[1:])
+    cstride = 12 * S + 16
+    cigars = ctypes.create_string_buffer(cstride * n)
+    clen = np.zeros(n, dtype=np.int32)
+    stats = np.zeros((n, 4), dtype=np.int64)
+    lib.vstpu_assemble_batch(
+        ops_matrix.ctypes.data, S, B, cols_a.ctypes.data, n,
+        qbuf, qoff.ctypes.data, tbuf, toff.ctypes.data, int(n_mismatch),
+        cigars, clen.ctypes.data, stats.ctypes.data)
+    raw = cigars.raw
+    return [(raw[e * cstride:e * cstride + clen[e]].decode(),
+             int(stats[e, 0]), int(stats[e, 1]), int(stats[e, 2]),
+             int(stats[e, 3])) for e in range(n)]
+
+
 def scan_fasta(data: bytes, truncateatspace: bool, upcase: bool):
     """Native FASTA scan of an in-memory file image.
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -407,14 +407,33 @@ class BatchAligner:
         # one bundled device->host transfer (three sequential np.asarray
         # round-trips dominate latency on a tunneled device)
         score, overflow, ops = jax.device_get(handle)
+        return self.assemble_columns(score, overflow, np.asarray(ops),
+                                     qseqs, tseqs)
 
-        results: List[AlignmentResult] = []
+    def assemble_columns(self, score, overflow, ops: np.ndarray,
+                         qseqs: Sequence[bytes], tseqs: Sequence[bytes]
+                         ) -> List[AlignmentResult]:
+        """Assemble the first len(qseqs) columns of a fetched (S, B) ops
+        matrix into AlignmentResults (one threaded native call for the
+        whole batch; overflow columns become SHRT_MAX sentinels)."""
+        from .. import native
+        B = len(qseqs)
+        results: List[Optional[AlignmentResult]] = [None] * B
+        live = [b for b in range(B) if not overflow[b]]
+        batch = native.assemble_batch(
+            ops, live, [qseqs[b] for b in live], [tseqs[b] for b in live],
+            self.scheme.n_mismatch) if live else []
+        if batch is not None:
+            for b, (cigar, aligned, matches, mism, gaps) in zip(live, batch):
+                results[b] = AlignmentResult(int(score[b]), cigar, aligned,
+                                             matches, mism, gaps)
+        else:
+            for b in live:
+                results[b] = self._assemble(int(score[b]), ops[:, b],
+                                            qseqs[b], tseqs[b])
         for b in range(B):
-            if overflow[b]:
-                results.append(AlignmentResult(SHRT_MAX, "", 0, 0, 0, 0))
-                continue
-            results.append(self._assemble(int(score[b]), ops[:, b],
-                                          qseqs[b], tseqs[b]))
+            if results[b] is None:
+                results[b] = AlignmentResult(SHRT_MAX, "", 0, 0, 0, 0)
         return results
 
     def _assemble(self, score: int, ops_rev: np.ndarray, qseq: bytes,
