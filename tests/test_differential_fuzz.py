@@ -258,3 +258,91 @@ def test_fuzz_fastx_misc(ref_binary, tmp_path, seed):
              ["{o}.uc", "{o}.b6"]),
     ]:
         _diff(ref_binary, tmp_path, args, outs)
+
+
+@pytest.mark.parametrize("seed", [81])
+def test_fuzz_relabel_annotations(ref_binary, tmp_path, seed):
+    rng = random.Random(seed)
+    make_fasta(tmp_path / "in.fa", rng, 60, minlen=20, maxlen=120,
+               amb=0.03, lower=0.1, sizes=True)
+    for args, outs in [
+            ((["--fastx_filter", "in.fa", "--fastaout", "{o}.fa",
+               "--relabel", "read_", "--sizein", "--sizeout",
+               "--fastq_minlen", "25"]),
+             ["{o}.fa"]),
+            ((["--fastx_filter", "in.fa", "--fastaout", "{o}.fa",
+               "--relabel_sha1", "--sizein", "--xsize"]),
+             ["{o}.fa"]),
+            ((["--fastx_filter", "in.fa", "--fastaout", "{o}.fa",
+               "--relabel_md5", "--lengthout"]),
+             ["{o}.fa"]),
+            ((["--derep_fulllength", "in.fa", "--output", "{o}.fa",
+               "--relabel_keep", "--relabel", "Uniq", "--sizein",
+               "--sizeout", "--minseqlength", "1"]),
+             ["{o}.fa"]),
+            ((["--sortbysize", "in.fa", "--output", "{o}.fa", "--sizein",
+               "--relabel_self", "--sizeout", "--minseqlength", "1"]),
+             ["{o}.fa"]),
+            ((["--fastx_filter", "in.fa", "--fastaout", "{o}.fa",
+               "--sample", "mysample", "--sizein"]),
+             ["{o}.fa"]),
+    ]:
+        _diff(ref_binary, tmp_path, args, outs)
+
+
+@pytest.mark.parametrize("seed", [91])
+def test_fuzz_orient_join_getseq(ref_binary, tmp_path, seed):
+    rng = random.Random(seed)
+    comp = str.maketrans("ACGT", "TGCA")
+    db = [_seq(rng, rng.randint(200, 350)) for _ in range(20)]
+    with open(tmp_path / "db.fa", "w") as fh:
+        for i, s in enumerate(db):
+            fh.write(">ref%d some description\n%s\n" % (i, s))
+    with open(tmp_path / "in.fa", "w") as fh:
+        for i in range(40):
+            s = _mutate(rng, rng.choice(db), 0.05)
+            if rng.random() < 0.5:
+                s = s.translate(comp)[::-1]
+            fh.write(">q%d\n%s\n" % (i, s))
+    _diff(ref_binary, tmp_path,
+          ["--orient", "in.fa", "--db", "db.fa", "--fastaout", "{o}.fa",
+           "--notmatched", "{o}.nm.fa", "--tabbedout", "{o}.tsv"],
+          ["{o}.fa", "{o}.nm.fa", "{o}.tsv"])
+    make_pairs(tmp_path / "f.fq", tmp_path / "r.fq", rng, 60)
+    _diff(ref_binary, tmp_path,
+          ["--fastq_join", "f.fq", "--reverse", "r.fq", "--fastqout",
+           "{o}.fq", "--join_padgap", "NNNNN", "--join_padgapq", "IIIII"],
+          ["{o}.fq"])
+    _diff(ref_binary, tmp_path,
+          ["--fastx_getseq", "db.fa", "--label", "ref1", "--fastaout",
+           "{o}.fa", "--notmatched", "{o}.nm.fa"],
+          ["{o}.fa", "{o}.nm.fa"])
+    with open(tmp_path / "labels.txt", "w") as fh:
+        fh.write("ref2\nref15\nref7\n")
+    _diff(ref_binary, tmp_path,
+          ["--fastx_getseqs", "db.fa", "--labels", "labels.txt",
+           "--fastaout", "{o}.fa"],
+          ["{o}.fa"])
+
+
+@pytest.mark.parametrize("seed", [101])
+def test_fuzz_sintax_allpairs(ref_binary, tmp_path, seed):
+    rng = random.Random(seed)
+    genera = [_seq(rng, 300) for _ in range(6)]
+    with open(tmp_path / "db.fa", "w") as fh:
+        for g, base in enumerate(genera):
+            for i in range(3):
+                fh.write(">r%d_%d;tax=d:Bacteria,p:P%d,g:G%d;\n%s\n"
+                         % (g, i, g % 3, g, _mutate(rng, base, 0.02)))
+    with open(tmp_path / "q.fa", "w") as fh:
+        for i in range(25):
+            fh.write(">q%d\n%s\n" % (i, _mutate(rng, rng.choice(genera),
+                                                 0.06)))
+    _diff(ref_binary, tmp_path,
+          ["--sintax", "q.fa", "--db", "db.fa", "--tabbedout", "{o}.tsv",
+           "--randseed", "11", "--sintax_cutoff", "0.6"],
+          ["{o}.tsv"])
+    _diff(ref_binary, tmp_path,
+          ["--allpairs_global", "q.fa", "--id", "0.6", "--uc", "{o}.uc",
+           "--blast6out", "{o}.b6", "--acceptall", "--minseqlength", "1"],
+          ["{o}.uc", "{o}.b6"])
