@@ -249,6 +249,149 @@ void vstpu_assemble_batch(const int8_t *ops, int64_t S, int64_t B,
     }
 }
 
+/* ---- read filter analysis (filter.cpp analyse) ----
+ *
+ * Batched strip/truncate/quality analysis; float accumulation is
+ * left-to-right per read, bit-exact to the reference's per-base loop.
+ * ip: [stripleft, stripright, trunclen, trunclen_keep, truncqual, maxns,
+ *      minlen, maxlen, ascii, qmin, qmax, minqual, is_fastq, minsize,
+ *      maxsize]
+ * dp: [truncee, truncee_rate, maxee, maxee_rate]
+ * out_flags: bit0 = discarded, bit1 = truncated
+ * fatal: [rec, value, below] — rec = -1 when no quality-range violation;
+ * the lowest record index wins (input order). */
+void vstpu_filter_analyse(const unsigned char *seq,
+                          const unsigned char *qual, const int64_t *off,
+                          int64_t n, const int64_t *sizes,
+                          const int64_t *ip, const double *dp,
+                          const double *q2p, int64_t *out_start,
+                          int64_t *out_len, double *out_ee,
+                          uint8_t *out_flags, int64_t *fatal) {
+    int64_t stripleft = ip[0], stripright = ip[1], trunclen = ip[2],
+            trunclen_keep = ip[3], truncqual = ip[4], maxns = ip[5],
+            minlen = ip[6], maxlen = ip[7], ascii = ip[8], qmin = ip[9],
+            qmax = ip[10], minqual = ip[11], is_fastq = ip[12],
+            minsize = ip[13], maxsize = ip[14];
+    double truncee = dp[0], truncee_rate = dp[1], maxee = dp[2],
+           maxee_rate = dp[3];
+    fatal[0] = -1;
+    #pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t r = 0; r < n; r++) {
+        int64_t base = off[r];
+        int64_t L0 = off[r + 1] - base;
+        int64_t start = 0, len = L0;
+        int discarded = 0;
+        double ee = -1.0;
+        if (stripleft < len) { start += stripleft; len -= stripleft; }
+        else { start = len; len = 0; }
+        if (stripright < len) len -= stripright;
+        else len = 0;
+        if (trunclen >= 0 && len > trunclen) len = trunclen;
+        if (trunclen_keep >= 0 && len > trunclen_keep) len = trunclen_keep;
+
+        if (is_fastq) {
+            ee = 0.0;
+            const unsigned char *qw = qual + base + start;
+            /* quality-range fatal scan covers the whole analysis window */
+            for (int64_t i = 0; i < len; i++) {
+                int64_t q = (int64_t)qw[i] - ascii;
+                if (q < qmin || q > qmax) {
+                    #pragma omp critical
+                    if (fatal[0] < 0 || r < fatal[0]) {
+                        fatal[0] = r; fatal[1] = q; fatal[2] = q < qmin;
+                    }
+                    break;
+                }
+            }
+            for (int64_t i = 0; i < len; i++) {
+                int64_t q = (int64_t)qw[i] - ascii;
+                double e = q2p[qw[i]];
+                ee += e;
+                if (q <= truncqual || ee > truncee
+                        || ee > truncee_rate * (double)(i + 1)) {
+                    ee -= e;
+                    len = i;
+                    break;
+                }
+                if (q < minqual) discarded = 1;
+            }
+            if (ee > maxee) discarded = 1;
+            if (len > 0 && ee / (double)len > maxee_rate) discarded = 1;
+        }
+        if (trunclen >= 0 && len < trunclen) discarded = 1;
+        if (len < minlen) discarded = 1;
+        if (len > maxlen) discarded = 1;
+        int64_t ncount = 0;
+        const unsigned char *sw = seq + base + start;
+        for (int64_t i = 0; i < len; i++)
+            if (sw[i] == 'N' || sw[i] == 'n') ncount++;
+        if (ncount > maxns) discarded = 1;
+        if (sizes[r] < minsize || sizes[r] > maxsize) discarded = 1;
+        out_start[r] = start;
+        out_len[r] = len;
+        out_ee[r] = ee;
+        out_flags[r] = (uint8_t)((discarded ? 1 : 0)
+                                 | (len < L0 ? 2 : 0));
+    }
+}
+
+/* ---- bulk record emitters ----
+ *
+ * Fast-path output writers for the unannotated case (no relabel/sizeout/
+ * eeout/...): record e of the selection is header head_buf[head_off[p] ..
+ * +head_len[p]] with sequence/quality rec_len[p] bytes at rec_start[p].
+ * Returns bytes written into out (caller-sized). */
+
+int64_t vstpu_emit_fastq(const unsigned char *head_buf,
+                         const int64_t *head_off, const int64_t *head_len,
+                         const unsigned char *seq_buf,
+                         const unsigned char *qual_buf,
+                         const int64_t *rec_start, const int64_t *rec_len,
+                         const int32_t *sel, int64_t nsel,
+                         unsigned char *out) {
+    unsigned char *o = out;
+    for (int64_t e = 0; e < nsel; e++) {
+        int32_t p = sel[e];
+        *o++ = '@';
+        memcpy(o, head_buf + head_off[p], head_len[p]); o += head_len[p];
+        *o++ = '\n';
+        int64_t L = rec_len[p];
+        memcpy(o, seq_buf + rec_start[p], L); o += L;
+        *o++ = '\n'; *o++ = '+'; *o++ = '\n';
+        memcpy(o, qual_buf + rec_start[p], L); o += L;
+        *o++ = '\n';
+    }
+    return (int64_t)(o - out);
+}
+
+int64_t vstpu_emit_fasta(const unsigned char *head_buf,
+                         const int64_t *head_off, const int64_t *head_len,
+                         const unsigned char *seq_buf,
+                         const int64_t *rec_start, const int64_t *rec_len,
+                         const int32_t *sel, int64_t nsel, int64_t width,
+                         unsigned char *out) {
+    unsigned char *o = out;
+    for (int64_t e = 0; e < nsel; e++) {
+        int32_t p = sel[e];
+        *o++ = '>';
+        memcpy(o, head_buf + head_off[p], head_len[p]); o += head_len[p];
+        *o++ = '\n';
+        int64_t L = rec_len[p];
+        const unsigned char *s = seq_buf + rec_start[p];
+        if (width <= 0 || L <= width) {
+            memcpy(o, s, L); o += L;
+            *o++ = '\n';
+        } else {
+            for (int64_t q = 0; q < L; q += width) {
+                int64_t w = L - q < width ? L - q : width;
+                memcpy(o, s + q, w); o += w;
+                *o++ = '\n';
+            }
+        }
+    }
+    return (int64_t)(o - out);
+}
+
 /* ---- device index bit packing ----
  * bits: (hashsize + 1) rows x `words` uint32 (row-major, zeroed by caller);
  * bit (p & 31) of word p >> 5 in row k set when index position p contains

@@ -154,6 +154,84 @@ def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
     return stack.enter_context(open(path, "wb"))
 
 
+def _filter_arrays(params, filename, fp_fastaout, fp_fastqout,
+                   fp_fastaout_d, fp_fastqout_d, read_progress) -> bool:
+    """Buffer-level single-file FASTQ filter: native scan -> one OpenMP
+    analysis call (float-exact per-read EE accumulation) -> bulk record
+    emission.  Returns False when the native scanner or the
+    passthrough-header fast path does not apply."""
+    import numpy as np
+    from .. import native
+    from .mergepairs import _plain_headers
+    from ..params import INT64_MAX
+
+    if not (native.available() and _plain_headers(params)):
+        return False
+    arrays = fastx_io.scan_fastq_arrays(filename, params=params,
+                                        truncateatspace=False)
+    if arrays is None:
+        return False
+    (data, n, seq_buf, qual_buf, seq_off, head_off, head_len, sizes) = arrays
+
+    iparams = [params.opt_fastq_stripleft, params.opt_fastq_stripright,
+               params.opt_fastq_trunclen, params.opt_fastq_trunclen_keep,
+               params.opt_fastq_truncqual, params.opt_fastq_maxns,
+               params.opt_fastq_minlen,
+               min(params.opt_fastq_maxlen, INT64_MAX),
+               params.opt_fastq_ascii, params.opt_fastq_qmin,
+               params.opt_fastq_qmax, params.opt_fastq_minqual, 1,
+               params.opt_minsize, min(params.opt_maxsize, INT64_MAX)]
+    dparams = [params.opt_fastq_truncee, params.opt_fastq_truncee_rate,
+               params.opt_fastq_maxee, params.opt_fastq_maxee_rate]
+    res = native.filter_analyse(seq_buf, qual_buf, seq_off, n, sizes,
+                                iparams, dparams, _q2p_table(params))
+    if res is None:
+        return False
+    start, length, ee, flags, fatal = res
+    if fatal[0] >= 0:
+        if fatal[2]:
+            raise SystemExit(
+                "\n\nFatal error: FASTQ quality value (%d) below qmin "
+                "(%d)" % (int(fatal[1]), params.opt_fastq_qmin))
+        raise SystemExit(
+            "\n\nFatal error: FASTQ quality value (%d) above qmax "
+            "(%d)" % (int(fatal[1]), params.opt_fastq_qmax))
+
+    read_progress.update(n)
+    disc = (flags & 1) != 0
+    kept_sel = np.nonzero(~disc)[0].astype(np.int32)
+    disc_sel = np.nonzero(disc)[0].astype(np.int32)
+    kept = int(kept_sel.size)
+    discarded = int(disc_sel.size)
+    truncated = int(((flags & 2) != 0)[kept_sel].sum())
+
+    rec_start = seq_off[:n] + start
+    width = int(params.opt_fasta_width)
+    if fp_fastaout is not None:
+        fp_fastaout.write(native.emit_fasta(
+            data, head_off, head_len, seq_buf, rec_start, length, kept_sel,
+            width))
+    if fp_fastqout is not None:
+        fp_fastqout.write(native.emit_fastq(
+            data, head_off, head_len, seq_buf, qual_buf, rec_start, length,
+            kept_sel))
+    if fp_fastaout_d is not None:
+        fp_fastaout_d.write(native.emit_fasta(
+            data, head_off, head_len, seq_buf, rec_start, length, disc_sel,
+            width))
+    if fp_fastqout_d is not None:
+        fp_fastqout_d.write(native.emit_fastq(
+            data, head_off, head_len, seq_buf, qual_buf, rec_start, length,
+            disc_sel))
+
+    read_progress.done()
+    from ..utils.progress import message_both
+    message_both(params,
+                 "%d sequences kept (of which %d truncated), %d "
+                 "sequences discarded.\n" % (kept, truncated, discarded))
+    return True
+
+
 def filter_command(params: Parameters, command: str) -> None:
     """reference: filter.cpp filter() (:264-520)."""
     fastq_only = command == "fastq_filter"
@@ -222,6 +300,11 @@ def filter_command(params: Parameters, command: str) -> None:
         # filter reads with truncateatspace=False (filter.cpp:358)
         from ..utils.progress import Progress
         read_progress = Progress("Reading input file", 1, params)
+
+        if reverse_reader is None and is_fastq and _filter_arrays(
+                params, filename, fp_fastaout, fp_fastqout, fp_fastaout_d,
+                fp_fastqout_d, read_progress):
+            return
         for rec1 in fastx_io.read_fastx(filename, params,
                                         truncateatspace=False):
             read_progress.update()

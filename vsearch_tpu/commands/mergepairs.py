@@ -74,11 +74,6 @@ def fastq_mergepairs(params: Parameters) -> None:
         fp_fastaout_nm_rev = _open(stack, params.opt_fastaout_notmerged_rev)
         fp_eetabbedout = _open(stack, params.opt_eetabbedout)
 
-        fwd_reader = fastx_io.read_fastx(params.opt_fastq_mergepairs, params,
-                                         truncateatspace=False, upcase=True)
-        rev_reader = fastx_io.read_fastx(params.opt_reverse, params,
-                                         truncateatspace=False, upcase=True)
-
         stats = {"total": 0, "merged": 0, "notmerged": 0,
                  "sum_read_length": 0.0, "pairs_read": 0,
                  "sum_fragment_length": 0.0,
@@ -90,6 +85,19 @@ def fastq_mergepairs(params: Parameters) -> None:
         from ..utils.progress import Progress
         from .. import native
         merge_progress = Progress("Merging reads", 1, params)
+
+        if native.available() and _merge_native_arrays(
+                params, tables, stats, failed, fp_fastqout, fp_fastaout,
+                fp_fastqout_nm_fwd, fp_fastqout_nm_rev, fp_fastaout_nm_fwd,
+                fp_fastaout_nm_rev, fp_eetabbedout, merge_progress):
+            merge_progress.done()
+            _emit_merge_stats(params, stats, failed)
+            return
+
+        fwd_reader = fastx_io.read_fastx(params.opt_fastq_mergepairs, params,
+                                         truncateatspace=False, upcase=True)
+        rev_reader = fastx_io.read_fastx(params.opt_reverse, params,
+                                         truncateatspace=False, upcase=True)
 
         if native.available():
             _merge_native(params, tables, fwd_reader, rev_reader, stats,
@@ -186,6 +194,153 @@ def _emit_merge_stats(params, stats, failed) -> None:
         fp_log.write(buf.getvalue().encode())
     else:
         print_stats(stats, failed, sys.stderr)
+
+
+def _plain_headers(params) -> bool:
+    """True when the output header pipeline is a passthrough (no relabel or
+    annotation options), enabling the bulk native emitters."""
+    return not (params.opt_relabel is not None or params.opt_relabel_self
+                or params.opt_relabel_sha1 or params.opt_relabel_md5
+                or params.opt_xsize or params.opt_xee or params.opt_xlength
+                or params.opt_sizeout or params.opt_eeout
+                or params.opt_fastq_eeout or params.opt_lengthout
+                or params.opt_label_suffix is not None
+                or params.opt_sample is not None)
+
+
+def _merge_native_arrays(params, tables, stats, failed, fp_fastqout,
+                         fp_fastaout, fp_fastqout_nm_fwd, fp_fastqout_nm_rev,
+                         fp_fastaout_nm_fwd, fp_fastaout_nm_rev,
+                         fp_eetabbedout, merge_progress) -> bool:
+    """Buffer-level merge pipeline: native FASTQ scan -> one OpenMP merge
+    call -> vectorized stats -> bulk native record emission.  Returns False
+    (caller falls back to the record pipeline) when the scanner or the
+    passthrough-header fast path does not apply."""
+    import numpy as np
+    from .. import native
+    from ..params import INT64_MAX
+
+    if not _plain_headers(params):
+        return False
+    # scan both inputs concurrently (the native scanner releases the GIL);
+    # stripped-char warnings are deferred and emitted in fwd, rev order
+    from concurrent.futures import ThreadPoolExecutor
+    warn_f: list = []
+    warn_r: list = []
+    with ThreadPoolExecutor(2) as pool:
+        fut_f = pool.submit(fastx_io.scan_fastq_arrays,
+                            params.opt_fastq_mergepairs, params=params,
+                            truncateatspace=False, upcase=True,
+                            warn_out=warn_f)
+        fut_r = pool.submit(fastx_io.scan_fastq_arrays, params.opt_reverse,
+                            params=params, truncateatspace=False, upcase=True,
+                            warn_out=warn_r)
+        fa = fut_f.result()
+        ra = fut_r.result()
+    for stripped, is_fastq in warn_f + warn_r:
+        fastx_io._warn_stripped(params, stripped, is_fastq)
+    if fa is None or ra is None:
+        return False
+    (fdata, nf, fseq, fqual, foff, fhead_off, fhead_len, _) = fa
+    (rdata, nr, rseq, rqual, roff, rhead_off, rhead_len, _) = ra
+    if nf > nr:
+        raise SystemExit("Fatal error: More forward reads than reverse "
+                         "reads")
+    if nr > nf:
+        raise SystemExit("Fatal error: More reverse reads than forward "
+                         "reads")
+    n = nf
+
+    iparams = [params.opt_fastq_minlen, params.opt_fastq_maxlen,
+               params.opt_fastq_ascii, params.opt_fastq_qmin,
+               params.opt_fastq_qmax,
+               max(params.opt_fastq_truncqual, -(2 ** 62)),
+               params.opt_fastq_maxns, params.opt_fastq_minovlen,
+               params.opt_fastq_maxdiffs,
+               params.opt_fastq_minmergelen,
+               min(params.opt_fastq_maxmergelen, INT64_MAX),
+               1 if params.opt_fastq_allowmergestagger else 0]
+    dparams = [params.opt_fastq_maxdiffpct, params.opt_fastq_maxee]
+
+    res = native.merge_batch_arrays(fseq, fqual, foff, rseq, rqual, roff,
+                                    n, iparams, dparams, tables)
+    if res is None:
+        return False
+    (oi, od, out_seq, out_qual, out_off,
+     fseq, fqual, foff, rseq, rqual, roff) = res
+
+    # fatal quality errors: the reference fails at the first offending pair
+    # in input order
+    fatal = oi[:, 7] >= 0
+    if fatal.any():
+        p = int(np.argmax(fatal))
+        q = int(oi[p, 7])
+        if int(oi[p, 1]) == -1:
+            raise SystemExit(
+                "\n\nFatal error: FASTQ quality value (%d) below qmin "
+                "(%d)" % (q, params.opt_fastq_qmin))
+        raise SystemExit(
+            "\n\nFatal error: FASTQ quality value (%d) above qmax "
+            "(%d)" % (q, params.opt_fastq_qmax))
+
+    merge_progress.update(n)
+    reason = oi[:, 0]
+    merged_len = oi[:, 2]
+    merged = reason == Reason.ok.value
+    sel = np.nonzero(merged)[0].astype(np.int32)
+    nm_sel = np.nonzero(~merged)[0].astype(np.int32)
+
+    stats["pairs_read"] = n
+    stats["sum_read_length"] = float(foff[n] + roff[n])
+    stats["total"] = n
+    stats["merged"] = int(sel.size)
+    stats["notmerged"] = int(nm_sel.size)
+    ml = merged_len[sel]
+    stats["sum_fragment_length"] = float(ml.sum())
+    stats["sum_squared_fragment_length"] = float((ml * ml).sum())
+    stats["sum_ee_merged"] = float(od[sel, 0].sum())
+    stats["sum_ee_fwd"] = float(od[sel, 1].sum())
+    stats["sum_ee_rev"] = float(od[sel, 2].sum())
+    stats["sum_errors_fwd"] = int(oi[sel, 3].sum())
+    stats["sum_errors_rev"] = int(oi[sel, 4].sum())
+    for r_i, count in zip(*np.unique(reason[nm_sel], return_counts=True)):
+        failed[Reason(int(r_i))] = int(count)
+
+    out_start = out_off[:n]
+    if fp_fastqout is not None:
+        fp_fastqout.write(native.emit_fastq(
+            fdata, fhead_off, fhead_len, out_seq, out_qual,
+            out_start, merged_len, sel))
+    if fp_fastaout is not None:
+        fp_fastaout.write(native.emit_fasta(
+            fdata, fhead_off, fhead_len, out_seq, out_start, merged_len,
+            sel, int(params.opt_fasta_width)))
+    if fp_eetabbedout is not None:
+        for p in sel.tolist():
+            _ee_value(fp_eetabbedout, float(od[p, 1]))
+            fp_eetabbedout.write(b"\t")
+            _ee_value(fp_eetabbedout, float(od[p, 2]))
+            fp_eetabbedout.write(b"\t%d\t%d\n" % (int(oi[p, 3]),
+                                                  int(oi[p, 4])))
+    flen = np.diff(foff)
+    rlen = np.diff(roff)
+    if fp_fastqout_nm_fwd is not None:
+        fp_fastqout_nm_fwd.write(native.emit_fastq(
+            fdata, fhead_off, fhead_len, fseq, fqual, foff[:n], flen,
+            nm_sel))
+    if fp_fastaout_nm_fwd is not None:
+        fp_fastaout_nm_fwd.write(native.emit_fasta(
+            fdata, fhead_off, fhead_len, fseq, foff[:n], flen, nm_sel,
+            int(params.opt_fasta_width)))
+    if fp_fastqout_nm_rev is not None:
+        fp_fastqout_nm_rev.write(native.emit_fastq(
+            rdata, rhead_off, rhead_len, rseq, rqual, roff[:n], rlen,
+            nm_sel))
+    if fp_fastaout_nm_rev is not None:
+        fp_fastaout_nm_rev.write(native.emit_fasta(
+            rdata, rhead_off, rhead_len, rseq, roff[:n], rlen, nm_sel,
+            int(params.opt_fasta_width)))
+    return True
 
 
 def _merge_native(params, tables, fwd_reader, rev_reader, stats, failed,

@@ -214,6 +214,32 @@ def _read_fasta_py(filename: str, truncateatspace: bool = True,
         _warn_stripped(params, stripped, False)
 
 
+def scan_fastq_arrays(filename: str, truncateatspace: bool = True,
+                      upcase: bool = False, params=None, warn_out=None):
+    """Buffer-level FASTQ scan for batch pipelines (no per-record objects).
+
+    Returns (data, nrec, seq_buf, qual_buf, seq_off, head_off, head_len,
+    sizes) with the stripped-char warning emitted (or appended to warn_out
+    for deferred ordering), or None when the native scanner is unavailable
+    (callers fall back to read_fastq)."""
+    from .. import native
+    if not native.available():
+        return None
+    with open_maybe_compressed(filename) as handle:
+        data = handle.read()
+    res = native.scan_fastq(data, truncateatspace, upcase)
+    if res is None:
+        return None
+    (nrec, seq_out, qual_out, seq_off, head_off, head_len, sizes,
+     stripped) = res
+    if warn_out is not None:
+        warn_out.append((stripped.astype(np.int64), True))
+    else:
+        _warn_stripped(params, stripped.astype(np.int64), True)
+    return (data, nrec, seq_out, qual_out, seq_off, head_off, head_len,
+            sizes)
+
+
 def read_fastq(filename: str, truncateatspace: bool = True,
                upcase: bool = False, params=None,
                warn_out=None) -> Iterator[SeqRecord]:

@@ -149,6 +149,106 @@ def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,
             int(stats[2]), int(stats[3]))
 
 
+def filter_analyse(seq_buf, qual_buf, off, n, sizes, iparams, dparams,
+                   q2p):
+    """Batched filter.cpp-analyse; returns (start, length, ee, flags,
+    fatal) arrays or None.  flags bit0 discarded, bit1 truncated; fatal =
+    [rec, value, below] with rec == -1 when clean."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filter_ready"):
+        ct = ctypes
+        lib.vstpu_filter_analyse.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p]
+        lib._filter_ready = True
+    off = np.ascontiguousarray(off[:n + 1], dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes[:n], dtype=np.int64)
+    ip = np.asarray(iparams, dtype=np.int64)
+    dp = np.asarray(dparams, dtype=np.float64)
+    q2p = np.ascontiguousarray(q2p, dtype=np.float64)
+    out_start = np.empty(max(n, 1), dtype=np.int64)
+    out_len = np.empty(max(n, 1), dtype=np.int64)
+    out_ee = np.empty(max(n, 1), dtype=np.float64)
+    out_flags = np.empty(max(n, 1), dtype=np.uint8)
+    fatal = np.empty(3, dtype=np.int64)
+    lib.vstpu_filter_analyse(
+        seq_buf.ctypes.data, qual_buf.ctypes.data, off.ctypes.data, n,
+        sizes.ctypes.data, ip.ctypes.data, dp.ctypes.data, q2p.ctypes.data,
+        out_start.ctypes.data, out_len.ctypes.data, out_ee.ctypes.data,
+        out_flags.ctypes.data, fatal.ctypes.data)
+    return out_start, out_len, out_ee, out_flags, fatal
+
+
+def _emit_ready(lib) -> None:
+    if not hasattr(lib, "_emit_ready"):
+        ct = ctypes
+        lib.vstpu_emit_fastq.argtypes = [ct.c_void_p] * 7 + [ct.c_void_p,
+                                                             ct.c_int64,
+                                                             ct.c_void_p]
+        lib.vstpu_emit_fastq.restype = ct.c_int64
+        lib.vstpu_emit_fasta.argtypes = [ct.c_void_p] * 6 + [
+            ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p]
+        lib.vstpu_emit_fasta.restype = ct.c_int64
+        lib._emit_ready = True
+
+
+def emit_fastq(head_buf, head_off, head_len, seq_buf, qual_buf,
+               rec_start, rec_len, sel) -> Optional[bytes]:
+    """Bulk @head/seq/+/qual record emission for selected records."""
+    lib = _load()
+    if lib is None:
+        return None
+    _emit_ready(lib)
+    n = len(sel)
+    if n == 0:
+        return b""
+    sel = np.ascontiguousarray(sel, dtype=np.int32)
+    head_off = np.ascontiguousarray(head_off, dtype=np.int64)
+    head_len = np.ascontiguousarray(head_len, dtype=np.int64)
+    rec_start = np.ascontiguousarray(rec_start, dtype=np.int64)
+    rec_len = np.ascontiguousarray(rec_len, dtype=np.int64)
+    cap = int(6 * n + head_len[sel].sum() + 2 * rec_len[sel].sum())
+    out = np.empty(max(1, cap), dtype=np.uint8)
+    w = lib.vstpu_emit_fastq(
+        head_buf.ctypes.data if isinstance(head_buf, np.ndarray) else head_buf,
+        head_off.ctypes.data, head_len.ctypes.data,
+        seq_buf.ctypes.data, qual_buf.ctypes.data,
+        rec_start.ctypes.data, rec_len.ctypes.data,
+        sel.ctypes.data, n, out.ctypes.data)
+    return out[:w].tobytes()
+
+
+def emit_fasta(head_buf, head_off, head_len, seq_buf, rec_start, rec_len,
+               sel, width: int) -> Optional[bytes]:
+    """Bulk >head/seq record emission (fasta_width wrapping)."""
+    lib = _load()
+    if lib is None:
+        return None
+    _emit_ready(lib)
+    n = len(sel)
+    if n == 0:
+        return b""
+    sel = np.ascontiguousarray(sel, dtype=np.int32)
+    head_off = np.ascontiguousarray(head_off, dtype=np.int64)
+    head_len = np.ascontiguousarray(head_len, dtype=np.int64)
+    rec_start = np.ascontiguousarray(rec_start, dtype=np.int64)
+    rec_len = np.ascontiguousarray(rec_len, dtype=np.int64)
+    lens = rec_len[sel]
+    wraps = (np.maximum(lens - 1, 0) // max(width, 1)) if width > 0 else 0
+    cap = int(3 * n + head_len[sel].sum() + lens.sum() + n
+              + (wraps.sum() if width > 0 else 0))
+    out = np.empty(max(1, cap), dtype=np.uint8)
+    w = lib.vstpu_emit_fasta(
+        head_buf.ctypes.data if isinstance(head_buf, np.ndarray) else head_buf,
+        head_off.ctypes.data, head_len.ctypes.data,
+        seq_buf.ctypes.data, rec_start.ctypes.data, rec_len.ctypes.data,
+        sel.ctypes.data, n, width, out.ctypes.data)
+    return out[:w].tobytes()
+
+
 def assemble_batch(ops_matrix: np.ndarray, cols, qseqs, tseqs,
                    n_mismatch: bool):
     """Threaded assembly of columns of a row-major (S, B) ops matrix.
@@ -288,6 +388,26 @@ def merge_batch(fwd_seqs, fwd_quals, rev_seqs, rev_quals, iparams, dparams,
 
     fwd_off, fwd_buf, fq_buf = pack(fwd_seqs, fwd_quals)
     rev_off, rev_buf, rq_buf = pack(rev_seqs, rev_quals)
+    return merge_batch_arrays(fwd_buf, fq_buf, fwd_off, rev_buf, rq_buf,
+                              rev_off, n, iparams, dparams, tables)
+
+
+def merge_batch_arrays(fwd_buf, fq_buf, fwd_off, rev_buf, rq_buf, rev_off,
+                       n, iparams, dparams, tables):
+    """merge_batch over pre-packed contiguous buffers (e.g. straight from
+    the native FASTQ scanner) — no per-record join.  Buffers are mutated
+    in place (quality truncation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ctypes as ct
+    if not hasattr(lib, "_merge_ready"):
+        lib.vstpu_merge_batch.argtypes = [ct.c_void_p] * 6 + [ct.c_int64] + \
+            [ct.c_void_p] * 15
+        lib.vstpu_merge_batch.restype = None
+        lib._merge_ready = True
+    fwd_off = np.ascontiguousarray(fwd_off[:n + 1], dtype=np.int64)
+    rev_off = np.ascontiguousarray(rev_off[:n + 1], dtype=np.int64)
     out_off = fwd_off + rev_off
     total_out = int(out_off[-1])
     out_seq = np.empty(max(1, total_out), dtype=np.uint8)
