@@ -356,21 +356,29 @@ def _post_derep(params: Parameters, is_uniques: bool, out_fasta,
 
     if params.opt_uc is not None:
         with open(params.opt_uc, "wb") as out:
+            # rows are batched per cluster and written in one join per
+            # section — the uc file dominates derep wall time at scale
             with Progress("Writing uc file, first part", n, params) as prog:
+                rows = []
                 for i, c in enumerate(clusters):
                     prog.update()
-                    out.write(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
-                              % (i, len(c.seq), c.header))
-                    for header, strand in zip(c.members, c.strands):
-                        out.write(b"H\t%d\t%d\t%s\t%s\t0\t0\t*\t%s\t%s\n"
-                                  % (i, len(c.seq), b"100.0",
-                                     b"-" if strand else b"+", header,
-                                     c.header))
+                    seqlen = len(c.seq)
+                    rows.append(b"S\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                                % (i, seqlen, c.header))
+                    rows.extend(
+                        b"H\t%d\t%d\t100.0\t%s\t0\t0\t*\t%s\t%s\n"
+                        % (i, seqlen, b"-" if strand else b"+", header,
+                           c.header)
+                        for header, strand in zip(c.members, c.strands))
+                out.write(b"".join(rows))
+                del rows
             with Progress("Writing uc file, second part", n, params) as prog:
+                rows = []
                 for i, c in enumerate(clusters):
                     prog.update()
-                    out.write(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
-                              % (i, c.size, c.header))
+                    rows.append(b"C\t%d\t%d\t*\t*\t*\t*\t*\t%s\t*\n"
+                                % (i, c.size, c.header))
+                out.write(b"".join(rows))
 
     if is_uniques and params.opt_tabbedout is not None:
         with open(params.opt_tabbedout, "wb") as out, \
