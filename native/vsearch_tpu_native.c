@@ -249,6 +249,359 @@ void vstpu_assemble_batch(const int8_t *ops, int64_t S, int64_t B,
     }
 }
 
+/* ---- incremental k-mer postings + top-k (host candidate scoring) ----
+ *
+ * Growable per-kmer postings lists + per-query shared-kmer counting with
+ * the reference's min-heap candidate order (count desc, length asc,
+ * seqno asc; src/core/minheap.cpp:111-146, searchcore.cpp:260-340).
+ * Opaque handle owned by the Python KmerIndex. */
+
+typedef struct {
+    int64_t hashsize;
+    int32_t **lists;      /* per kmer: positions */
+    int64_t *sizes;       /* per kmer: used */
+    int64_t *caps;        /* per kmer: capacity */
+    int64_t npos;         /* positions added */
+    int64_t *lengths;     /* per position */
+    int64_t *seqnos;      /* per position */
+    int64_t pos_cap;
+    int32_t *counter;     /* per position scratch */
+    int32_t *touched;     /* touched positions this query */
+} postings_t;
+
+void *vstpu_postings_new(int64_t hashsize) {
+    postings_t *h = (postings_t *)calloc(1, sizeof(postings_t));
+    h->hashsize = hashsize;
+    h->lists = (int32_t **)calloc((size_t)hashsize, sizeof(int32_t *));
+    h->sizes = (int64_t *)calloc((size_t)hashsize, sizeof(int64_t));
+    h->caps = (int64_t *)calloc((size_t)hashsize, sizeof(int64_t));
+    h->pos_cap = 1024;
+    h->lengths = (int64_t *)malloc((size_t)h->pos_cap * sizeof(int64_t));
+    h->seqnos = (int64_t *)malloc((size_t)h->pos_cap * sizeof(int64_t));
+    h->counter = (int32_t *)calloc((size_t)h->pos_cap, sizeof(int32_t));
+    h->touched = (int32_t *)malloc((size_t)h->pos_cap * sizeof(int32_t));
+    return h;
+}
+
+void vstpu_postings_free(void *hp) {
+    postings_t *h = (postings_t *)hp;
+    if (!h) return;
+    for (int64_t k = 0; k < h->hashsize; k++) free(h->lists[k]);
+    free(h->lists); free(h->sizes); free(h->caps);
+    free(h->lengths); free(h->seqnos); free(h->counter); free(h->touched);
+    free(h);
+}
+
+void vstpu_postings_add(void *hp, const uint32_t *kmers, int64_t nk,
+                        int64_t length, int64_t seqno) {
+    postings_t *h = (postings_t *)hp;
+    int64_t pos = h->npos;
+    if (pos == h->pos_cap) {
+        h->pos_cap *= 2;
+        h->lengths = (int64_t *)realloc(h->lengths,
+                                        (size_t)h->pos_cap * sizeof(int64_t));
+        h->seqnos = (int64_t *)realloc(h->seqnos,
+                                       (size_t)h->pos_cap * sizeof(int64_t));
+        h->counter = (int32_t *)realloc(h->counter,
+                                        (size_t)h->pos_cap * sizeof(int32_t));
+        memset(h->counter + pos, 0, (size_t)(h->pos_cap - pos)
+               * sizeof(int32_t));
+        h->touched = (int32_t *)realloc(h->touched,
+                                        (size_t)h->pos_cap * sizeof(int32_t));
+    }
+    h->lengths[pos] = length;
+    h->seqnos[pos] = seqno;
+    for (int64_t i = 0; i < nk; i++) {
+        uint32_t k = kmers[i];
+        if (h->sizes[k] == h->caps[k]) {
+            h->caps[k] = h->caps[k] ? h->caps[k] * 2 : 4;
+            h->lists[k] = (int32_t *)realloc(h->lists[k],
+                                             (size_t)h->caps[k]
+                                             * sizeof(int32_t));
+        }
+        h->lists[k][h->sizes[k]++] = (int32_t)pos;
+    }
+    h->npos = pos + 1;
+}
+
+/* candidate order: count desc, length asc, seqno asc (minheap_compare).
+ * Min-heap keeps the WORST candidate at the root. */
+static int cand_worse(const postings_t *h, int32_t pa, int32_t ca,
+                      int32_t pb, int32_t cb) {
+    /* is (pa, ca) worse than (pb, cb)? */
+    if (ca != cb) return ca < cb;
+    if (h->lengths[pa] != h->lengths[pb])
+        return h->lengths[pa] > h->lengths[pb];
+    return h->seqnos[pa] > h->seqnos[pb];
+}
+
+int64_t vstpu_postings_topk(void *hp, const uint32_t *qkmers, int64_t nk,
+                            int64_t tophits, int64_t minmatches,
+                            int64_t *out_seqno, int64_t *out_count) {
+    postings_t *h = (postings_t *)hp;
+    int64_t ntouched = 0;
+    for (int64_t i = 0; i < nk; i++) {
+        uint32_t k = qkmers[i];
+        const int32_t *lst = h->lists[k];
+        int64_t sz = h->sizes[k];
+        for (int64_t j = 0; j < sz; j++) {
+            int32_t p = lst[j];
+            if (h->counter[p]++ == 0) h->touched[ntouched++] = p;
+            if (h->counter[p] > 32767) h->counter[p] = 32767;
+        }
+    }
+    /* heap of (pos, count), capacity tophits, worst at root */
+    int32_t *hpos = (int32_t *)malloc((size_t)tophits * sizeof(int32_t));
+    int32_t *hcnt = (int32_t *)malloc((size_t)tophits * sizeof(int32_t));
+    int64_t hn = 0;
+    /* minmatches <= 0 admits zero-count positions (reference scans the
+     * whole counter array, searchcore.cpp:320-337): walk every position */
+    int64_t scan_all = minmatches <= 0;
+    int64_t niter = scan_all ? h->npos : ntouched;
+    for (int64_t t = 0; t < niter; t++) {
+        int32_t p = scan_all ? (int32_t)t : h->touched[t];
+        int32_t c = h->counter[p];
+        if (!scan_all) h->counter[p] = 0;
+        if (c < minmatches) continue;
+        if (hn < tophits) {
+            /* sift up */
+            int64_t i = hn++;
+            hpos[i] = p; hcnt[i] = c;
+            while (i > 0) {
+                int64_t par = (i - 1) / 2;
+                if (cand_worse(h, hpos[i], hcnt[i], hpos[par], hcnt[par])) {
+                    int32_t tp = hpos[i], tc = hcnt[i];
+                    hpos[i] = hpos[par]; hcnt[i] = hcnt[par];
+                    hpos[par] = tp; hcnt[par] = tc;
+                    i = par;
+                } else break;
+            }
+        } else if (tophits > 0
+                   && cand_worse(h, hpos[0], hcnt[0], p, c)) {
+            /* replace root, sift down */
+            hpos[0] = p; hcnt[0] = c;
+            int64_t i = 0;
+            for (;;) {
+                int64_t l = 2 * i + 1, r = l + 1, w = i;
+                if (l < hn && cand_worse(h, hpos[l], hcnt[l],
+                                         hpos[w], hcnt[w])) w = l;
+                if (r < hn && cand_worse(h, hpos[r], hcnt[r],
+                                         hpos[w], hcnt[w])) w = r;
+                if (w == i) break;
+                int32_t tp = hpos[i], tc = hcnt[i];
+                hpos[i] = hpos[w]; hcnt[i] = hcnt[w];
+                hpos[w] = tp; hcnt[w] = tc;
+                i = w;
+            }
+        }
+    }
+    /* heap -> best-first: repeatedly pop worst to the back */
+    int64_t m = hn;
+    while (hn > 1) {
+        int32_t tp = hpos[0], tc = hcnt[0];
+        hn--;
+        hpos[0] = hpos[hn]; hcnt[0] = hcnt[hn];
+        hpos[hn] = tp; hcnt[hn] = tc;
+        int64_t i = 0;
+        for (;;) {
+            int64_t l = 2 * i + 1, r = l + 1, w = i;
+            if (l < hn && cand_worse(h, hpos[l], hcnt[l],
+                                     hpos[w], hcnt[w])) w = l;
+            if (r < hn && cand_worse(h, hpos[r], hcnt[r],
+                                     hpos[w], hcnt[w])) w = r;
+            if (w == i) break;
+            int32_t tp2 = hpos[i], tc2 = hcnt[i];
+            hpos[i] = hpos[w]; hcnt[i] = hcnt[w];
+            hpos[w] = tp2; hcnt[w] = tc2;
+            i = w;
+        }
+    }
+    for (int64_t i = 0; i < m; i++) {
+        out_seqno[i] = h->seqnos[hpos[i]];
+        out_count[i] = hcnt[i];
+    }
+    if (scan_all)  /* counters were not reset during the scan */
+        for (int64_t t = 0; t < ntouched; t++)
+            h->counter[h->touched[t]] = 0;
+    free(hpos); free(hcnt);
+    return m;
+}
+
+/* ---- scalar Needleman-Wunsch (small-batch host tier) ----
+ *
+ * Exact mirror of the scalar oracle (vsearch_tpu/ops/nw.py dp_matrix_host /
+ * backtrack_ops), itself bit-identical to the reference SIMD engine
+ * (src/core/align_simd.cpp onestep/backtrack16): position-class affine
+ * gaps, direction-bit priorities, 16-bit overflow detection thresholds.
+ * Used for alignment batches too small to amortize a device dispatch
+ * (clustering/chimera rounds, search residual walks).
+ *
+ * scheme: [match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r,
+ *          go_t_r, ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r,
+ *          n_mismatch]
+ * out per pair: [score, overflow, aligned, matches, mismatches, gaps,
+ *                cigar_len]; cigar written at cigars + p * cigar_stride. */
+
+#define NW_DIR_UP 1
+#define NW_DIR_LEFT 2
+#define NW_DIR_EXTUP 4
+#define NW_DIR_EXTLEFT 8
+
+static void nw_score_matrix(const int64_t *s, int64_t sm[16][16]) {
+    static const unsigned char amb[16] =
+        {1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1};
+    int64_t match = s[0], mismatch = s[1];
+    int n_mismatch = (int)s[14];
+    for (int i = 0; i < 16; i++)
+        for (int j = 0; j < 16; j++) {
+            if (n_mismatch && (i == 15 || j == 15)) sm[i][j] = mismatch;
+            else if (amb[i] || amb[j]) sm[i][j] = 0;
+            else if (i == j) sm[i][j] = match;
+            else sm[i][j] = mismatch;
+        }
+}
+
+/* one pair; dirs/E/H/ops are caller scratch (dirs m*n bytes, E/H m int64,
+ * ops m+n+1 bytes).  Returns cigar length. */
+static int64_t nw_align_one(const unsigned char *q, int64_t m,
+                            const unsigned char *t, int64_t n,
+                            const int64_t *s, int64_t sm[16][16],
+                            unsigned char *dirs, int64_t *E_row,
+                            int64_t *H_prev, int8_t *ops,
+                            char *cigar, int64_t *out) {
+    int64_t go_q_l = s[2], go_t_l = s[3], go_q_i = s[4], go_t_i = s[5],
+            go_q_r = s[6], go_t_r = s[7], ge_q_l = s[8], ge_t_l = s[9],
+            ge_q_i = s[10], ge_t_i = s[11], ge_q_r = s[12], ge_t_r = s[13];
+    int64_t QR_q_i = go_q_i + ge_q_i, QR_q_r = go_q_r + ge_q_r;
+    int64_t QR_t_i = go_t_i + ge_t_i, QR_t_r = go_t_r + ge_t_r;
+    int64_t gp_max = 0;
+    int64_t opens[6] = {go_q_l + ge_q_l, go_q_i + ge_q_i, go_q_r + ge_q_r,
+                        go_t_l + ge_t_l, go_t_i + ge_t_i, go_t_r + ge_t_r};
+    for (int k = 0; k < 6; k++) if (opens[k] > gp_max) gp_max = opens[k];
+    int64_t score_min = -32768 + gp_max;
+    int64_t hmin = 0, hmax = 0;
+
+    for (int64_t i = 0; i < m; i++) { E_row[i] = 0; H_prev[i] = 0; }
+
+    for (int64_t j = 0; j < n; j++) {
+        int right_t = (j == n - 1);
+        int64_t QR_t = right_t ? QR_t_r : QR_t_i;
+        int64_t R_t = right_t ? ge_t_r : ge_t_i;
+        int64_t h_boundary_top = -(go_q_l + (j + 1) * ge_q_l);
+        int64_t h_diag = (j > 0) ? -(go_q_l + j * ge_q_l) : 0;
+        int64_t F = h_boundary_top - QR_t;
+        unsigned char *dcol = dirs + j;  /* dirs[i, j], row stride n */
+        const int64_t *smt = sm[map4[t[j]]];
+        for (int64_t i = 0; i < m; i++) {
+            int right_q = (i == m - 1);
+            int64_t QR_q = right_q ? QR_q_r : QR_q_i;
+            int64_t R_q = right_q ? ge_q_r : ge_q_i;
+            int64_t E, diag_in;
+            if (j == 0) {
+                E = -(go_t_l + (i + 1) * ge_t_l) - QR_q;
+                diag_in = (i > 0) ? -(go_t_l + i * ge_t_l) : 0;
+            } else {
+                E = E_row[i];
+                diag_in = h_diag;
+            }
+            int64_t h = diag_in + smt[map4[q[i]]];
+            unsigned d = 0;
+            if (F > h) { d |= NW_DIR_UP; h = F; }
+            if (E > h) { d |= NW_DIR_LEFT; h = E; }
+            if (h < hmin) hmin = h;
+            if (h > hmax) hmax = h;
+            int64_t HF = h - QR_t, Fx = F - R_t;
+            int64_t F_next;
+            if (Fx > HF) { d |= NW_DIR_EXTUP; F_next = Fx; }
+            else F_next = HF;
+            int64_t HE = h - QR_q, Ex = E - R_q;
+            if (Ex > HE) { d |= NW_DIR_EXTLEFT; E_row[i] = Ex; }
+            else E_row[i] = HE;
+            dcol[i * n] = (unsigned char)d;
+            h_diag = H_prev[i];
+            H_prev[i] = h;
+            F = F_next;
+        }
+    }
+    int64_t score = H_prev[m - 1];
+    if (hmin <= score_min || hmax >= 32767) {
+        out[0] = 32767; out[1] = 1; out[2] = 0; out[3] = 0; out[4] = 0;
+        out[5] = 0; out[6] = 0;
+        return 0;
+    }
+    /* backtrack -> end-to-front op codes (0 none, 1 M, 2 D, 3 I) */
+    int64_t i = m - 1, j = n - 1, k = 0;
+    int prev = 0;
+    while (i >= 0 && j >= 0) {
+        unsigned d = dirs[i * n + j];
+        int op;
+        if (prev == 3 && (d & NW_DIR_EXTLEFT)) { op = 3; j--; }
+        else if (prev == 2 && (d & NW_DIR_EXTUP)) { op = 2; i--; }
+        else if (d & NW_DIR_LEFT) { op = 3; j--; }
+        else if (d & NW_DIR_UP) { op = 2; i--; }
+        else { op = 1; i--; j--; }
+        ops[k++] = (int8_t)op;
+        prev = op;
+    }
+    while (i >= 0) { ops[k++] = 2; i--; }
+    while (j >= 0) { ops[k++] = 3; j--; }
+    /* ops are front-to-back along the backtrack == END-TO-FRONT order */
+    int64_t stats[4];
+    int64_t clen = assemble_core(ops, 1, (int)k, q, t, (int)s[14],
+                                 cigar, stats);
+    out[0] = score; out[1] = 0;
+    out[2] = stats[0]; out[3] = stats[1]; out[4] = stats[2];
+    out[5] = stats[3]; out[6] = clen;
+    return clen;
+}
+
+void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
+                          const unsigned char *tbuf, const int64_t *toff,
+                          int64_t npairs, const int64_t *scheme,
+                          char *cigars, int64_t cigar_stride,
+                          int64_t *out /* npairs x 7 */) {
+    init_maps();
+    int64_t sm[16][16];
+    nw_score_matrix(scheme, sm);
+    #pragma omp parallel
+    {
+        int64_t cap_dirs = 0, cap_m = 0, cap_ops = 0;
+        unsigned char *dirs = NULL;
+        int64_t *E_row = NULL, *H_prev = NULL;
+        int8_t *ops = NULL;
+        #pragma omp for schedule(dynamic, 1)
+        for (int64_t p = 0; p < npairs; p++) {
+            int64_t m = qoff[p + 1] - qoff[p];
+            int64_t n = toff[p + 1] - toff[p];
+            int64_t *o = out + p * 7;
+            /* callers route only SIMD-envelope pairs here; guard anyway */
+            if (m <= 0 || n <= 0 || m + n > 65535 || m * n > 25000000) {
+                o[0] = 32767; o[1] = 1; o[2] = o[3] = o[4] = o[5] = o[6] = 0;
+                continue;
+            }
+            if (m * n > cap_dirs) {
+                cap_dirs = m * n * 2;
+                dirs = (unsigned char *)realloc(dirs, (size_t)cap_dirs);
+            }
+            if (m > cap_m) {
+                cap_m = m * 2;
+                E_row = (int64_t *)realloc(E_row,
+                                           (size_t)cap_m * sizeof(int64_t));
+                H_prev = (int64_t *)realloc(H_prev,
+                                            (size_t)cap_m * sizeof(int64_t));
+            }
+            if (m + n + 1 > cap_ops) {
+                cap_ops = (m + n + 1) * 2;
+                ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+            }
+            nw_align_one(qbuf + qoff[p], m, tbuf + toff[p], n, scheme, sm,
+                         dirs, E_row, H_prev, ops,
+                         cigars + p * cigar_stride, o);
+        }
+        free(dirs); free(E_row); free(H_prev); free(ops);
+    }
+}
+
 /* ---- read filter analysis (filter.cpp analyse) ----
  *
  * Batched strip/truncate/quality analysis; float accumulation is

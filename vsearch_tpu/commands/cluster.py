@@ -188,7 +188,17 @@ def cluster_command(params: Parameters, command: str) -> None:
                  % (params.opt_wordlength, params.opt_wordlength, slots,
                     slots / 1000.0)).encode())
         with Progress("Clustering", db.nucleotidecount, params) as cprog:
-            engine.run(max(1, params.opt_threads), on_hit, on_nohit,
+            # round width is a pure performance knob: the same-round repair
+            # (evaluate_extra_hits) makes the output identical for any round
+            # size — the reference relies on the same property for its
+            # thread scaling (cluster.cpp:877-1030).  Wide rounds amortize
+            # batched device alignment dispatches; on the CPU backend the
+            # native per-round work dominates and narrow rounds win.
+            import jax
+            round_size = (512 if (engine.ctx.aligner is not None
+                                  and jax.default_backend() != "cpu")
+                          else max(1, params.opt_threads))
+            engine.run(round_size, on_hit, on_nohit,
                        progress=cprog)
 
         # post-pass (cluster.cpp:1269-1480)

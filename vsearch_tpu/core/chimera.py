@@ -156,12 +156,11 @@ class ChimeraEngine:
             kmers = kmer_ops.unique_kmer_set(part_seq, self.index.wordlength,
                                              detection.opt_qmask)
             qi.kmersamplecount = int(kmers.size)
-            counts = self.index.counts_for_query(kmers)
             mwm = detection.opt_minwordmatches
             mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
             minmatches = min(mwm_u, qi.kmersamplecount)
-            candidates = self.index.topscores(counts, self.tophits,
-                                              minmatches)
+            candidates = self.index.candidates_for_query(
+                kmers, self.tophits, minmatches)
             walk = QueryWalk(detection, qi, self.db, candidates)
             while not walk.done:
                 targets = walk.advance()

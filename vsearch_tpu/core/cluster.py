@@ -112,6 +112,8 @@ class ClusterEngine:
         self.tophits = ctx.tophits
         self.clusterinfo = [ClusterInfo() for _ in range(db.seqcount)]
         self.clusters = 0
+        self._extras_cache = None
+        self._extras_cache_len = -1
 
     # -- search phase (device-batched, frozen index) --------------------
 
@@ -141,10 +143,10 @@ class ClusterEngine:
             per_query.append((states[0],
                               states[1] if len(states) > 1 else None))
 
-        counts = [self.index.counts_for_query(k) for k in kmer_lists]
-        for st, row in zip(units, counts):
-            st.walk.candidates = self.ctx._candidates(
-                row, st.qi.kmersamplecount)
+        for st, kmers in zip(units, kmer_lists):
+            st.walk.candidates = self.index.candidates_for_query(
+                kmers, self.tophits,
+                self.ctx._minmatches(st.qi.kmersamplecount))
 
         # lockstep alignment rounds (same as SearchContext.search_tasks)
         active = list(range(len(units)))
@@ -186,10 +188,31 @@ class ClusterEngine:
         added = 0
         if extras:
             if si.kmer_set is None:
-                si.kmer_set = set(si.kmers.tolist())
-            for sic in extras:
-                shared = sum(1 for k in sic.kmers.tolist()
-                             if k in si.kmer_set)
+                # sorted copy for vectorized intersection counts — rounds
+                # are hundreds of queries wide, so the per-(query, extra)
+                # shared-kmer count must not be a Python set loop
+                si.kmer_set = np.sort(si.kmers)
+            sk = si.kmer_set
+            # one vectorized pass: shared-kmer count against ALL extras
+            if self._extras_cache_len != len(extras):
+                concat = np.concatenate([s.kmers for s in extras]) \
+                    if extras else np.empty(0, dtype=np.uint32)
+                bounds = np.zeros(len(extras) + 1, dtype=np.int64)
+                np.cumsum([s.kmers.size for s in extras], out=bounds[1:])
+                self._extras_cache = (concat, bounds)
+                self._extras_cache_len = len(extras)
+            concat, bounds = self._extras_cache
+            if sk.size and concat.size:
+                ss = np.searchsorted(sk, concat)
+                hit_mask = np.zeros(concat.size, dtype=np.int64)
+                valid = ss < sk.size
+                hit_mask[valid] = sk[ss[valid]] == concat[valid]
+                csum = np.zeros(concat.size + 1, dtype=np.int64)
+                np.cumsum(hit_mask, out=csum[1:])
+                shared_all = csum[bounds[1:]] - csum[bounds[:-1]]
+            else:
+                shared_all = np.zeros(len(extras), dtype=np.int64)
+            for sic, shared in zip(extras, shared_all.tolist()):
                 # search_enough_kmers (searchcore.cpp:252-257): signed compare
                 if not (shared >= params.opt_minwordmatches
                         or shared >= si.qi.kmersamplecount):
@@ -276,6 +299,8 @@ class ClusterEngine:
             per_query = self._search_round(round_seqnos)
 
             extras: List[_StrandState] = []
+            self._extras_cache = None
+            self._extras_cache_len = -1
             for si_p, si_m in per_query:
                 for si in (si_p, si_m):
                     if si is not None:

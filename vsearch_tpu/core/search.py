@@ -214,7 +214,8 @@ class SearchContext:
         if self.device_index is not None:
             vals, idx = self.device_index.topk(kmer_lists, self.tophits)
             return self._candidates_from_topk(vals, idx, samplecounts)
-        return [self._candidates(self.index.counts_for_query(k), sc)
+        return [self.index.candidates_for_query(k, self.tophits,
+                                                 self._minmatches(sc))
                 for k, sc in zip(kmer_lists, samplecounts)]
 
     def _candidates_from_topk(self, vals, idx, samplecounts: List[int]

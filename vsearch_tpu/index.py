@@ -38,6 +38,15 @@ class KmerIndex:
         self._csr_dirty = True
         self._csr_indptr: Optional[np.ndarray] = None
         self._csr_postings: Optional[np.ndarray] = None
+        # growable per-kmer postings (reference dbindex's incremental
+        # structure, dbindex.cpp:121-148): counting stays O(postings)
+        # under add_sequence instead of a full CSR rebuild per query
+        self._grow_arrays: Optional[List[Optional[np.ndarray]]] = None
+        self._grow_sizes: Optional[np.ndarray] = None
+        self._grow_upto = 0               # positions absorbed so far
+        self._pos_cache = None            # (count, lengths[], mapping[])
+        self._native = None               # native.Postings handle
+        self._native_ok = True
 
     @property
     def count(self) -> int:
@@ -51,6 +60,29 @@ class KmerIndex:
         self.lengths.append(db.getsequencelen(seqno))
         self._kmer_lists.append(kmers)
         self._csr_dirty = True
+        if self._native is not None:
+            self._native.add(kmers, db.getsequencelen(seqno), seqno)
+
+    def candidates_for_query(self, query_kmers: np.ndarray, tophits: int,
+                             minmatches: int) -> List:
+        """counts_for_query + topscores in one pass (native when available):
+        best-first (seqno, count) candidates in minheap_compare order."""
+        if self.count == 0 or tophits <= 0:
+            return []
+        if self._native is None and self._native_ok:
+            try:
+                from . import native
+                p = native.Postings(self.hashsize)
+                # UDB bulk loads populate only the CSR; invert it first
+                for pos, kmers in enumerate(self.kmer_lists_by_position()):
+                    p.add(kmers, self.lengths[pos], self.mapping[pos])
+                self._native = p
+            except Exception:
+                self._native_ok = False
+        if self._native is not None:
+            return self._native.topk(query_kmers, tophits, minmatches)
+        return self.topscores(self.counts_for_query(query_kmers), tophits,
+                              minmatches)
 
     def add_all_sequences(self, db, seqmask: Masking,
                           params: Optional[Parameters] = None) -> None:
@@ -110,6 +142,28 @@ class KmerIndex:
                             for i in range(self.count)]
         return self._kmer_lists
 
+    def _grow_absorb(self) -> None:
+        """Bring the growable per-kmer postings up to date with add order."""
+        if self._grow_arrays is None:
+            self._grow_arrays = [None] * self.hashsize
+            self._grow_sizes = np.zeros(self.hashsize, dtype=np.int64)
+            self._grow_upto = 0
+        arrays = self._grow_arrays
+        sizes = self._grow_sizes
+        for pos in range(self._grow_upto, self.count):
+            for k in self._kmer_lists[pos].tolist():
+                arr = arrays[k]
+                n = sizes[k]
+                if arr is None:
+                    arrays[k] = arr = np.empty(4, dtype=np.int32)
+                elif n == arr.size:
+                    arr = np.empty(arr.size * 2, dtype=np.int32)
+                    arr[:n] = arrays[k][:n]
+                    arrays[k] = arr
+                arr[n] = pos
+                sizes[k] = n + 1
+        self._grow_upto = self.count
+
     def counts_for_query(self, query_kmers: np.ndarray) -> np.ndarray:
         """Shared-unique-kmer counts per index position (host path).
 
@@ -118,22 +172,29 @@ class KmerIndex:
         it.  Saturation at 32767 cannot trigger for amplicon-scale queries
         (count <= #unique query kmers), so plain int32 is exact.
         """
-        self._build_csr()
         if self.count == 0 or query_kmers.size == 0:
             return np.zeros(self.count, dtype=np.int32)
-        indptr = self._csr_indptr
-        postings = self._csr_postings
-        starts = indptr[query_kmers]
-        ends = indptr[query_kmers + 1]
-        total = int((ends - starts).sum())
-        if total == 0:
+        if self._grow_upto != self.count:
+            self._grow_absorb()
+        arrays = self._grow_arrays
+        sizes = self._grow_sizes
+        runs = [arrays[k][:sizes[k]] for k in query_kmers.tolist()
+                if sizes[k]]
+        if not runs:
             return np.zeros(self.count, dtype=np.int32)
-        # gather all postings runs and histogram them
-        idx = np.concatenate([postings[s:e] for s, e in zip(starts, ends)])
+        idx = np.concatenate(runs)
         counts = np.bincount(idx, minlength=self.count)
         return np.minimum(counts, 32767).astype(np.int32)
 
     # -- top-K with reference tie-break -----------------------------------
+
+    def _pos_arrays(self):
+        """(lengths, mapping) as int64 arrays, cached against growth."""
+        if self._pos_cache is None or self._pos_cache[0] != self.count:
+            self._pos_cache = (self.count,
+                               np.asarray(self.lengths, dtype=np.int64),
+                               np.asarray(self.mapping, dtype=np.int64))
+        return self._pos_cache[1], self._pos_cache[2]
 
     def topscores(self, counts: np.ndarray, tophits: int,
                   minmatches: int) -> List:
@@ -148,8 +209,9 @@ class KmerIndex:
         eligible = np.nonzero(counts >= minmatches)[0]
         if eligible.size == 0:
             return []
-        lengths = np.asarray(self.lengths, dtype=np.int64)[eligible]
-        seqnos = np.asarray(self.mapping, dtype=np.int64)[eligible]
+        all_lengths, all_seqnos = self._pos_arrays()
+        lengths = all_lengths[eligible]
+        seqnos = all_seqnos[eligible]
         ccounts = counts[eligible]
         # np.lexsort: last key is primary
         order = np.lexsort((seqnos, lengths, -ccounts))

@@ -149,6 +149,92 @@ def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,
             int(stats[2]), int(stats[3]))
 
 
+class Postings:
+    """Opaque native incremental postings + top-k (the host candidate
+    scoring path: growable per-kmer position lists, per-query counting and
+    the reference min-heap order in one C call)."""
+
+    def __init__(self, hashsize: int) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        if not hasattr(lib, "_postings_ready"):
+            ct = ctypes
+            lib.vstpu_postings_new.argtypes = [ct.c_int64]
+            lib.vstpu_postings_new.restype = ct.c_void_p
+            lib.vstpu_postings_free.argtypes = [ct.c_void_p]
+            lib.vstpu_postings_add.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int64]
+            lib.vstpu_postings_topk.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int64,
+                ct.c_void_p, ct.c_void_p]
+            lib.vstpu_postings_topk.restype = ct.c_int64
+            lib._postings_ready = True
+        self._lib = lib
+        self._h = lib.vstpu_postings_new(hashsize)
+
+    def add(self, kmers: np.ndarray, length: int, seqno: int) -> None:
+        kmers = np.ascontiguousarray(kmers, dtype=np.uint32)
+        self._lib.vstpu_postings_add(self._h, kmers.ctypes.data, kmers.size,
+                                     length, seqno)
+
+    def topk(self, qkmers: np.ndarray, tophits: int, minmatches: int):
+        qkmers = np.ascontiguousarray(qkmers, dtype=np.uint32)
+        out_s = np.empty(max(tophits, 1), dtype=np.int64)
+        out_c = np.empty(max(tophits, 1), dtype=np.int64)
+        m = self._lib.vstpu_postings_topk(self._h, qkmers.ctypes.data,
+                                          qkmers.size, tophits, minmatches,
+                                          out_s.ctypes.data,
+                                          out_c.ctypes.data)
+        return [(int(out_s[i]), int(out_c[i])) for i in range(m)]
+
+    def __del__(self):
+        try:
+            self._lib.vstpu_postings_free(self._h)
+        except Exception:
+            pass
+
+
+def nw_align_batch(qseqs, tseqs, scheme_ints):
+    """Threaded scalar NW over (qseq, tseq) pairs — the host tier for
+    batches too small to amortize a device dispatch.
+
+    scheme_ints: the 15-int ScoreScheme vector (with n_mismatch last).
+    Returns a list of (score, overflow, aligned, matches, mismatches,
+    gaps, cigar) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_nw_ready"):
+        ct = ctypes
+        lib.vstpu_nw_align_batch.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+            ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p]
+        lib._nw_ready = True
+    n = len(qseqs)
+    if n == 0:
+        return []
+    qbuf = b"".join(qseqs)
+    tbuf = b"".join(tseqs)
+    qoff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in qseqs], out=qoff[1:])
+    toff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in tseqs], out=toff[1:])
+    maxlen = int((np.diff(qoff) + np.diff(toff)).max())
+    cigar_stride = 12 * maxlen + 16
+    cigars = ctypes.create_string_buffer(cigar_stride * n)
+    out = np.zeros((n, 7), dtype=np.int64)
+    scheme = np.asarray(scheme_ints, dtype=np.int64)
+    lib.vstpu_nw_align_batch(qbuf, qoff.ctypes.data, tbuf, toff.ctypes.data,
+                             n, scheme.ctypes.data, cigars, cigar_stride,
+                             out.ctypes.data)
+    raw = cigars.raw
+    return [(int(out[p, 0]), bool(out[p, 1]), int(out[p, 2]),
+             int(out[p, 3]), int(out[p, 4]), int(out[p, 5]),
+             raw[p * cigar_stride:p * cigar_stride + out[p, 6]].decode())
+            for p in range(n)]
+
+
 def filter_analyse(seq_buf, qual_buf, off, n, sizes, iparams, dparams,
                    q2p):
     """Batched filter.cpp-analyse; returns (start, length, ee, flags,

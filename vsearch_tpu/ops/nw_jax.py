@@ -337,11 +337,23 @@ class BatchAligner:
     # each, queue-dependent), while padded lanes only cost idle VPU work
     PAIR_BUCKETS = (64, 256, 512, 1024)
 
+    # batches below this many DP cells run on the host C tier: a device
+    # dispatch costs a ~25-90 ms tunnel round-trip, the scalar C aligner
+    # does ~0.1 GCUPS/core — crossover is O(10M) cells
+    NATIVE_CELLS_LIMIT = int(os.environ.get("VSEARCH_TPU_NATIVE_NW_CELLS",
+                                            8_000_000))
+
     def align_pairs(self, qseqs: Sequence[bytes],
                     tseqs: Sequence[bytes]) -> List[AlignmentResult]:
         B = len(qseqs)
         if B == 0:
             return []
+        cells = sum(len(q) * len(t) for q, t in zip(qseqs, tseqs))
+        # CPU backend: the threaded C tier always beats the XLA CPU scan
+        if cells <= self.NATIVE_CELLS_LIMIT or jax.default_backend() == "cpu":
+            native_res = self._align_pairs_native(qseqs, tseqs)
+            if native_res is not None:
+                return native_res
         if B > self.PAIR_BUCKETS[-1]:
             # dispatch every chunk before fetching any, then fetch ALL
             # chunks in a single bundled device_get: on the tunneled TPU
@@ -358,6 +370,21 @@ class BatchAligner:
             return out
         handle = self._dispatch(qseqs, tseqs)
         return self._collect(qseqs, tseqs, handle)
+
+    def _align_pairs_native(self, qseqs: Sequence[bytes],
+                            tseqs: Sequence[bytes]
+                            ) -> Optional[List[AlignmentResult]]:
+        """Host C tier: threaded scalar NW with identical semantics
+        (native/vsearch_tpu_native.c vstpu_nw_align_batch)."""
+        from .. import native
+        res = native.nw_align_batch(qseqs, tseqs, self._key)
+        if res is None:
+            return None
+        return [AlignmentResult(SHRT_MAX, "", 0, 0, 0, 0) if overflow
+                else AlignmentResult(score, cigar, aligned, matches, mism,
+                                     gaps)
+                for (score, overflow, aligned, matches, mism, gaps, cigar)
+                in res]
 
     def dispatch_indexed(self, qseqs: Sequence[bytes], rows: int, pos,
                          db_codes, tlen_by_pos, N: int):
