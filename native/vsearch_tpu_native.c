@@ -324,6 +324,31 @@ void vstpu_postings_add(void *hp, const uint32_t *kmers, int64_t nk,
     h->npos = pos + 1;
 }
 
+/* touched positions + shared counts only (no heap): the clustering
+ * same-round repair needs per-extra shared-kmer counts. */
+int64_t vstpu_postings_counts(void *hp, const uint32_t *qkmers, int64_t nk,
+                              int64_t *out_pos, int64_t *out_cnt) {
+    postings_t *h = (postings_t *)hp;
+    int64_t ntouched = 0;
+    for (int64_t i = 0; i < nk; i++) {
+        uint32_t k = qkmers[i];
+        const int32_t *lst = h->lists[k];
+        int64_t sz = h->sizes[k];
+        for (int64_t j = 0; j < sz; j++) {
+            int32_t p = lst[j];
+            if (h->counter[p]++ == 0) h->touched[ntouched++] = p;
+            if (h->counter[p] > 32767) h->counter[p] = 32767;
+        }
+    }
+    for (int64_t t = 0; t < ntouched; t++) {
+        int32_t p = h->touched[t];
+        out_pos[t] = p;
+        out_cnt[t] = h->counter[p];
+        h->counter[p] = 0;
+    }
+    return ntouched;
+}
+
 /* candidate order: count desc, length asc, seqno asc (minheap_compare).
  * Min-heap keeps the WORST candidate at the root. */
 static int cand_worse(const postings_t *h, int32_t pa, int32_t ca,

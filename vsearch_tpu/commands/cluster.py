@@ -191,13 +191,12 @@ def cluster_command(params: Parameters, command: str) -> None:
             # round width is a pure performance knob: the same-round repair
             # (evaluate_extra_hits) makes the output identical for any round
             # size — the reference relies on the same property for its
-            # thread scaling (cluster.cpp:877-1030).  Wide rounds amortize
-            # batched device alignment dispatches; on the CPU backend the
-            # native per-round work dominates and narrow rounds win.
-            import jax
-            round_size = (512 if (engine.ctx.aligner is not None
-                                  and jax.default_backend() != "cpu")
-                          else max(1, params.opt_threads))
+            # thread scaling (cluster.cpp:877-1030).  Narrow rounds with the
+            # threaded native aligner win on host; wide rounds (device
+            # alignment batches) are opt-in via VSEARCH_TPU_CLUSTER_ROUND.
+            import os
+            round_size = int(os.environ.get("VSEARCH_TPU_CLUSTER_ROUND",
+                                            0)) or max(1, params.opt_threads)
             engine.run(round_size, on_hit, on_nohit,
                        progress=cprog)
 

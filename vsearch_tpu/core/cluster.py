@@ -112,7 +112,7 @@ class ClusterEngine:
         self.tophits = ctx.tophits
         self.clusterinfo = [ClusterInfo() for _ in range(db.seqcount)]
         self.clusters = 0
-        self._extras_cache = None
+        self._extras_postings = None   # per-round native postings
         self._extras_cache_len = -1
 
     # -- search phase (device-batched, frozen index) --------------------
@@ -178,6 +178,46 @@ class ClusterEngine:
 
     # -- same-round repair (evaluate_extra_hits) ------------------------
 
+    def _extras_shared_counts(self, si: _StrandState,
+                              extras: List[_StrandState]) -> np.ndarray:
+        """Per-extra shared-unique-kmer counts for one query state."""
+        from .. import native
+        if self._extras_cache_len > len(extras):
+            self._extras_postings = None       # new round
+            self._extras_cache_len = -1
+        if self._extras_postings is None and native.available():
+            try:
+                self._extras_postings = native.Postings(self.index.hashsize)
+                self._extras_cache_len = 0
+            except Exception:
+                self._extras_postings = False  # fall back permanently
+        p = self._extras_postings
+        if p:
+            while self._extras_cache_len < len(extras):
+                e = extras[self._extras_cache_len]
+                p.add(e.kmers, e.qi.qseqlen, self._extras_cache_len)
+                self._extras_cache_len += 1
+            shared_all = np.zeros(len(extras), dtype=np.int64)
+            pos, cnt = p.counts(si.kmers)
+            shared_all[pos] = cnt
+            return shared_all
+        # numpy fallback: sorted query kmers intersected with the concat
+        if si.kmer_set is None:
+            si.kmer_set = np.sort(si.kmers)
+        sk = si.kmer_set
+        concat = np.concatenate([s.kmers for s in extras])
+        bounds = np.zeros(len(extras) + 1, dtype=np.int64)
+        np.cumsum([s.kmers.size for s in extras], out=bounds[1:])
+        if sk.size and concat.size:
+            ss = np.searchsorted(sk, concat)
+            hit_mask = np.zeros(concat.size, dtype=np.int64)
+            valid = ss < sk.size
+            hit_mask[valid] = sk[ss[valid]] == concat[valid]
+            csum = np.zeros(concat.size + 1, dtype=np.int64)
+            np.cumsum(hit_mask, out=csum[1:])
+            return csum[bounds[1:]] - csum[bounds[:-1]]
+        return np.zeros(len(extras), dtype=np.int64)
+
     def _evaluate_extra_hits(self, si: _StrandState,
                              extras: List[_StrandState]) -> None:
         """reference: cluster.cpp evaluate_extra_hits (:601-856)."""
@@ -187,31 +227,10 @@ class ClusterEngine:
         hits = si.hits
         added = 0
         if extras:
-            if si.kmer_set is None:
-                # sorted copy for vectorized intersection counts — rounds
-                # are hundreds of queries wide, so the per-(query, extra)
-                # shared-kmer count must not be a Python set loop
-                si.kmer_set = np.sort(si.kmers)
-            sk = si.kmer_set
-            # one vectorized pass: shared-kmer count against ALL extras
-            if self._extras_cache_len != len(extras):
-                concat = np.concatenate([s.kmers for s in extras]) \
-                    if extras else np.empty(0, dtype=np.uint32)
-                bounds = np.zeros(len(extras) + 1, dtype=np.int64)
-                np.cumsum([s.kmers.size for s in extras], out=bounds[1:])
-                self._extras_cache = (concat, bounds)
-                self._extras_cache_len = len(extras)
-            concat, bounds = self._extras_cache
-            if sk.size and concat.size:
-                ss = np.searchsorted(sk, concat)
-                hit_mask = np.zeros(concat.size, dtype=np.int64)
-                valid = ss < sk.size
-                hit_mask[valid] = sk[ss[valid]] == concat[valid]
-                csum = np.zeros(concat.size + 1, dtype=np.int64)
-                np.cumsum(hit_mask, out=csum[1:])
-                shared_all = csum[bounds[1:]] - csum[bounds[:-1]]
-            else:
-                shared_all = np.zeros(len(extras), dtype=np.int64)
+            # shared-kmer counts against ALL extras in one pass over a
+            # per-round incremental postings index (native), falling back
+            # to a vectorized sorted-intersection sweep
+            shared_all = self._extras_shared_counts(si, extras)
             for sic, shared in zip(extras, shared_all.tolist()):
                 # search_enough_kmers (searchcore.cpp:252-257): signed compare
                 if not (shared >= params.opt_minwordmatches
@@ -299,7 +318,7 @@ class ClusterEngine:
             per_query = self._search_round(round_seqnos)
 
             extras: List[_StrandState] = []
-            self._extras_cache = None
+            self._extras_postings = None
             self._extras_cache_len = -1
             for si_p, si_m in per_query:
                 for si in (si_p, si_m):

@@ -172,11 +172,32 @@ class Postings:
             lib._postings_ready = True
         self._lib = lib
         self._h = lib.vstpu_postings_new(hashsize)
+        self.npos = 0
 
     def add(self, kmers: np.ndarray, length: int, seqno: int) -> None:
         kmers = np.ascontiguousarray(kmers, dtype=np.uint32)
         self._lib.vstpu_postings_add(self._h, kmers.ctypes.data, kmers.size,
                                      length, seqno)
+        self.npos += 1
+
+    def counts(self, qkmers: np.ndarray):
+        """(positions, counts) int64 arrays of touched index positions."""
+        lib = self._lib
+        if not hasattr(lib, "_postings_counts_ready"):
+            ct = ctypes
+            lib.vstpu_postings_counts.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p,
+                ct.c_void_p]
+            lib.vstpu_postings_counts.restype = ct.c_int64
+            lib._postings_counts_ready = True
+        qkmers = np.ascontiguousarray(qkmers, dtype=np.uint32)
+        cap = max(self.npos, 1)
+        out_p = np.empty(cap, dtype=np.int64)
+        out_c = np.empty(cap, dtype=np.int64)
+        m = lib.vstpu_postings_counts(self._h, qkmers.ctypes.data,
+                                      qkmers.size, out_p.ctypes.data,
+                                      out_c.ctypes.data)
+        return out_p[:m], out_c[:m]
 
     def topk(self, qkmers: np.ndarray, tophits: int, minmatches: int):
         qkmers = np.ascontiguousarray(qkmers, dtype=np.uint32)
