@@ -173,6 +173,10 @@ class Postings:
         self._lib = lib
         self._h = lib.vstpu_postings_new(hashsize)
         self.npos = 0
+        self._topk_fn = lib.vstpu_postings_topk
+        self._add_fn = lib.vstpu_postings_add
+        self._scratch_s = np.empty(256, dtype=np.int64)
+        self._scratch_c = np.empty(256, dtype=np.int64)
 
     def add(self, kmers: np.ndarray, length: int, seqno: int) -> None:
         kmers = np.ascontiguousarray(kmers, dtype=np.uint32)
@@ -200,14 +204,17 @@ class Postings:
         return out_p[:m], out_c[:m]
 
     def topk(self, qkmers: np.ndarray, tophits: int, minmatches: int):
-        qkmers = np.ascontiguousarray(qkmers, dtype=np.uint32)
-        out_s = np.empty(max(tophits, 1), dtype=np.int64)
-        out_c = np.empty(max(tophits, 1), dtype=np.int64)
-        m = self._lib.vstpu_postings_topk(self._h, qkmers.ctypes.data,
-                                          qkmers.size, tophits, minmatches,
-                                          out_s.ctypes.data,
-                                          out_c.ctypes.data)
-        return [(int(out_s[i]), int(out_c[i])) for i in range(m)]
+        if qkmers.dtype != np.uint32 or not qkmers.flags.c_contiguous:
+            qkmers = np.ascontiguousarray(qkmers, dtype=np.uint32)
+        if tophits >= self._scratch_s.size:
+            self._scratch_s = np.empty(tophits + 1, dtype=np.int64)
+            self._scratch_c = np.empty(tophits + 1, dtype=np.int64)
+        out_s = self._scratch_s
+        out_c = self._scratch_c
+        m = self._topk_fn(self._h, qkmers.ctypes.data,
+                          qkmers.size, tophits, minmatches,
+                          out_s.ctypes.data, out_c.ctypes.data)
+        return list(zip(out_s[:m].tolist(), out_c[:m].tolist()))
 
     def __del__(self):
         try:
