@@ -59,14 +59,16 @@ def orient(params: Parameters) -> None:
     matchcounts = np.diff(index._csr_indptr)
 
     w = index.wordlength
-    # reverse-complement permutation of the whole kmer vocabulary
-    codes = np.arange(index.hashsize, dtype=np.uint64)
-    rc = np.zeros_like(codes)
-    fwd = codes.copy()
-    for _ in range(w):
-        rc = (rc << np.uint64(2)) | ((fwd & np.uint64(3)) ^ np.uint64(3))
-        fwd >>= np.uint64(2)
-    rc = rc.astype(np.int64)
+
+    def rc_of(kmers: np.ndarray) -> np.ndarray:
+        """Vectorized reverse-complement of the query's k-mer codes only
+        (a whole-vocabulary permutation is 4^w memory for nothing)."""
+        fwd = kmers.astype(np.uint64)
+        rc = np.zeros_like(fwd)
+        for _ in range(w):
+            rc = (rc << np.uint64(2)) | ((fwd & np.uint64(3)) ^ np.uint64(3))
+            fwd >>= np.uint64(2)
+        return rc.astype(np.int64)
 
     stats = {"queries": 0, "fwd": 0, "rev": 0, "notmatched": 0}
 
@@ -82,7 +84,7 @@ def orient(params: Parameters) -> None:
             orient_progress.update()
             kmers = kmer_ops.unique_kmers(rec.sequence, w, params.opt_qmask)
             hits_fwd = matchcounts[kmers.astype(np.int64)]
-            hits_rev = matchcounts[rc[kmers.astype(np.int64)]]
+            hits_rev = matchcounts[rc_of(kmers)]
             count_fwd = int(np.count_nonzero(hits_fwd > 8 * hits_rev))
             count_rev = int(np.count_nonzero(hits_rev > 8 * hits_fwd))
 

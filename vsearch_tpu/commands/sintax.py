@@ -31,19 +31,15 @@ BOOTSTRAP_COUNT = 100
 def _search_topscore(index: KmerIndex, db, kmers: np.ndarray,
                      rng: SplitMix64, params: Parameters):
     """reference: sintax.cpp sintax_search_topscores (:299-402)."""
-    counts = index.counts_for_query(kmers)
     if not params.opt_sintax_random:
-        # vectorized equivalent of the scan: count desc, length asc,
-        # seqno asc
-        if index.count == 0:
-            return None
-        lengths = np.asarray(index.lengths, dtype=np.int64)
-        mapping = np.asarray(index.mapping, dtype=np.int64)
-        order = np.lexsort((mapping, lengths, -counts))
-        best = order[0]
-        if counts[best] > 1:
-            return int(counts[best]), int(mapping[best])
+        # best by (count desc, length asc, seqno asc) with count > 1 —
+        # exactly the candidate heap's total order
+        cands = index.candidates_for_query(kmers, 1, 2)
+        if cands:
+            seqno, count = cands[0]
+            return count, seqno
         return None
+    counts = index.counts_for_query(kmers)
     best_count = 0
     best_seqno = 0
     best_length = 0
@@ -164,11 +160,22 @@ def sintax(params: Parameters) -> None:
                 kmersamplecount = int(kmersample.size)
                 if kmersamplecount < SUBSET_SIZE:
                     continue
-                for _ in range(BOOTSTRAP_COUNT):
+                # all bootstrap draws for this strand at once (bit-identical
+                # sequence to the scalar loop); the random tie-break path
+                # consumes extra draws mid-stream, so it stays scalar
+                draws = None
+                if not params.opt_sintax_random:
+                    from ..utils.random import random_bounded_block
+                    draws = random_bounded_block(
+                        rng, BOOTSTRAP_COUNT * SUBSET_SIZE,
+                        kmersamplecount).reshape(BOOTSTRAP_COUNT,
+                                                 SUBSET_SIZE)
+                for b in range(BOOTSTRAP_COUNT):
                     used = set()
                     subset = []
-                    for _ in range(SUBSET_SIZE):
-                        x = random_bounded(rng, kmersamplecount)
+                    for i in range(SUBSET_SIZE):
+                        x = (int(draws[b, i]) if draws is not None
+                             else random_bounded(rng, kmersamplecount))
                         if x not in used:
                             subset.append(int(kmersample[x]))
                             used.add(x)

@@ -29,6 +29,19 @@ class SplitMix64:
 
     __call__ = next
 
+    def next_block(self, k: int):
+        """k draws at once (bit-identical to k next() calls); the mix is
+        stateless over state + i*GOLDEN so it vectorizes exactly."""
+        import numpy as np
+        i = np.arange(1, k + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            z = (np.uint64(self.state)
+                 + i * np.uint64(0x9E3779B97F4A7C15))
+            self.state = int(z[-1])
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
 
 class MT19937_64:
     """std::mt19937_64 with the standard seeding and sequence."""
@@ -96,6 +109,32 @@ def random_bounded(generator, range_: int) -> int:
             product = generator() * range_
             low = product & MASK64
     return product >> 64
+
+
+def random_bounded_block(rng: "SplitMix64", k: int, range_: int):
+    """k sequential random_bounded(rng, range_) draws, vectorized.
+
+    Bit-identical to the scalar sequence: Lemire rejections are detected
+    (probability range_/2**64 per draw) and the whole block replays
+    scalar from the saved state in that case."""
+    import numpy as np
+    if range_ <= 0 or range_ > 0xFFFFFFFF:
+        return np.array([random_bounded(rng, range_) for _ in range(k)],
+                        dtype=np.int64)
+    state0 = rng.state
+    x = rng.next_block(k)
+    n = np.uint64(range_)
+    with np.errstate(over="ignore"):
+        low = x * n                       # (x * n) mod 2**64
+        if bool((low < n).any()):         # rejection path: replay scalar
+            rng.state = state0
+            return np.array([random_bounded(rng, range_)
+                             for _ in range(k)], dtype=np.int64)
+        # mulhi64(x, n) with n < 2**32
+        x_hi = x >> np.uint64(32)
+        x_lo = x & np.uint64(0xFFFFFFFF)
+        hi = (x_hi * n + ((x_lo * n) >> np.uint64(32))) >> np.uint64(32)
+    return hi.astype(np.int64)
 
 
 def random_shuffle(data: List, generator) -> None:
