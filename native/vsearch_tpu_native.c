@@ -472,10 +472,10 @@ int64_t vstpu_postings_topk(void *hp, const uint32_t *qkmers, int64_t nk,
 #define NW_DIR_EXTUP 4
 #define NW_DIR_EXTLEFT 8
 
-static void nw_score_matrix(const int64_t *s, int64_t sm[16][16]) {
+static void nw_score_matrix(const int64_t *s, int32_t sm[16][16]) {
     static const unsigned char amb[16] =
         {1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1};
-    int64_t match = s[0], mismatch = s[1];
+    int32_t match = (int32_t)s[0], mismatch = (int32_t)s[1];
     int n_mismatch = (int)s[14];
     for (int i = 0; i < 16; i++)
         for (int j = 0; j < 16; j++) {
@@ -487,12 +487,14 @@ static void nw_score_matrix(const int64_t *s, int64_t sm[16][16]) {
 }
 
 /* one pair; dirs/E/H/ops are caller scratch (dirs m*n bytes, E/H m int64,
- * ops m+n+1 bytes).  Returns cigar length. */
+ * ops m+n+1 bytes, qc m bytes).  Returns cigar length. */
 static int64_t nw_align_one(const unsigned char *q, int64_t m,
                             const unsigned char *t, int64_t n,
-                            const int64_t *s, int64_t sm[16][16],
-                            unsigned char *dirs, int64_t *E_row,
-                            int64_t *H_prev, int8_t *ops,
+                            const int64_t *s, int32_t sm[16][16],
+                            unsigned char *restrict dirs,
+                            int32_t *restrict E_row,
+                            int32_t *restrict H_prev, int8_t *ops,
+                            unsigned char *restrict qc,
                             char *cigar, int64_t *out) {
     int64_t go_q_l = s[2], go_t_l = s[3], go_q_i = s[4], go_t_i = s[5],
             go_q_r = s[6], go_t_r = s[7], ge_q_l = s[8], ge_t_l = s[9],
@@ -503,50 +505,94 @@ static int64_t nw_align_one(const unsigned char *q, int64_t m,
     int64_t opens[6] = {go_q_l + ge_q_l, go_q_i + ge_q_i, go_q_r + ge_q_r,
                         go_t_l + ge_t_l, go_t_i + ge_t_i, go_t_r + ge_t_r};
     for (int k = 0; k < 6; k++) if (opens[k] > gp_max) gp_max = opens[k];
-    int64_t score_min = -32768 + gp_max;
-    int64_t hmin = 0, hmax = 0;
+    int32_t score_min = (int32_t)(-32768 + gp_max);
+    int32_t hmin = 0, hmax = 0;
 
     for (int64_t i = 0; i < m; i++) { E_row[i] = 0; H_prev[i] = 0; }
+    for (int64_t i = 0; i < m; i++) qc[i] = map4[q[i]];
 
+    /* int32 cells: every reachable value is far inside int32 (penalties
+     * are clamped to SHRT_MAX/5 and lengths to 65535), and the overflow
+     * thresholds fire long before int32 wraps */
+    int32_t QRti = (int32_t)QR_t_i, QRtr = (int32_t)QR_t_r;
+    int32_t QRqi = (int32_t)QR_q_i, QRqr = (int32_t)QR_q_r;
+    int32_t Rti = (int32_t)ge_t_i, Rtr = (int32_t)ge_t_r;
+    int32_t Rqi = (int32_t)ge_q_i, Rqr = (int32_t)ge_q_r;
     for (int64_t j = 0; j < n; j++) {
         int right_t = (j == n - 1);
-        int64_t QR_t = right_t ? QR_t_r : QR_t_i;
-        int64_t R_t = right_t ? ge_t_r : ge_t_i;
-        int64_t h_boundary_top = -(go_q_l + (j + 1) * ge_q_l);
-        int64_t h_diag = (j > 0) ? -(go_q_l + j * ge_q_l) : 0;
-        int64_t F = h_boundary_top - QR_t;
-        unsigned char *dcol = dirs + j;  /* dirs[i, j], row stride n */
-        const int64_t *smt = sm[map4[t[j]]];
-        for (int64_t i = 0; i < m; i++) {
-            int right_q = (i == m - 1);
-            int64_t QR_q = right_q ? QR_q_r : QR_q_i;
-            int64_t R_q = right_q ? ge_q_r : ge_q_i;
-            int64_t E, diag_in;
-            if (j == 0) {
-                E = -(go_t_l + (i + 1) * ge_t_l) - QR_q;
-                diag_in = (i > 0) ? -(go_t_l + i * ge_t_l) : 0;
-            } else {
-                E = E_row[i];
-                diag_in = h_diag;
+        int32_t QR_t = right_t ? QRtr : QRti;
+        int32_t R_t = right_t ? Rtr : Rti;
+        int32_t h_boundary_top = (int32_t)(-(go_q_l + (j + 1) * ge_q_l));
+        int32_t h_diag = (j > 0) ? (int32_t)(-(go_q_l + j * ge_q_l)) : 0;
+        int32_t F = h_boundary_top - QR_t;
+        unsigned char *restrict dcol = dirs + j * m;  /* sequential writes */
+        const int32_t *restrict smt = sm[map4[t[j]]];
+        int64_t i_last = m - 1;
+        if (j == 0) {
+            for (int64_t i = 0; i < m; i++) {
+                int32_t QR_q = (i == i_last) ? QRqr : QRqi;
+                int32_t R_q = (i == i_last) ? Rqr : Rqi;
+                int32_t E = (int32_t)(-(go_t_l + (i + 1) * ge_t_l)) - QR_q;
+                int32_t diag_in = (i > 0)
+                    ? (int32_t)(-(go_t_l + i * ge_t_l)) : 0;
+                int32_t h = diag_in + smt[qc[i]];
+                unsigned d = 0;
+                if (F > h) { d |= NW_DIR_UP; h = F; }
+                if (E > h) { d |= NW_DIR_LEFT; h = E; }
+                if (h < hmin) hmin = h;
+                if (h > hmax) hmax = h;
+                int32_t HF = h - QR_t, Fx = F - R_t;
+                int32_t F_next;
+                if (Fx > HF) { d |= NW_DIR_EXTUP; F_next = Fx; }
+                else F_next = HF;
+                int32_t HE = h - QR_q, Ex = E - R_q;
+                if (Ex > HE) { d |= NW_DIR_EXTLEFT; E_row[i] = Ex; }
+                else E_row[i] = HE;
+                dcol[i] = (unsigned char)d;
+                H_prev[i] = h;
+                F = F_next;
             }
-            int64_t h = diag_in + smt[map4[q[i]]];
+            continue;
+        }
+        /* interior rows (i < m-1) in one branch-light pass */
+        int32_t h_diag_next;
+        for (int64_t i = 0; i < i_last; i++) {
+            int32_t E = E_row[i];
+            int32_t h = h_diag + smt[qc[i]];
             unsigned d = 0;
             if (F > h) { d |= NW_DIR_UP; h = F; }
             if (E > h) { d |= NW_DIR_LEFT; h = E; }
             if (h < hmin) hmin = h;
             if (h > hmax) hmax = h;
-            int64_t HF = h - QR_t, Fx = F - R_t;
-            int64_t F_next;
-            if (Fx > HF) { d |= NW_DIR_EXTUP; F_next = Fx; }
-            else F_next = HF;
-            int64_t HE = h - QR_q, Ex = E - R_q;
+            int32_t HF = h - QR_t, Fx = F - R_t;
+            if (Fx > HF) { d |= NW_DIR_EXTUP; F = Fx; }
+            else F = HF;
+            int32_t HE = h - QRqi, Ex = E - Rqi;
             if (Ex > HE) { d |= NW_DIR_EXTLEFT; E_row[i] = Ex; }
             else E_row[i] = HE;
-            dcol[i * n] = (unsigned char)d;
+            dcol[i] = (unsigned char)d;
             h_diag = H_prev[i];
             H_prev[i] = h;
-            F = F_next;
         }
+        {   /* last row: right-class query penalties */
+            int64_t i = i_last;
+            int32_t E = E_row[i];
+            int32_t h = h_diag + smt[qc[i]];
+            unsigned d = 0;
+            if (F > h) { d |= NW_DIR_UP; h = F; }
+            if (E > h) { d |= NW_DIR_LEFT; h = E; }
+            if (h < hmin) hmin = h;
+            if (h > hmax) hmax = h;
+            int32_t HF = h - QR_t, Fx = F - R_t;
+            if (Fx > HF) { d |= NW_DIR_EXTUP; F = Fx; }
+            else F = HF;
+            int32_t HE = h - QRqr, Ex = E - Rqr;
+            if (Ex > HE) { d |= NW_DIR_EXTLEFT; E_row[i] = Ex; }
+            else E_row[i] = HE;
+            dcol[i] = (unsigned char)d;
+            H_prev[i] = h;
+        }
+        (void)h_diag_next;
     }
     int64_t score = H_prev[m - 1];
     if (hmin <= score_min || hmax >= 32767) {
@@ -558,7 +604,7 @@ static int64_t nw_align_one(const unsigned char *q, int64_t m,
     int64_t i = m - 1, j = n - 1, k = 0;
     int prev = 0;
     while (i >= 0 && j >= 0) {
-        unsigned d = dirs[i * n + j];
+        unsigned d = dirs[j * m + i];
         int op;
         if (prev == 3 && (d & NW_DIR_EXTLEFT)) { op = 3; j--; }
         else if (prev == 2 && (d & NW_DIR_EXTUP)) { op = 2; i--; }
@@ -580,51 +626,329 @@ static int64_t nw_align_one(const unsigned char *q, int64_t m,
     return clen;
 }
 
+#ifdef __AVX2__
+#include <immintrin.h>
+
+/* Inter-pair SIMD forward: 8 pairs advance per 256-bit int32 vector, one
+ * lane per pair (the reference's channel scheme, align_simd.cpp:86-87, at
+ * 8 x int32 instead of 8 x int16 — no saturation needed, the overflow
+ * thresholds are checked per lane).  Lanes beyond a pair's (m, n) compute
+ * garbage that provably never feeds a valid cell (the F chain only flows
+ * down rows, E only along columns); per-lane boundary penalty classes are
+ * selected by comparing i/j against the lane's limits.  Direction bytes
+ * are stored lane-interleaved: dirs[(j*max_m + i)*8 + lane]. */
+static void nw_forward_x8(const unsigned char *qc8, /* (max_m, 8) codes */
+                          const unsigned char *tc8, /* (max_n, 8) codes */
+                          const int32_t *mlen, const int32_t *nlen,
+                          int64_t max_m, int64_t max_n,
+                          const int64_t *s, const int32_t *sm_flat,
+                          unsigned char *dirs8, int32_t *E8, int32_t *H8,
+                          int32_t *score, int32_t *over) {
+    __m256i m_v = _mm256_loadu_si256((const __m256i *)mlen);
+    __m256i n_v = _mm256_loadu_si256((const __m256i *)nlen);
+    __m256i ilast_v = _mm256_sub_epi32(m_v, _mm256_set1_epi32(1));
+    __m256i jlast_v = _mm256_sub_epi32(n_v, _mm256_set1_epi32(1));
+    int32_t go_q_l = (int32_t)s[2], go_t_l = (int32_t)s[3];
+    int32_t ge_q_l = (int32_t)s[8], ge_t_l = (int32_t)s[9];
+    __m256i QRqi = _mm256_set1_epi32((int32_t)(s[4] + s[10]));
+    __m256i QRqr = _mm256_set1_epi32((int32_t)(s[6] + s[12]));
+    __m256i QRti = _mm256_set1_epi32((int32_t)(s[5] + s[11]));
+    __m256i QRtr = _mm256_set1_epi32((int32_t)(s[7] + s[13]));
+    __m256i Rqi = _mm256_set1_epi32((int32_t)s[10]);
+    __m256i Rqr = _mm256_set1_epi32((int32_t)s[12]);
+    __m256i Rti = _mm256_set1_epi32((int32_t)s[11]);
+    __m256i Rtr = _mm256_set1_epi32((int32_t)s[13]);
+    __m256i hmin = _mm256_setzero_si256();
+    __m256i hmax = _mm256_setzero_si256();
+    __m256i score_v = _mm256_setzero_si256();
+
+    for (int64_t i = 0; i < max_m; i++) {
+        _mm256_storeu_si256((__m256i *)(E8 + i * 8), _mm256_setzero_si256());
+        _mm256_storeu_si256((__m256i *)(H8 + i * 8), _mm256_setzero_si256());
+    }
+
+    for (int64_t j = 0; j < max_n; j++) {
+        __m256i j_v = _mm256_set1_epi32((int32_t)j);
+        __m256i right_t = _mm256_cmpeq_epi32(j_v, jlast_v);
+        __m256i QR_t = _mm256_blendv_epi8(QRti, QRtr, right_t);
+        __m256i R_t = _mm256_blendv_epi8(Rti, Rtr, right_t);
+        __m256i valid_j = _mm256_cmpgt_epi32(n_v, j_v);
+        /* boundary above: H[-1][j] and H[-1][j-1] */
+        __m256i top = _mm256_set1_epi32(
+            (int32_t)(-(go_q_l + (j + 1) * ge_q_l)));
+        __m256i hdiag = _mm256_set1_epi32(
+            j > 0 ? (int32_t)(-(go_q_l + (int32_t)j * ge_q_l)) : 0);
+        __m256i F = _mm256_sub_epi32(top, QR_t);
+        /* target codes for this column, per lane */
+        __m256i tcode = _mm256_cvtepu8_epi32(
+            _mm_loadl_epi64((const __m128i *)(tc8 + j * 8)));
+        __m256i tbase = _mm256_slli_epi32(tcode, 4);
+        unsigned char *dcol = dirs8 + (size_t)j * max_m * 8;
+        int j0 = (j == 0);
+        for (int64_t i = 0; i < max_m; i++) {
+            __m256i i_v = _mm256_set1_epi32((int32_t)i);
+            __m256i right_q = _mm256_cmpeq_epi32(i_v, ilast_v);
+            __m256i QR_q = _mm256_blendv_epi8(QRqi, QRqr, right_q);
+            __m256i R_q = _mm256_blendv_epi8(Rqi, Rqr, right_q);
+            __m256i E, diag_in;
+            if (j0) {
+                E = _mm256_sub_epi32(_mm256_set1_epi32(
+                    (int32_t)(-(go_t_l + (i + 1) * ge_t_l))), QR_q);
+                diag_in = _mm256_set1_epi32(
+                    i > 0 ? (int32_t)(-(go_t_l + (int32_t)i * ge_t_l)) : 0);
+            } else {
+                E = _mm256_loadu_si256((const __m256i *)(E8 + i * 8));
+                diag_in = hdiag;
+            }
+            __m256i qcode = _mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i *)(qc8 + i * 8)));
+            __m256i smi = _mm256_or_si256(tbase, qcode);
+            __m256i V = _mm256_i32gather_epi32(sm_flat, smi, 4);
+            __m256i h = _mm256_add_epi32(diag_in, V);
+            __m256i dup = _mm256_cmpgt_epi32(F, h);
+            h = _mm256_max_epi32(h, F);
+            __m256i dleft = _mm256_cmpgt_epi32(E, h);
+            h = _mm256_max_epi32(h, E);
+            /* track hmin/hmax only for valid cells */
+            __m256i valid = _mm256_and_si256(
+                valid_j, _mm256_cmpgt_epi32(m_v, i_v));
+            __m256i hv = _mm256_and_si256(h, valid);
+            hmin = _mm256_min_epi32(hmin, hv);
+            hmax = _mm256_max_epi32(hmax, hv);
+            __m256i HF = _mm256_sub_epi32(h, QR_t);
+            __m256i Fx = _mm256_sub_epi32(F, R_t);
+            __m256i dextup = _mm256_cmpgt_epi32(Fx, HF);
+            F = _mm256_max_epi32(Fx, HF);
+            __m256i HE = _mm256_sub_epi32(h, QR_q);
+            __m256i Ex = _mm256_sub_epi32(E, R_q);
+            __m256i dextleft = _mm256_cmpgt_epi32(Ex, HE);
+            _mm256_storeu_si256((__m256i *)(E8 + i * 8),
+                                _mm256_max_epi32(Ex, HE));
+            /* direction bits 1/2/4/8 from the four masks */
+            __m256i d = _mm256_and_si256(dup, _mm256_set1_epi32(1));
+            d = _mm256_or_si256(d, _mm256_and_si256(
+                dleft, _mm256_set1_epi32(2)));
+            d = _mm256_or_si256(d, _mm256_and_si256(
+                dextup, _mm256_set1_epi32(4)));
+            d = _mm256_or_si256(d, _mm256_and_si256(
+                dextleft, _mm256_set1_epi32(8)));
+            /* pack 8 x int32 -> 8 bytes (values < 16) */
+            __m256i shuf = _mm256_shuffle_epi8(d, _mm256_setr_epi8(
+                0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1));
+            __m128i lo = _mm256_castsi256_si128(shuf);
+            __m128i hi = _mm256_extracti128_si256(shuf, 1);
+            __m128i packed = _mm_unpacklo_epi32(lo, hi);
+            _mm_storel_epi64((__m128i *)(dcol + i * 8), packed);
+            /* capture the final score at (m-1, n-1) per lane */
+            __m256i at_end = _mm256_and_si256(right_q, right_t);
+            score_v = _mm256_blendv_epi8(score_v, h, at_end);
+            hdiag = _mm256_loadu_si256((const __m256i *)(H8 + i * 8));
+            _mm256_storeu_si256((__m256i *)(H8 + i * 8), h);
+        }
+    }
+    _mm256_storeu_si256((__m256i *)score, score_v);
+    int32_t hmin_a[8], hmax_a[8];
+    _mm256_storeu_si256((__m256i *)hmin_a, hmin);
+    _mm256_storeu_si256((__m256i *)hmax_a, hmax);
+    int64_t gp_max = 0;
+    int64_t opens[6] = {s[2] + s[8], s[4] + s[10], s[6] + s[12],
+                        s[3] + s[9], s[5] + s[11], s[7] + s[13]};
+    for (int k = 0; k < 6; k++) if (opens[k] > gp_max) gp_max = opens[k];
+    int32_t score_min = (int32_t)(-32768 + gp_max);
+    for (int l = 0; l < 8; l++)
+        over[l] = (hmin_a[l] <= score_min) || (hmax_a[l] >= 32767);
+}
+
+/* backtrack one lane from the interleaved dirs */
+static int64_t nw_backtrack_lane(const unsigned char *dirs8, int64_t max_m,
+                                 int lane, int64_t m, int64_t n,
+                                 int8_t *ops) {
+    int64_t i = m - 1, j = n - 1, k = 0;
+    int prev = 0;
+    while (i >= 0 && j >= 0) {
+        unsigned d = dirs8[((size_t)j * max_m + i) * 8 + lane];
+        int op;
+        if (prev == 3 && (d & NW_DIR_EXTLEFT)) { op = 3; j--; }
+        else if (prev == 2 && (d & NW_DIR_EXTUP)) { op = 2; i--; }
+        else if (d & NW_DIR_LEFT) { op = 3; j--; }
+        else if (d & NW_DIR_UP) { op = 2; i--; }
+        else { op = 1; i--; j--; }
+        ops[k++] = (int8_t)op;
+        prev = op;
+    }
+    while (i >= 0) { ops[k++] = 2; i--; }
+    while (j >= 0) { ops[k++] = 3; j--; }
+    return k;
+}
+#endif /* __AVX2__ */
+
+static int pair_cmp_ctx_m(const void *a, const void *b, void *ctx) {
+    const int64_t *key = (const int64_t *)ctx;
+    int64_t ka = key[*(const int32_t *)a], kb = key[*(const int32_t *)b];
+    if (ka != kb) return ka < kb ? -1 : 1;
+    return (*(const int32_t *)a < *(const int32_t *)b) ? -1 : 1;
+}
+
+#define NW_X8_MAX_CELLS (4 * 1024 * 1024)  /* dirs8 <= 32 MB per group */
+
 void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
                           const unsigned char *tbuf, const int64_t *toff,
                           int64_t npairs, const int64_t *scheme,
                           char *cigars, int64_t cigar_stride,
                           int64_t *out /* npairs x 7 */) {
     init_maps();
-    int64_t sm[16][16];
+    int32_t sm[16][16];
     nw_score_matrix(scheme, sm);
+
+    /* order pairs by size so SIMD groups of 8 have similar dimensions
+     * (lane padding is wasted work); results land at original indices */
+    int32_t *order = (int32_t *)malloc((size_t)npairs * sizeof(int32_t));
+    int64_t *sizekey = (int64_t *)malloc((size_t)npairs * sizeof(int64_t));
+    for (int64_t p = 0; p < npairs; p++) {
+        order[p] = (int32_t)p;
+        int64_t m = qoff[p + 1] - qoff[p], n = toff[p + 1] - toff[p];
+        sizekey[p] = (m > n ? m : n) * 65536 + (m < n ? m : n);
+    }
+    qsort_r(order, (size_t)npairs, sizeof(int32_t), pair_cmp_ctx_m, sizekey);
+
     #pragma omp parallel
     {
         int64_t cap_dirs = 0, cap_m = 0, cap_ops = 0;
-        unsigned char *dirs = NULL;
-        int64_t *E_row = NULL, *H_prev = NULL;
+        unsigned char *dirs = NULL, *qc = NULL;
+        int32_t *E_row = NULL, *H_prev = NULL;
         int8_t *ops = NULL;
+#ifdef __AVX2__
+        int64_t cap8_mn = 0, cap8_m = 0;
+        unsigned char *qc8 = NULL, *tc8 = NULL, *dirs8 = NULL;
+        int32_t *E8 = NULL, *H8 = NULL;
+#endif
         #pragma omp for schedule(dynamic, 1)
-        for (int64_t p = 0; p < npairs; p++) {
-            int64_t m = qoff[p + 1] - qoff[p];
-            int64_t n = toff[p + 1] - toff[p];
-            int64_t *o = out + p * 7;
-            /* callers route only SIMD-envelope pairs here; guard anyway */
-            if (m <= 0 || n <= 0 || m + n > 65535 || m * n > 25000000) {
-                o[0] = 32767; o[1] = 1; o[2] = o[3] = o[4] = o[5] = o[6] = 0;
-                continue;
+        for (int64_t g = 0; g < (npairs + 7) / 8; g++) {
+            int64_t lo = g * 8;
+            int64_t hi = lo + 8 < npairs ? lo + 8 : npairs;
+            int64_t max_m = 0, max_n = 0;
+            int ok[8];
+            for (int64_t e = lo; e < hi; e++) {
+                int64_t p = order[e];
+                int64_t m = qoff[p + 1] - qoff[p];
+                int64_t n = toff[p + 1] - toff[p];
+                int64_t *o = out + p * 7;
+                ok[e - lo] = 1;
+                if (m <= 0 || n <= 0 || m + n > 65535
+                        || m * n > 25000000) {
+                    o[0] = 32767; o[1] = 1;
+                    o[2] = o[3] = o[4] = o[5] = o[6] = 0;
+                    ok[e - lo] = 0;
+                    continue;
+                }
+                if (m > max_m) max_m = m;
+                if (n > max_n) max_n = n;
             }
-            if (m * n > cap_dirs) {
-                cap_dirs = m * n * 2;
-                dirs = (unsigned char *)realloc(dirs, (size_t)cap_dirs);
+            if (max_m == 0) continue;
+            int64_t nmemb = hi - lo;
+
+#ifdef __AVX2__
+            if (nmemb == 8 && max_m * max_n <= NW_X8_MAX_CELLS) {
+                int allok = 1;
+                for (int l = 0; l < 8; l++) allok &= ok[l];
+                if (allok) {
+                    if (max_m * max_n > cap8_mn) {
+                        cap8_mn = max_m * max_n * 2;
+                        dirs8 = (unsigned char *)realloc(
+                            dirs8, (size_t)cap8_mn * 8);
+                    }
+                    int64_t mx = max_m > max_n ? max_m : max_n;
+                    if (mx > cap8_m) {
+                        cap8_m = mx * 2;
+                        qc8 = (unsigned char *)realloc(qc8,
+                                                       (size_t)cap8_m * 8);
+                        tc8 = (unsigned char *)realloc(tc8,
+                                                       (size_t)cap8_m * 8);
+                        E8 = (int32_t *)realloc(
+                            E8, (size_t)cap8_m * 8 * sizeof(int32_t));
+                        H8 = (int32_t *)realloc(
+                            H8, (size_t)cap8_m * 8 * sizeof(int32_t));
+                    }
+                    if (max_m + max_n + 1 > cap_ops) {
+                        cap_ops = (max_m + max_n + 1) * 2;
+                        ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+                    }
+                    int32_t mlen[8], nlen[8];
+                    memset(qc8, 0, (size_t)max_m * 8);
+                    memset(tc8, 0, (size_t)max_n * 8);
+                    for (int l = 0; l < 8; l++) {
+                        int64_t p = order[lo + l];
+                        int64_t m = qoff[p + 1] - qoff[p];
+                        int64_t n = toff[p + 1] - toff[p];
+                        mlen[l] = (int32_t)m; nlen[l] = (int32_t)n;
+                        const unsigned char *q = qbuf + qoff[p];
+                        const unsigned char *t = tbuf + toff[p];
+                        for (int64_t i = 0; i < m; i++)
+                            qc8[i * 8 + l] = map4[q[i]];
+                        for (int64_t jj = 0; jj < n; jj++)
+                            tc8[jj * 8 + l] = map4[t[jj]];
+                    }
+                    int32_t score8[8], over8[8];
+                    nw_forward_x8(qc8, tc8, mlen, nlen, max_m, max_n,
+                                  scheme, &sm[0][0], dirs8, E8, H8,
+                                  score8, over8);
+                    for (int l = 0; l < 8; l++) {
+                        int64_t p = order[lo + l];
+                        int64_t *o = out + p * 7;
+                        if (over8[l]) {
+                            o[0] = 32767; o[1] = 1;
+                            o[2] = o[3] = o[4] = o[5] = o[6] = 0;
+                            continue;
+                        }
+                        int64_t k = nw_backtrack_lane(
+                            dirs8, max_m, l, mlen[l], nlen[l], ops);
+                        int64_t stats[4];
+                        int64_t clen = assemble_core(
+                            ops, 1, (int)k, qbuf + qoff[p], tbuf + toff[p],
+                            (int)scheme[14], cigars + p * cigar_stride,
+                            stats);
+                        o[0] = score8[l]; o[1] = 0;
+                        o[2] = stats[0]; o[3] = stats[1]; o[4] = stats[2];
+                        o[5] = stats[3]; o[6] = clen;
+                    }
+                    continue;
+                }
             }
-            if (m > cap_m) {
-                cap_m = m * 2;
-                E_row = (int64_t *)realloc(E_row,
-                                           (size_t)cap_m * sizeof(int64_t));
-                H_prev = (int64_t *)realloc(H_prev,
-                                            (size_t)cap_m * sizeof(int64_t));
+#endif
+            for (int64_t e = lo; e < hi; e++) {
+                if (!ok[e - lo]) continue;
+                int64_t p = order[e];
+                int64_t m = qoff[p + 1] - qoff[p];
+                int64_t n = toff[p + 1] - toff[p];
+                int64_t *o = out + p * 7;
+                if (m * n > cap_dirs) {
+                    cap_dirs = m * n * 2;
+                    dirs = (unsigned char *)realloc(dirs, (size_t)cap_dirs);
+                }
+                if (m > cap_m) {
+                    cap_m = m * 2;
+                    E_row = (int32_t *)realloc(
+                        E_row, (size_t)cap_m * sizeof(int32_t));
+                    H_prev = (int32_t *)realloc(
+                        H_prev, (size_t)cap_m * sizeof(int32_t));
+                    qc = (unsigned char *)realloc(qc, (size_t)cap_m);
+                }
+                if (m + n + 1 > cap_ops) {
+                    cap_ops = (m + n + 1) * 2;
+                    ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+                }
+                nw_align_one(qbuf + qoff[p], m, tbuf + toff[p], n, scheme,
+                             sm, dirs, E_row, H_prev, ops, qc,
+                             cigars + p * cigar_stride, o);
             }
-            if (m + n + 1 > cap_ops) {
-                cap_ops = (m + n + 1) * 2;
-                ops = (int8_t *)realloc(ops, (size_t)cap_ops);
-            }
-            nw_align_one(qbuf + qoff[p], m, tbuf + toff[p], n, scheme, sm,
-                         dirs, E_row, H_prev, ops,
-                         cigars + p * cigar_stride, o);
         }
-        free(dirs); free(E_row); free(H_prev); free(ops);
+        free(dirs); free(E_row); free(H_prev); free(ops); free(qc);
+#ifdef __AVX2__
+        free(qc8); free(tc8); free(dirs8); free(E8); free(H8);
+#endif
     }
+    free(order); free(sizekey);
 }
 
 /* ---- read filter analysis (filter.cpp analyse) ----

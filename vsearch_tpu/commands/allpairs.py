@@ -70,28 +70,48 @@ def allpairs_global(params: Parameters) -> None:
         from ..utils.progress import Progress
         align_progress = Progress(
             "Aligning", max(0, seqcount * (seqcount - 1)) // 2, params)
-        for query_no in range(seqcount):
-            align_progress.update(align_progress._counter
-                                  + (seqcount - query_no - 1))
-            qi = QueryInfo(query_head=db.getheader(query_no),
-                           qsequence=db.getsequence(query_no),
-                           qseqlen=db.getsequencelen(query_no),
-                           qsize=db.getabundance(query_no), strand=0,
-                           query_no=query_no)
-            targets = [t for t in range(query_no + 1, seqcount)
-                       if params.opt_acceptall
-                       or search_acceptable_unaligned(eff, qi, db, t)]
+        # super-batched alignment: pair lists from consecutive queries are
+        # merged until the batch amortizes a device dispatch (or fills the
+        # native tier), then emitted strictly in query order
+        BATCH_PAIRS = 8192
+
+        def query_groups():
+            pending = []       # (qi, targets)
+            pairs = []
+            for query_no in range(seqcount):
+                align_progress.update(align_progress._counter
+                                      + (seqcount - query_no - 1))
+                qi = QueryInfo(query_head=db.getheader(query_no),
+                               qsequence=db.getsequence(query_no),
+                               qseqlen=db.getsequencelen(query_no),
+                               qsize=db.getabundance(query_no), strand=0,
+                               query_no=query_no)
+                targets = [t for t in range(query_no + 1, seqcount)
+                           if params.opt_acceptall
+                           or search_acceptable_unaligned(eff, qi, db, t)]
+                pending.append((qi, targets))
+                pairs.extend((qi.qsequence, t) for t in targets)
+                if len(pairs) >= BATCH_PAIRS:
+                    yield pending, ctx.align_pairs(pairs)
+                    pending = []
+                    pairs = []
+            if pending:
+                yield pending, ctx.align_pairs(pairs)
+
+        for pending, aligned in query_groups():
+          cursor = 0
+          for qi, targets in pending:
             finalhits: List[Hit] = []
             if targets:
-                aligned = ctx.align_pairs([(qi.qsequence, t)
-                                           for t in targets])
-                for t, res in zip(targets, aligned):
+                for t, res in zip(targets,
+                                  aligned[cursor:cursor + len(targets)]):
                     hit = Hit(target=t, strand=0, count=0)
                     fill_alignment_fields(hit, qi, db, res)
                     align_trim(hit, eff)
                     if params.opt_acceptall or \
                             search_acceptable_aligned(eff, qi, db, hit):
                         finalhits.append(hit)
+                cursor += len(targets)
                 finalhits.sort(key=lambda h: (-h.id, h.target))
 
             toreport = min(params.opt_maxhits, len(finalhits))
