@@ -191,12 +191,12 @@ def cluster_command(params: Parameters, command: str) -> None:
             # round width is a pure performance knob: the same-round repair
             # (evaluate_extra_hits) makes the output identical for any round
             # size — the reference relies on the same property for its
-            # thread scaling (cluster.cpp:877-1030).  Narrow rounds with the
-            # threaded native aligner win on host; wide rounds (device
-            # alignment batches) are opt-in via VSEARCH_TPU_CLUSTER_ROUND.
+            # thread scaling (cluster.cpp:877-1030).  Wide rounds feed the
+            # SIMD/device aligner whole waves and amortize the candidate
+            # scoring; the native per-round repair keeps them cheap.
             import os
             round_size = int(os.environ.get("VSEARCH_TPU_CLUSTER_ROUND",
-                                            0)) or max(1, params.opt_threads)
+                                            0)) or 256
             engine.run(round_size, on_hit, on_nohit,
                        progress=cprog)
 
