@@ -141,9 +141,13 @@ class ChimeraEngine:
         if len(query_seq) < parts:
             return cand_list
         allhits = []
-        # partition_query (:1957-1982)
+        # partition_query (:1957-1982); the per-part accept/reject walks
+        # are independent, so their alignment waves advance in lockstep
+        # and each wave aligns as ONE batch (parts x MAXDELAYED pairs)
         rest = len(query_seq)
         cursor = 0
+        walks = []
+        part_seqs = []
         for i in range(parts):
             length = (rest + (parts - i - 1)) // (parts - i)
             part_seq = query_seq[cursor:cursor + length]
@@ -161,14 +165,32 @@ class ChimeraEngine:
             minmatches = min(mwm_u, qi.kmersamplecount)
             candidates = self.index.candidates_for_query(
                 kmers, self.tophits, minmatches)
-            walk = QueryWalk(detection, qi, self.db, candidates)
-            while not walk.done:
-                targets = walk.advance()
-                if not targets:
-                    break
-                results = self.ctx.align_pairs(
-                    [(part_seq, t) for t in targets])
-                walk.supply(dict(zip(targets, results)))
+            walks.append(QueryWalk(detection, qi, self.db, candidates))
+            part_seqs.append(part_seq)
+
+        active = [w for w in range(parts) if not walks[w].done]
+        while active:
+            pair_list = []
+            owners = []
+            for w in active:
+                for t in walks[w].advance():
+                    pair_list.append((part_seqs[w], t))
+                    owners.append((w, t))
+            if not pair_list:
+                break
+            results = self.ctx.align_pairs(pair_list)
+            per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
+            for (w, t), res in zip(owners, results):
+                per_walk.setdefault(w, {})[t] = res
+            nxt = []
+            for w in active:
+                if w in per_walk:
+                    walks[w].supply(per_walk[w])
+                if not walks[w].done:
+                    nxt.append(w)
+            active = nxt
+
+        for walk in walks:
             hits = join_hits(detection, walk.hits, None)
             for hit in hits:
                 if hit.accepted and len(allhits) < MAXCANDIDATES:
