@@ -760,6 +760,141 @@ static void nw_forward_x8(const unsigned char *qc8, /* (max_m, 8) codes */
         over[l] = (hmin_a[l] <= score_min) || (hmax_a[l] >= 32767);
 }
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+/* 16 pairs per 512-bit vector; same per-lane semantics as nw_forward_x8.
+ * dirs16[(j*max_m + i)*16 + lane]. */
+static void nw_forward_x16(const unsigned char *qc16,
+                           const unsigned char *tc16,
+                           const int32_t *mlen, const int32_t *nlen,
+                           int64_t max_m, int64_t max_n,
+                           const int64_t *s, const int32_t *sm_flat,
+                           unsigned char *dirs16, int32_t *E16,
+                           int32_t *H16, int32_t *score, int32_t *over) {
+    __m512i m_v = _mm512_loadu_si512((const void *)mlen);
+    __m512i n_v = _mm512_loadu_si512((const void *)nlen);
+    __m512i one = _mm512_set1_epi32(1);
+    __m512i ilast_v = _mm512_sub_epi32(m_v, one);
+    __m512i jlast_v = _mm512_sub_epi32(n_v, one);
+    int32_t go_q_l = (int32_t)s[2], go_t_l = (int32_t)s[3];
+    int32_t ge_q_l = (int32_t)s[8], ge_t_l = (int32_t)s[9];
+    __m512i QRqi = _mm512_set1_epi32((int32_t)(s[4] + s[10]));
+    __m512i QRqr = _mm512_set1_epi32((int32_t)(s[6] + s[12]));
+    __m512i QRti = _mm512_set1_epi32((int32_t)(s[5] + s[11]));
+    __m512i QRtr = _mm512_set1_epi32((int32_t)(s[7] + s[13]));
+    __m512i Rqi = _mm512_set1_epi32((int32_t)s[10]);
+    __m512i Rqr = _mm512_set1_epi32((int32_t)s[12]);
+    __m512i Rti = _mm512_set1_epi32((int32_t)s[11]);
+    __m512i Rtr = _mm512_set1_epi32((int32_t)s[13]);
+    __m512i hmin = _mm512_setzero_si512();
+    __m512i hmax = _mm512_setzero_si512();
+    __m512i score_v = _mm512_setzero_si512();
+
+    for (int64_t i = 0; i < max_m; i++) {
+        _mm512_storeu_si512((void *)(E16 + i * 16), _mm512_setzero_si512());
+        _mm512_storeu_si512((void *)(H16 + i * 16), _mm512_setzero_si512());
+    }
+
+    for (int64_t j = 0; j < max_n; j++) {
+        __m512i j_v = _mm512_set1_epi32((int32_t)j);
+        __mmask16 right_t = _mm512_cmpeq_epi32_mask(j_v, jlast_v);
+        __m512i QR_t = _mm512_mask_blend_epi32(right_t, QRti, QRtr);
+        __m512i R_t = _mm512_mask_blend_epi32(right_t, Rti, Rtr);
+        __mmask16 valid_j = _mm512_cmpgt_epi32_mask(n_v, j_v);
+        __m512i top = _mm512_set1_epi32(
+            (int32_t)(-(go_q_l + (j + 1) * ge_q_l)));
+        __m512i hdiag = _mm512_set1_epi32(
+            j > 0 ? (int32_t)(-(go_q_l + (int32_t)j * ge_q_l)) : 0);
+        __m512i F = _mm512_sub_epi32(top, QR_t);
+        __m512i tcode = _mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i *)(tc16 + j * 16)));
+        __m512i tbase = _mm512_slli_epi32(tcode, 4);
+        unsigned char *dcol = dirs16 + (size_t)j * max_m * 16;
+        int j0 = (j == 0);
+        for (int64_t i = 0; i < max_m; i++) {
+            __m512i i_v = _mm512_set1_epi32((int32_t)i);
+            __mmask16 right_q = _mm512_cmpeq_epi32_mask(i_v, ilast_v);
+            __m512i QR_q = _mm512_mask_blend_epi32(right_q, QRqi, QRqr);
+            __m512i R_q = _mm512_mask_blend_epi32(right_q, Rqi, Rqr);
+            __m512i E, diag_in;
+            if (j0) {
+                E = _mm512_sub_epi32(_mm512_set1_epi32(
+                    (int32_t)(-(go_t_l + (i + 1) * ge_t_l))), QR_q);
+                diag_in = _mm512_set1_epi32(
+                    i > 0 ? (int32_t)(-(go_t_l + (int32_t)i * ge_t_l)) : 0);
+            } else {
+                E = _mm512_loadu_si512((const void *)(E16 + i * 16));
+                diag_in = hdiag;
+            }
+            __m512i qcode = _mm512_cvtepu8_epi32(
+                _mm_loadu_si128((const __m128i *)(qc16 + i * 16)));
+            __m512i smi = _mm512_or_si512(tbase, qcode);
+            __m512i V = _mm512_i32gather_epi32(smi, sm_flat, 4);
+            __m512i h = _mm512_add_epi32(diag_in, V);
+            __mmask16 dup = _mm512_cmpgt_epi32_mask(F, h);
+            h = _mm512_max_epi32(h, F);
+            __mmask16 dleft = _mm512_cmpgt_epi32_mask(E, h);
+            h = _mm512_max_epi32(h, E);
+            __mmask16 valid = valid_j & _mm512_cmpgt_epi32_mask(m_v, i_v);
+            __m512i hv = _mm512_maskz_mov_epi32(valid, h);
+            hmin = _mm512_min_epi32(hmin, hv);
+            hmax = _mm512_max_epi32(hmax, hv);
+            __m512i HF = _mm512_sub_epi32(h, QR_t);
+            __m512i Fx = _mm512_sub_epi32(F, R_t);
+            __mmask16 dextup = _mm512_cmpgt_epi32_mask(Fx, HF);
+            F = _mm512_max_epi32(Fx, HF);
+            __m512i HE = _mm512_sub_epi32(h, QR_q);
+            __m512i Ex = _mm512_sub_epi32(E, R_q);
+            __mmask16 dextleft = _mm512_cmpgt_epi32_mask(Ex, HE);
+            _mm512_storeu_si512((void *)(E16 + i * 16),
+                                _mm512_max_epi32(Ex, HE));
+            __m512i d = _mm512_maskz_set1_epi32(dup, 1);
+            d = _mm512_or_si512(d, _mm512_maskz_set1_epi32(dleft, 2));
+            d = _mm512_or_si512(d, _mm512_maskz_set1_epi32(dextup, 4));
+            d = _mm512_or_si512(d, _mm512_maskz_set1_epi32(dextleft, 8));
+            _mm_storeu_si128((__m128i *)(dcol + i * 16),
+                             _mm512_cvtepi32_epi8(d));
+            __mmask16 at_end = right_q & right_t;
+            score_v = _mm512_mask_blend_epi32(at_end, score_v, h);
+            hdiag = _mm512_loadu_si512((const void *)(H16 + i * 16));
+            _mm512_storeu_si512((void *)(H16 + i * 16), h);
+        }
+    }
+    _mm512_storeu_si512((void *)score, score_v);
+    int32_t hmin_a[16], hmax_a[16];
+    _mm512_storeu_si512((void *)hmin_a, hmin);
+    _mm512_storeu_si512((void *)hmax_a, hmax);
+    int64_t gp_max = 0;
+    int64_t opens[6] = {s[2] + s[8], s[4] + s[10], s[6] + s[12],
+                        s[3] + s[9], s[5] + s[11], s[7] + s[13]};
+    for (int k = 0; k < 6; k++) if (opens[k] > gp_max) gp_max = opens[k];
+    int32_t score_min = (int32_t)(-32768 + gp_max);
+    for (int l = 0; l < 16; l++)
+        over[l] = (hmin_a[l] <= score_min) || (hmax_a[l] >= 32767);
+}
+#endif /* __AVX512F__ && __AVX512BW__ */
+
+/* backtrack one lane from the interleaved dirs (lane stride = width) */
+static int64_t nw_backtrack_lane_w(const unsigned char *dirsw,
+                                   int64_t max_m, int width, int lane,
+                                   int64_t m, int64_t n, int8_t *ops) {
+    int64_t i = m - 1, j = n - 1, k = 0;
+    int prev = 0;
+    while (i >= 0 && j >= 0) {
+        unsigned d = dirsw[((size_t)j * max_m + i) * width + lane];
+        int op;
+        if (prev == 3 && (d & NW_DIR_EXTLEFT)) { op = 3; j--; }
+        else if (prev == 2 && (d & NW_DIR_EXTUP)) { op = 2; i--; }
+        else if (d & NW_DIR_LEFT) { op = 3; j--; }
+        else if (d & NW_DIR_UP) { op = 2; i--; }
+        else { op = 1; i--; j--; }
+        ops[k++] = (int8_t)op;
+        prev = op;
+    }
+    while (i >= 0) { ops[k++] = 2; i--; }
+    while (j >= 0) { ops[k++] = 3; j--; }
+    return k;
+}
+
 /* backtrack one lane from the interleaved dirs */
 static int64_t nw_backtrack_lane(const unsigned char *dirs8, int64_t max_m,
                                  int lane, int64_t m, int64_t n,
@@ -790,7 +925,15 @@ static int pair_cmp_ctx_m(const void *a, const void *b, void *ctx) {
     return (*(const int32_t *)a < *(const int32_t *)b) ? -1 : 1;
 }
 
-#define NW_X8_MAX_CELLS (4 * 1024 * 1024)  /* dirs8 <= 32 MB per group */
+#define NW_X8_MAX_CELLS (4 * 1024 * 1024)  /* dirs <= width*4M per group */
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#define NW_GW 16
+#elif defined(__AVX2__)
+#define NW_GW 8
+#else
+#define NW_GW 8   /* group size still used for scheduling; scalar inside */
+#endif
 
 void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
                           const unsigned char *tbuf, const int64_t *toff,
@@ -824,11 +967,11 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
         int32_t *E8 = NULL, *H8 = NULL;
 #endif
         #pragma omp for schedule(dynamic, 1)
-        for (int64_t g = 0; g < (npairs + 7) / 8; g++) {
-            int64_t lo = g * 8;
-            int64_t hi = lo + 8 < npairs ? lo + 8 : npairs;
+        for (int64_t g = 0; g < (npairs + NW_GW - 1) / NW_GW; g++) {
+            int64_t lo = g * NW_GW;
+            int64_t hi = lo + NW_GW < npairs ? lo + NW_GW : npairs;
             int64_t max_m = 0, max_n = 0;
-            int ok[8];
+            int ok[NW_GW];
             for (int64_t e = lo; e < hi; e++) {
                 int64_t p = order[e];
                 int64_t m = qoff[p + 1] - qoff[p];
@@ -849,35 +992,36 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
             int64_t nmemb = hi - lo;
 
 #ifdef __AVX2__
-            if (nmemb == 8 && max_m * max_n <= NW_X8_MAX_CELLS) {
+            if (nmemb == NW_GW && max_m * max_n <= NW_X8_MAX_CELLS) {
                 int allok = 1;
-                for (int l = 0; l < 8; l++) allok &= ok[l];
+                for (int l = 0; l < NW_GW; l++) allok &= ok[l];
                 if (allok) {
+                    const int W = NW_GW;
                     if (max_m * max_n > cap8_mn) {
                         cap8_mn = max_m * max_n * 2;
                         dirs8 = (unsigned char *)realloc(
-                            dirs8, (size_t)cap8_mn * 8);
+                            dirs8, (size_t)cap8_mn * W);
                     }
                     int64_t mx = max_m > max_n ? max_m : max_n;
                     if (mx > cap8_m) {
                         cap8_m = mx * 2;
                         qc8 = (unsigned char *)realloc(qc8,
-                                                       (size_t)cap8_m * 8);
+                                                       (size_t)cap8_m * W);
                         tc8 = (unsigned char *)realloc(tc8,
-                                                       (size_t)cap8_m * 8);
+                                                       (size_t)cap8_m * W);
                         E8 = (int32_t *)realloc(
-                            E8, (size_t)cap8_m * 8 * sizeof(int32_t));
+                            E8, (size_t)cap8_m * W * sizeof(int32_t));
                         H8 = (int32_t *)realloc(
-                            H8, (size_t)cap8_m * 8 * sizeof(int32_t));
+                            H8, (size_t)cap8_m * W * sizeof(int32_t));
                     }
                     if (max_m + max_n + 1 > cap_ops) {
                         cap_ops = (max_m + max_n + 1) * 2;
                         ops = (int8_t *)realloc(ops, (size_t)cap_ops);
                     }
-                    int32_t mlen[8], nlen[8];
-                    memset(qc8, 0, (size_t)max_m * 8);
-                    memset(tc8, 0, (size_t)max_n * 8);
-                    for (int l = 0; l < 8; l++) {
+                    int32_t mlen[NW_GW], nlen[NW_GW];
+                    memset(qc8, 0, (size_t)max_m * W);
+                    memset(tc8, 0, (size_t)max_n * W);
+                    for (int l = 0; l < W; l++) {
                         int64_t p = order[lo + l];
                         int64_t m = qoff[p + 1] - qoff[p];
                         int64_t n = toff[p + 1] - toff[p];
@@ -885,15 +1029,21 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
                         const unsigned char *q = qbuf + qoff[p];
                         const unsigned char *t = tbuf + toff[p];
                         for (int64_t i = 0; i < m; i++)
-                            qc8[i * 8 + l] = map4[q[i]];
+                            qc8[i * W + l] = map4[q[i]];
                         for (int64_t jj = 0; jj < n; jj++)
-                            tc8[jj * 8 + l] = map4[t[jj]];
+                            tc8[jj * W + l] = map4[t[jj]];
                     }
-                    int32_t score8[8], over8[8];
+                    int32_t score8[NW_GW], over8[NW_GW];
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+                    nw_forward_x16(qc8, tc8, mlen, nlen, max_m, max_n,
+                                   scheme, &sm[0][0], dirs8, E8, H8,
+                                   score8, over8);
+#else
                     nw_forward_x8(qc8, tc8, mlen, nlen, max_m, max_n,
                                   scheme, &sm[0][0], dirs8, E8, H8,
                                   score8, over8);
-                    for (int l = 0; l < 8; l++) {
+#endif
+                    for (int l = 0; l < W; l++) {
                         int64_t p = order[lo + l];
                         int64_t *o = out + p * 7;
                         if (over8[l]) {
@@ -901,8 +1051,8 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
                             o[2] = o[3] = o[4] = o[5] = o[6] = 0;
                             continue;
                         }
-                        int64_t k = nw_backtrack_lane(
-                            dirs8, max_m, l, mlen[l], nlen[l], ops);
+                        int64_t k = nw_backtrack_lane_w(
+                            dirs8, max_m, W, l, mlen[l], nlen[l], ops);
                         int64_t stats[4];
                         int64_t clen = assemble_core(
                             ops, 1, (int)k, qbuf + qoff[p], tbuf + toff[p],
