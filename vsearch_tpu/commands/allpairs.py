@@ -86,9 +86,13 @@ def allpairs_global(params: Parameters) -> None:
                                qseqlen=db.getsequencelen(query_no),
                                qsize=db.getabundance(query_no), strand=0,
                                query_no=query_no)
-                targets = [t for t in range(query_no + 1, seqcount)
-                           if params.opt_acceptall
-                           or search_acceptable_unaligned(eff, qi, db, t)]
+                from ..core.searchcore import unaligned_gate_active
+                if params.opt_acceptall or not unaligned_gate_active(eff):
+                    targets = list(range(query_no + 1, seqcount))
+                else:
+                    targets = [t for t in range(query_no + 1, seqcount)
+                               if search_acceptable_unaligned(eff, qi, db,
+                                                              t)]
                 pending.append((qi, targets))
                 pairs.extend((qi.qsequence, t) for t in targets)
                 if len(pairs) >= BATCH_PAIRS:

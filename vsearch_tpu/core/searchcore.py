@@ -140,6 +140,28 @@ class QueryInfo:
     kmersamplecount: int = 0
 
 
+def unaligned_gate_active(params: Parameters) -> bool:
+    """True when any pre-alignment predicate can reject (searchcore.cpp
+    :541-609); at the defaults every predicate passes unconditionally, so
+    hot walks skip the per-candidate call entirely."""
+    cached = getattr(params, "_unaligned_gate_active", None)
+    if cached is None:
+        from ..params import DBL_MAX, INT64_MAX
+        cached = (params.opt_maxqsize < INT64_MAX
+                  or params.opt_mintsize > 0
+                  or params.opt_minsizeratio > 0.0
+                  or params.opt_maxsizeratio < DBL_MAX
+                  or params.opt_minqt > 0.0 or params.opt_maxqt < DBL_MAX
+                  or params.opt_minsl > 0.0 or params.opt_maxsl < DBL_MAX
+                  or bool(params.opt_idprefix) or bool(params.opt_idsuffix)
+                  or bool(params.opt_self) or bool(params.opt_selfid))
+        try:
+            object.__setattr__(params, "_unaligned_gate_active", cached)
+        except Exception:
+            pass
+    return cached
+
+
 def search_acceptable_unaligned(params: Parameters, qi: QueryInfo, db,
                                 target: int) -> bool:
     """reference: searchcore.cpp:541-609"""
@@ -362,6 +384,7 @@ class QueryWalk:
         self.delayed = 0
         self.pop_idx = 0
         self.done = False
+        self.gate_active = unaligned_gate_active(params)
         # progressive alignment budget: flush the first delayed candidate
         # alone, then widen (1, 4, 16, 32).  Finalization replays the hits
         # in pop order with the same gating either way, so batch size can
@@ -391,8 +414,8 @@ class QueryWalk:
             seqno, count = self.candidates[self.pop_idx]
             self.pop_idx += 1
             hit = Hit(target=seqno, strand=self.qi.strand, count=count)
-            if search_acceptable_unaligned(self.params, self.qi, self.db,
-                                           seqno):
+            if not self.gate_active or search_acceptable_unaligned(
+                    self.params, self.qi, self.db, seqno):
                 self.delayed += 1
             else:
                 hit.rejected = True
