@@ -48,6 +48,14 @@ class DeviceKmerIndex:
     # host-driven alignment path carries the load
     DB_CODES_BUDGET = 4 << 30
 
+    # positions per packed-bit block: bounds the scan accumulator (the
+    # (qp, 32*words) int32 counts) so multi-million-sequence databases
+    # shard into independent per-block top-k dispatches merged exactly
+    # on device (counts are per-position, the heap order is encoded in
+    # the position ordering, so a k-way merge of per-block top-k IS the
+    # global top-k)
+    BLOCK_POS = 131072
+
     def __init__(self, wordlength: int, kmer_lists: List[np.ndarray],
                  lengths: np.ndarray, mapping: np.ndarray,
                  capacity: Optional[int] = None) -> None:
@@ -57,32 +65,47 @@ class DeviceKmerIndex:
         self.n = n
         cap = capacity or n
         cap = max(cap, 1)
-        # keep the gather geometry inside the proven-fast envelope: narrow
-        # rows (words < 640, i.e. < 2.5KB per gathered row) compiled
-        # pathologically on the TPU backend (minutes-long XLA compile)
-        self.words = max(_round_up(cap, 1024) // 32, 640)
         lengths = np.asarray(lengths, dtype=np.int64)
         mapping = np.asarray(mapping, dtype=np.int64)
         # device position p <-> heap rank p: sorted by (length, seqno) so
         # that top_k's index tie-break reproduces minheap_compare exactly
         perm = np.lexsort((mapping, lengths))
-        # row hashsize is all-zero: the gather target for padded kmer ids
-        # pack via chunked np.packbits: scatter a (pos-chunk, 4^w) boolean
-        # incidence slab, packbits along the position axis (little-endian
-        # bit order == "bit b of word w is position 32w+b"), then view the
-        # transposed bytes as uint32 rows.  ~20x faster than bitwise_or.at.
-        bits = np.zeros((self.hashsize + 1, self.words), dtype=np.uint32)
         sizes = np.fromiter((kmer_lists[orig].size for orig in perm),
                             dtype=np.int64, count=n)
-        if n and sizes.sum():
-            all_kmers = np.ascontiguousarray(np.concatenate(
-                [kmer_lists[orig] for orig in perm]), dtype=np.uint32)
-            starts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(sizes, out=starts[1:])
-            from .. import native
-            if not native.pack_bits(all_kmers, starts, n, self.words, bits):
-                self._pack_bits_numpy(bits, all_kmers, starts, sizes, n)
-        self.bits = jax.device_put(bits)
+        all_kmers = np.ascontiguousarray(np.concatenate(
+            [kmer_lists[orig] for orig in perm]), dtype=np.uint32) \
+            if n and sizes.sum() else np.zeros(0, dtype=np.uint32)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+
+        # shard positions (already in heap order) into blocks
+        self.blocks = []   # (bits_dev, words, base, nb)
+        base = 0
+        from .. import native
+        while True:
+            nb = min(cap - base, self.BLOCK_POS)
+            nb_real = max(0, min(n - base, nb))
+            # keep the gather geometry inside the proven-fast envelope:
+            # narrow rows (words < 640, i.e. < 2.5KB per gathered row)
+            # compiled pathologically on the TPU backend
+            words = max(_round_up(max(nb, 1), 1024) // 32, 640)
+            bits = np.zeros((self.hashsize + 1, words), dtype=np.uint32)
+            if nb_real > 0:
+                lo_k, hi_k = int(starts[base]), int(starts[base + nb_real])
+                blk_kmers = np.ascontiguousarray(all_kmers[lo_k:hi_k])
+                blk_starts = np.ascontiguousarray(
+                    starts[base:base + nb_real + 1] - starts[base])
+                if not native.pack_bits(blk_kmers, blk_starts, nb_real,
+                                        words, bits):
+                    self._pack_bits_numpy(
+                        bits, blk_kmers, blk_starts,
+                        sizes[base:base + nb_real], nb_real)
+            self.blocks.append((jax.device_put(bits), words, base, nb_real))
+            base += nb
+            if base >= cap:
+                break
+        self.bits = self.blocks[0][0]
+        self.words = self.blocks[0][1]
         self.seqno_by_pos = mapping[perm]
         self.length_by_pos = lengths[perm]
         self.perm = perm
@@ -183,9 +206,23 @@ class DeviceKmerIndex:
             for qi, kmers in enumerate(chunk):
                 ids[qi, :kmers.size] = kmers
                 kcounts[qi] = kmers.size
-            pending.append((len(chunk), _topk_kernel(
-                self.hashsize, self.words, qp, maxk, k,
-                self.n)(jnp.asarray(ids), jnp.asarray(kcounts), self.bits)))
+            ids_d = jnp.asarray(ids)
+            kc_d = jnp.asarray(kcounts)
+            per_block = []
+            for bits_dev, words, pbase, nb_real in self.blocks:
+                v, i = _topk_kernel(self.hashsize, words, qp, maxk,
+                                    min(k, max(nb_real, 1)),
+                                    nb_real)(ids_d, kc_d, bits_dev)
+                per_block.append((v, i, pbase))
+            if len(per_block) == 1:
+                v, i, _ = per_block[0]
+                handle = (v, i)
+            else:
+                handle = _merge_blocks(
+                    qp, k, tuple(p for _, _, p in per_block))(
+                    [v for v, _, _ in per_block],
+                    [i for _, i, _ in per_block])
+            pending.append((len(chunk), handle))
         return (q, pending)
 
     def topk_collect(self, state) -> Tuple[np.ndarray, np.ndarray]:
@@ -199,6 +236,30 @@ class DeviceKmerIndex:
         idx = np.concatenate([np.asarray(i)[:nq]
                               for (nq, _), (_, i) in zip(pending, fetched)])
         return vals, idx
+
+
+@functools.lru_cache(maxsize=16)
+def _merge_blocks(qp: int, k: int, bases: tuple):
+    """Exact k-way merge of per-block top-k results.
+
+    Positions are globally heap-ordered, so the global order is
+    (count desc, global position asc) — a two-key lexicographic sort of
+    the concatenated block results.  Invalid rows carry count -1 and are
+    pushed to the back with position sentinel."""
+    nb = len(bases)
+
+    @jax.jit
+    def run(vals_list, idx_list):
+        vals = jnp.concatenate(vals_list, axis=1)              # (qp, nb*k)
+        gidx = jnp.concatenate(
+            [i + jnp.int32(b) for i, b in zip(idx_list, bases)], axis=1)
+        # invalid entries (count -1): position pushed past every block
+        gidx = jnp.where(vals < 0, jnp.int32(2**30), gidx)
+        neg = -vals
+        sneg, sidx = jax.lax.sort((neg, gidx), num_keys=2)
+        return -sneg[:, :k], sidx[:, :k]
+
+    return run
 
 
 @functools.lru_cache(maxsize=32)
