@@ -324,6 +324,38 @@ void vstpu_postings_add(void *hp, const uint32_t *kmers, int64_t nk,
     h->npos = pos + 1;
 }
 
+int64_t vstpu_postings_topk(void *hp, const uint32_t *qkmers, int64_t nk,
+                            int64_t tophits, int64_t minmatches,
+                            int64_t *out_seqno, int64_t *out_count);
+
+/* batched top-k over many queries (OpenMP, per-thread counter scratch).
+ * qkmers: concatenated query k-mer lists with qoff[nq+1] offsets;
+ * minmatches per query; outputs (nq, tophits) + per-query counts. */
+void vstpu_postings_topk_batch(void *hp, const uint32_t *qkmers,
+                               const int64_t *qoff, int64_t nq,
+                               int64_t tophits, const int64_t *minmatches,
+                               int64_t *out_seqno, int64_t *out_count,
+                               int64_t *out_n) {
+    postings_t *h = (postings_t *)hp;
+    #pragma omp parallel
+    {
+        /* clone the handle header with private counter/touched scratch */
+        postings_t local = *h;
+        local.counter = (int32_t *)calloc((size_t)h->pos_cap,
+                                          sizeof(int32_t));
+        local.touched = (int32_t *)malloc((size_t)h->pos_cap
+                                          * sizeof(int32_t));
+        #pragma omp for schedule(dynamic, 16)
+        for (int64_t qi = 0; qi < nq; qi++) {
+            out_n[qi] = vstpu_postings_topk(
+                &local, qkmers + qoff[qi], qoff[qi + 1] - qoff[qi],
+                tophits, minmatches[qi],
+                out_seqno + qi * tophits, out_count + qi * tophits);
+        }
+        free(local.counter); free(local.touched);
+    }
+}
+
 /* touched positions + shared counts only (no heap): the clustering
  * same-round repair needs per-extra shared-kmer counts. */
 int64_t vstpu_postings_counts(void *hp, const uint32_t *qkmers, int64_t nk,

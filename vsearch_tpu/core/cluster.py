@@ -143,10 +143,11 @@ class ClusterEngine:
             per_query.append((states[0],
                               states[1] if len(states) > 1 else None))
 
-        for st, kmers in zip(units, kmer_lists):
-            st.walk.candidates = self.index.candidates_for_query(
-                kmers, self.tophits,
-                self.ctx._minmatches(st.qi.kmersamplecount))
+        cand_lists = self.index.candidates_for_query_batch(
+            kmer_lists, self.tophits,
+            [self.ctx._minmatches(st.qi.kmersamplecount) for st in units])
+        for st, cands in zip(units, cand_lists):
+            st.walk.candidates = cands
 
         # lockstep alignment rounds (same as SearchContext.search_tasks)
         active = list(range(len(units)))

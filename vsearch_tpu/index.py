@@ -84,6 +84,18 @@ class KmerIndex:
         return self.topscores(self.counts_for_query(query_kmers), tophits,
                               minmatches)
 
+    def candidates_for_query_batch(self, kmer_lists, tophits: int,
+                                   minmatches_list) -> List[List]:
+        """Threaded candidates_for_query over many queries."""
+        if self.count == 0 or tophits <= 0:
+            return [[] for _ in kmer_lists]
+        self.candidates_for_query(np.zeros(0, dtype=np.uint32), 1, 1)
+        if self._native is not None:
+            return self._native.topk_batch(kmer_lists, tophits,
+                                           minmatches_list)
+        return [self.candidates_for_query(k, tophits, mm)
+                for k, mm in zip(kmer_lists, minmatches_list)]
+
     def add_all_sequences(self, db, seqmask: Masking,
                           params: Optional[Parameters] = None) -> None:
         """reference: dbindex.cpp prepare ("Counting k-mers", :185) +

@@ -184,6 +184,37 @@ class Postings:
                                      length, seqno)
         self.npos += 1
 
+    def topk_batch(self, qkmer_lists, tophits: int, minmatches_list):
+        """Threaded top-k over many queries; returns list of candidate
+        lists in heap order."""
+        lib = self._lib
+        if not hasattr(lib, "_topk_batch_ready"):
+            ct = ctypes
+            lib.vstpu_postings_topk_batch.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+                ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+                ct.c_void_p]
+            lib._topk_batch_ready = True
+        nq = len(qkmer_lists)
+        if nq == 0 or tophits <= 0:
+            return [[] for _ in range(nq)]
+        concat = np.concatenate([np.ascontiguousarray(k, dtype=np.uint32)
+                                 for k in qkmer_lists]) \
+            if nq else np.zeros(0, dtype=np.uint32)
+        qoff = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum([k.size for k in qkmer_lists], out=qoff[1:])
+        mm = np.asarray(minmatches_list, dtype=np.int64)
+        out_s = np.empty((nq, tophits), dtype=np.int64)
+        out_c = np.empty((nq, tophits), dtype=np.int64)
+        out_n = np.empty(nq, dtype=np.int64)
+        lib.vstpu_postings_topk_batch(
+            self._h, concat.ctypes.data if concat.size else None,
+            qoff.ctypes.data, nq, tophits, mm.ctypes.data,
+            out_s.ctypes.data, out_c.ctypes.data, out_n.ctypes.data)
+        return [list(zip(out_s[i, :out_n[i]].tolist(),
+                         out_c[i, :out_n[i]].tolist()))
+                for i in range(nq)]
+
     def counts(self, qkmers: np.ndarray):
         """(positions, counts) int64 arrays of touched index positions."""
         lib = self._lib
