@@ -15,9 +15,10 @@ import narration_sweep  # noqa: E402
 from .conftest import REF_BINARY, REF_DATA  # noqa: E402
 
 
-@pytest.mark.parametrize("name", list(narration_sweep.CASES))
+@pytest.mark.parametrize("name", list(narration_sweep.CASES)
+                         + list(narration_sweep.ERROR_CASES))
 def test_narration(name):
     if not REF_BINARY.exists() or not REF_DATA.exists():
         pytest.skip("reference binary/fixtures unavailable")
-    assert narration_sweep.run_case(name, narration_sweep.CASES[name]), \
+    assert narration_sweep.run_named(name), \
         "narration differs for %s (see stdout diff)" % name

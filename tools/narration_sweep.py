@@ -147,12 +147,83 @@ CASES = {
         "--makeudb_usearch", f"{D}/chimera_ref.fasta", "--output", "{o}.udb"],
 }
 
+# Error/warning-path cases (reference: utils/fatal.cpp surfaces, the
+# per-command option matrix cli.cc:4049-4105, configure_threads warnings
+# cli.cc:4112-4148).  {td} expands to the case tempdir (missing files live
+# there).  Threads are NOT auto-appended (several cases reject --threads).
+ERROR_CASES = {
+    "err_missing_query": [
+        "--usearch_global", "{td}/missing.fa", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.9", "--alnout", "{o}.aln"],
+    "err_missing_db": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        "{td}/missing.fa", "--id", "0.9", "--alnout", "{o}.aln"],
+    "err_missing_sortbysize": [
+        "--sortbysize", "{td}/missing.fa", "--output", "{o}.fa"],
+    "err_missing_mergepairs": [
+        "--fastq_mergepairs", "{td}/missing.fq", "--reverse",
+        "{td}/missing2.fq", "--fastqout", "{o}.fq"],
+    "err_missing_sintax_query": [
+        "--sintax", "{td}/missing.fa", "--db", f"{D}/refs_10.fasta",
+        "--tabbedout", "{o}.tsv"],
+    "err_invalid_option_derep": [
+        "--derep_fulllength", f"{D}/derep_test.fasta", "--tabbedout",
+        "{o}.tsv"],
+    "err_invalid_option_filter": [
+        "--fastx_filter", f"{D}/derep_test.fasta", "--maxseqlength", "10",
+        "--fastaout", "{o}.fa"],
+    "warn_uchimeout5_flag": [
+        "--uchime_denovo", f"{D}/expected_derep.fasta", "--uchimeout5",
+        "--strand", "plus", "--uchimeout", "{o}.tsv", "--minseqlength", "1"],
+    "warn_fulldp_flag": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.5", "--fulldp", "--uc",
+        "{o}.uc"],
+    "err_bad_strand": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.9", "--strand", "bogus",
+        "--uc", "{o}.uc"],
+    "err_bad_qmask": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.9", "--qmask", "bogus",
+        "--uc", "{o}.uc"],
+    "err_bad_iddef": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.9", "--iddef", "9",
+        "--uc", "{o}.uc"],
+    "err_bad_int": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.9", "--maxaccepts", "1.5",
+        "--uc", "{o}.uc"],
+    "err_threads_range": [
+        "--usearch_global", f"{D}/chimera_queries.fasta", "--db",
+        f"{D}/chimera_ref.fasta", "--id", "0.9", "--threads", "9999",
+        "--uc", "{o}.uc"],
+    "err_relabel_conflict": [
+        "--fastx_revcomp", f"{D}/derep_test.fasta", "--relabel", "x",
+        "--relabel_sha1", "--fastaout", "{o}.fa"],
+    "warn_mt_sortbysize": [
+        "--sortbysize", f"{D}/expected_derep.fasta", "--output", "{o}.fa",
+        "--threads", "4", "--minseqlength", "1"],
+    "err_unwritable_output": [
+        "--sortbysize", f"{D}/expected_derep.fasta", "--output",
+        "/nonexistent_dir/x", "--minseqlength", "1"],
+    "err_two_commands": ["--version", "--help"],
+    "warn_no_command": ["--quiet"],
+    "err_unknown_option": ["--bogus_xyz"],
+    "err_extra_string": [
+        "--sortbysize", f"{D}/expected_derep.fasta", "--output", "{o}.fa",
+        "extra_string"],
+}
+
 _VOLATILE = re.compile(
     rb"^(vsearch v|https://|Started |Finished |Elapsed time|Max memory"
     rb"|WARNING:.*axon|.*xla_bridge.*)")
 
 
 def norm_stream(raw: bytes, drop_cmdline: bool) -> bytes:
+    # argv0 differs between the binaries; getopt-style reports embed it
+    raw = raw.replace(REF.encode(), b"vsearch")
     keep = []
     for line in raw.splitlines():
         # progress \r frames: keep only the final state of each line
@@ -176,22 +247,25 @@ def norm_stream(raw: bytes, drop_cmdline: bool) -> bytes:
     return b"\n".join(out)
 
 
-def run_case(name, args, verbose=False):
+def run_case(name, args, verbose=False, add_threads=True, add_log=True):
     with tempfile.TemporaryDirectory() as td:
         td = pathlib.Path(td)
         make_fixtures(td)
-        fixed = [a.format(o="out", fix=str(td)) for a in args]
-        if args[0][2:] not in ("cut", "fastx_getseq", "fastx_getseqs",
-                               "fastx_getsubseq", "udb2fasta", "udbinfo",
-                               "udbstats", "makeudb_usearch",
-                               "fastq_eestats", "fastq_eestats2",
-                               "sff_convert"):
+        fixed = [a.format(o="out", fix=str(td), td=str(td)) for a in args]
+        if add_threads and args[0][2:] not in (
+                "cut", "fastx_getseq", "fastx_getseqs",
+                "fastx_getsubseq", "udb2fasta", "udbinfo",
+                "udbstats", "makeudb_usearch",
+                "fastq_eestats", "fastq_eestats2",
+                "sff_convert"):
             fixed += ["--threads", "1"]
-        rref = subprocess.run([REF] + fixed + ["--log", "ref.log"], cwd=td,
+        log_args = ["--log", "ref.log"] if add_log else []
+        my_log_args = ["--log", "my.log"] if add_log else []
+        rref = subprocess.run([REF] + fixed + log_args, cwd=td,
                               capture_output=True)
         rmine = subprocess.run(
             [sys.executable, "-m", "vsearch_tpu.cli"] + fixed
-            + ["--log", "my.log"],
+            + my_log_args,
             cwd=td, capture_output=True,
             env={"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
                  "HOME": "/root", "JAX_PLATFORMS": "cpu"})
@@ -221,12 +295,15 @@ def run_case(name, args, verbose=False):
         return ok
 
 
+def run_named(name):
+    if name in CASES:
+        return run_case(name, CASES[name])
+    return run_case(name, ERROR_CASES[name], add_threads=False)
+
+
 def main():
-    names = sys.argv[1:] or list(CASES)
-    bad = []
-    for name in names:
-        if not run_case(name, CASES[name]):
-            bad.append(name)
+    names = sys.argv[1:] or (list(CASES) + list(ERROR_CASES))
+    bad = [name for name in names if not run_named(name)]
     print("\n%d/%d narration cases match" % (len(names) - len(bad),
                                              len(names)))
     if bad:

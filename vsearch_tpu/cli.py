@@ -12,6 +12,7 @@ import sys
 from typing import Dict, List, Optional
 
 from .params import INT64_MAX, Masking, Parameters
+from .cli_matrix import OPTION_ARITY, OPTION_ORDER, VALID_OPTIONS
 
 PROG_NAME = "vsearch"
 PROG_VERSION = "v2.31.0_tpu"
@@ -51,12 +52,12 @@ STR_OPTS = [
 
 INT_OPTS = [
     "alignwidth", "chimeras_length_min", "chimeras_parents_max",
-    "chimeras_parts", "cons_truncate", "fasta_width", "fastq_ascii",
+    "chimeras_parts", "fasta_width", "fastq_ascii",
     "fastq_asciiout", "fastq_maxdiffs", "fastq_maxlen", "fastq_maxmergelen",
     "fastq_maxns", "fastq_minlen", "fastq_minmergelen", "fastq_minovlen",
     "fastq_minqual", "fastq_qmax", "fastq_qmaxout", "fastq_qmin",
     "fastq_qminout", "fastq_stripleft", "fastq_stripright", "fastq_tail",
-    "fastq_trunclen", "fastq_trunclen_keep", "fastq_truncqual", "fulldp",
+    "fastq_trunclen", "fastq_trunclen_keep", "fastq_truncqual",
     "iddef", "idprefix", "idsuffix", "length_cutoffs_increment",
     "length_cutoffs_longest", "length_cutoffs_shortest", "match",
     "maxaccepts", "maxdiffs", "maxgaps", "maxhits", "maxqsize",
@@ -64,7 +65,7 @@ INT_OPTS = [
     "mincols", "mindiffs", "minseqlength", "minsize", "mintsize",
     "minuniquesize", "minwordmatches", "mismatch", "randseed", "rowlen",
     "sample_size", "slots", "subseq_end", "subseq_start", "threads", "topn",
-    "uchimeout5", "wordlength",
+    "wordlength",
 ]
 
 FLOAT_OPTS = [
@@ -95,6 +96,14 @@ _INT_FLAGS = {"acceptall", "leftjust", "rightjust", "output_no_hits", "self",
 
 class CliError(Exception):
     pass
+
+
+# commands the reference runs multithreaded (cli.cc configure_threads,
+# :4112-4148); every other command forces --threads 1 with a warning
+_MT_COMMANDS = frozenset((
+    "allpairs_global", "cluster_fast", "cluster_size", "cluster_smallmem",
+    "cluster_unoise", "fastq_mergepairs", "fastx_mask", "maskfasta",
+    "search_exact", "sintax", "uchime_ref", "usearch_global"))
 
 
 def parse_gap_penalty_string(arg: str, is_open: bool,
@@ -206,30 +215,67 @@ def parse_args(argv: List[str]) -> Parameters:
     command: Optional[str] = None
     option_seen: Dict[str, bool] = {}
 
+    command_key: Optional[str] = None   # literal option name (matrix row key)
+
     i = 0
     while i < len(argv):
         arg = argv[i]
         if not arg.startswith("--"):
-            raise CliError("Unrecognized argument: %s" % arg)
+            # reference: cli.cc:4001 (extra non-option argument)
+            raise CliError("Unrecognized string on command line (%s)" % arg)
         name = arg[2:]
+        if name not in OPTION_ARITY:
+            # reference: getopt_long_only's own report, then exit(1)
+            # (cli.cc:3994-3997); no "Fatal error:" prefix
+            sys.stderr.write("%s: unrecognized option '--%s'\n"
+                             % (PROG_NAME, name))
+            raise SystemExit(1)
         option_seen[name] = True
 
         def take_value() -> str:
             nonlocal i
             i += 1
             if i >= len(argv):
-                raise CliError("Option --%s requires an argument" % name)
+                # getopt: "option '--X' requires an argument", exit 1
+                sys.stderr.write("%s: option '--%s' requires an argument\n"
+                                 % (PROG_NAME, name))
+                raise SystemExit(1)
             return argv[i]
+
+        def int_value() -> int:
+            # reference: args_getlong (cli.cc:392-404)
+            try:
+                return int(take_value())
+            except ValueError:
+                raise CliError("Illegal option argument")
+
+        def float_value() -> float:
+            # reference: args_getdouble (cli.cc:406-418)
+            import math
+            try:
+                v = float(take_value())
+            except ValueError:
+                raise CliError("Illegal option argument")
+            if not math.isfinite(v):
+                raise CliError("Illegal option argument")
+            return v
 
         if name in COMMANDS:
             if command is not None:
-                raise CliError("Two commands specified")
+                raise CliError("More than one command specified")
             command = name
+            command_key = name
             setattr(params, "opt_" + name, take_value())
         elif name in ("help", "h"):
+            if command is not None:
+                raise CliError("More than one command specified")
             command = "help"
+            command_key = name
         elif name in ("version", "v"):
+            if command is not None:
+                raise CliError("More than one command specified")
             command = "version"
+            command_key = name
         elif name in ("band", "hspw", "minhsp", "xdrop_nw"):
             # legacy usearch options, accepted but ignored
             # (reference: cli.cc:3668-3686)
@@ -249,12 +295,21 @@ def parse_args(argv: List[str]) -> Parameters:
                 raise CliError(
                     "The argument to --strand must be plus or both")
         elif name in ("qmask", "dbmask"):
+            # invalid values resolve to Masking.error here and are rejected
+            # in validate_option_values (reference: cli.cc:3232-3235,4240)
             v = take_value()
-            try:
-                masking = Masking[v]
-            except KeyError:
-                raise CliError("Invalid masking mode %s" % v)
-            setattr(params, "opt_" + name, masking)
+            if v in ("none", "dust", "soft"):
+                setattr(params, "opt_" + name, Masking[v])
+            else:
+                setattr(params, "opt_" + name, Masking.error)
+        elif name in ("fulldp", "cons_truncate"):
+            # no-argument flags, accepted but ignored with a warning
+            # (reference: cli.cc:2948-2950, 3277-3279)
+            setattr(params, "opt_" + name, 1)
+            sys.stderr.write("WARNING: Option --%s is ignored\n" % name)
+        elif name == "uchimeout5":
+            # no-argument flag (reference: cli.cc:937,3356-3357)
+            params.opt_uchimeout5 = 1
         elif name == "userfields":
             from .core.results import parse_userfields
             params.opt_userfields = parse_userfields(take_value())
@@ -284,9 +339,9 @@ def parse_args(argv: List[str]) -> Parameters:
                 # reference: cli.cc:3800-3802
                 params.opt_join_padgapq_set_by_user = True
         elif name in INT_OPTS:
-            setattr(params, "opt_" + name, int(take_value()))
+            setattr(params, "opt_" + name, int_value())
         elif name in FLOAT_OPTS:
-            setattr(params, "opt_" + name, float(take_value()))
+            setattr(params, "opt_" + name, float_value())
         elif name in FLAG_OPTS:
             if name in _INT_FLAGS:
                 setattr(params, "opt_" + name, 1)
@@ -297,10 +352,173 @@ def parse_args(argv: List[str]) -> Parameters:
         i += 1
 
     if command is None:
-        raise CliError("No command specified")
+        # reference: resolve_command (cli.cc:4044-4048) warns, then
+        # dispatch falls through to cmd_none (vsearch.cc:798,384)
+        if option_seen:
+            sys.stderr.write(
+                "WARNING: Options given, but no valid command specified.\n")
+        params._command = "_none"  # type: ignore[attr-defined]
+        return params
+    validate_command_options(command_key, option_seen)
+    configure_threads(command_key, option_seen, params)
     params._command = command  # type: ignore[attr-defined]
+    validate_option_values(option_seen, params)
     apply_command_defaults(option_seen, params)
     return params
+
+
+def validate_command_options(command_key: str,
+                             option_seen: Dict[str, bool]) -> None:
+    """Reject options not in the command's allowed set with the reference's
+    exact report (cli.cc:4049-4105): invalid options listed in enum
+    (alphabetical) order, allowed options in the matrix row order."""
+    allowed = set(VALID_OPTIONS[command_key])
+    invalid = [n for n in OPTION_ORDER
+               if option_seen.get(n) and n != command_key
+               and n not in allowed]
+    if not invalid:
+        return
+    out = ["Fatal error: Invalid options to command %s\n" % command_key,
+           "Invalid option(s):"]
+    out.extend(" --%s" % n for n in invalid)
+    out.append("\nThe valid options for the %s command are:" % command_key)
+    row = VALID_OPTIONS[command_key]
+    out.extend(" --%s" % n for n in row)
+    if not row:
+        out.append(" (none)")
+    out.append("\n")
+    sys.stderr.write("".join(out))
+    raise SystemExit(1)
+
+
+def configure_threads(command_key: str, option_seen: Dict[str, bool],
+                      params: Parameters) -> None:
+    """reference: cli.cc configure_threads (:4112-4148)."""
+    import os
+    if params.opt_threads < 0 or params.opt_threads > 1024:
+        raise CliError(
+            "The argument to --threads must be in the range 0 (default) to 1024")
+    if command_key in _MT_COMMANDS:
+        if params.opt_threads == 0:
+            params.opt_threads = os.cpu_count() or 1
+    else:
+        if params.opt_threads > 1:
+            sys.stderr.write(
+                "WARNING: The %s command does not support multithreading.\n"
+                "Only 1 thread used.\n" % command_key)
+        params.opt_threads = 1
+    if (command_key == "sintax" and params.opt_randseed != 0
+            and params.opt_threads > 1):
+        sys.stderr.write(
+            "WARNING: Using the --sintax command with the --randseed option "
+            "may not work as intended with multiple threads. Use a single "
+            "thread (--threads 1) to ensure reproducible results.\n")
+
+
+def validate_option_values(option_seen: Dict[str, bool],
+                           params: Parameters) -> None:
+    """Range/consistency checks with reference-exact messages
+    (reference: cli.cc validate_option_values :4150-4449).  The weak_id /
+    maxrejects / wordlength co-dependent defaults stay in
+    apply_command_defaults (they were already handled there)."""
+    p = params
+
+    def fail(msg: str) -> None:
+        raise CliError(msg)
+
+    if p.opt_iddef < 0 or p.opt_iddef > 4:
+        fail("The argument to --iddef must in the range 0 to 4")
+    if p.opt_match > 32767 or p.opt_match < -32767:
+        fail("The argument to --match must be in the range -32767 to 32767")
+    if p.opt_mismatch > 32767 or p.opt_mismatch < -32767:
+        fail("The argument to --mismatch must be in the range -32767 to 32767")
+    if p.opt_alignwidth < 0:
+        fail("The argument to --alignwidth must not be negative")
+    if p.opt_rowlen < 0:
+        fail("The argument to --rowlen must not be negative")
+    if p.opt_qmask == Masking.error:
+        fail("The argument to --qmask must be none, dust or soft")
+    if p.opt_dbmask == Masking.error:
+        fail("The argument to --dbmask must be none, dust or soft")
+    if p.opt_sample_pct < 0.0 or p.opt_sample_pct > 100.0:
+        fail("The argument to --sample_pct must be in the range 0.0 to 100.0")
+    if p.opt_sample_size < 0:
+        fail("The argument to --sample_size must not be negative")
+    if ((1 if p.opt_relabel is not None else 0) + int(p.opt_relabel_md5)
+            + int(p.opt_relabel_self) + int(p.opt_relabel_sha1)) > 1:
+        fail("Specify only one of --relabel, --relabel_self, --relabel_sha1, "
+             "or --relabel_md5")
+    if p.opt_fastq_tail < 1:
+        fail("The argument to --fastq_tail must be greater than zero")
+    if p.opt_min_unmasked_pct < 0.0 or p.opt_min_unmasked_pct > 100.0:
+        fail("The argument to --min_unmasked_pct must be between 0.0 and 100.0")
+    if p.opt_max_unmasked_pct < 0.0 or p.opt_max_unmasked_pct > 100.0:
+        fail("The argument to --max_unmasked_pct must be between 0.0 and 100.0")
+    if p.opt_min_unmasked_pct > p.opt_max_unmasked_pct:
+        fail("The argument to --min_unmasked_pct cannot be larger than "
+             "--max_unmasked_pct")
+    if p.opt_fastq_ascii not in (33, 64):
+        fail("The argument to --fastq_ascii must be 33 or 64")
+    if p.opt_fastq_qmin > p.opt_fastq_qmax:
+        fail("The argument to --fastq_qmin cannot be greater than "
+             "--fastq_qmax")
+    if p.opt_fastq_ascii + p.opt_fastq_qmin < 33:
+        fail("Sum of arguments to --fastq_ascii and --fastq_qmin must be no "
+             "less than 33")
+    if p.opt_fastq_ascii + p.opt_fastq_qmax > 126:
+        fail("Sum of arguments to --fastq_ascii and --fastq_qmax must be no "
+             "more than 126")
+    if p.opt_fastq_qminout > p.opt_fastq_qmaxout:
+        fail("The argument to --fastq_qminout cannot be larger than "
+             "--fastq_qmaxout")
+    if p.opt_fastq_asciiout not in (33, 64):
+        fail("The argument to --fastq_asciiout must be 33 or 64")
+    if p.opt_fastq_asciiout + p.opt_fastq_qminout < 33:
+        fail("Sum of arguments to --fastq_asciiout and --fastq_qminout must "
+             "be no less than 33")
+    if p.opt_fastq_asciiout + p.opt_fastq_qmaxout > 126:
+        fail("Sum of arguments to --fastq_asciiout and --fastq_qmaxout must "
+             "be no more than 126")
+    if p.opt_gzip_decompress and p.opt_bzip2_decompress:
+        fail("Specify either --gzip_decompress or --bzip2_decompress, "
+             "not both")
+    query = (p.opt_usearch_global or p.opt_search_exact or p.opt_sintax
+             or p.opt_orient or p.opt_uchime_ref)
+    if p.opt_db == "-" and query == "-":
+        fail("Cannot read both the query and the database from standard "
+             "input; give one of them an explicit path such as /dev/stdin, "
+             "a named pipe, or a process substitution")
+    if p.opt_sintax_cutoff < 0.0 or p.opt_sintax_cutoff > 1.0:
+        fail("The argument to sintax_cutoff must be in the range 0.0 to 1.0")
+    if p.opt_lca_cutoff <= 0.5 or p.opt_lca_cutoff > 1.0:
+        fail("The argument to lca_cutoff must be larger than 0.5, but not "
+             "larger than 1.0")
+    if p.opt_minuniquesize < 1:
+        fail("The argument to minuniquesize must be at least 1")
+    if p.opt_maxuniquesize < 1:
+        fail("The argument to maxuniquesize must be at least 1")
+    if p.opt_maxsize < 1:
+        fail("The argument to maxsize must be at least 1")
+    if p.opt_maxhits < 0:
+        fail("The argument to maxhits cannot be negative")
+    if p.opt_chimeras_length_min < 1:
+        fail("The argument to chimeras_length_min must be at least 1")
+    if p.opt_chimeras_parents_max < 2 or p.opt_chimeras_parents_max > 20:
+        fail("The argument to chimeras_parents_max must be in the range "
+             "2 to 20.\n")
+    if p.opt_chimeras_diff_pct < 0.0 or p.opt_chimeras_diff_pct > 50.0:
+        fail("The argument to chimeras_diff_pct must be in the range "
+             "0.0 to 50.0")
+    if option_seen.get("chimeras_parts") and (
+            p.opt_chimeras_parts < 2 or p.opt_chimeras_parts > 100):
+        fail("The argument to chimeras_parts must be in the range 2 to 100")
+    if p.opt_fasta_width < 0:
+        fail("The argument to --fasta_width cannot be negative")
+    if p.opt_maxseqlength < 1:
+        fail("The argument to --maxseqlength must be a positive integer")
+    if p.opt_maxseqlength > 2**31 - 1 - 2001:
+        fail("The argument to --maxseqlength cannot exceed %d (INT_MAX - %d)"
+             % (2**31 - 1 - 2001, 2001))
 
 
 def apply_command_defaults(option_seen: Dict[str, bool],
@@ -350,9 +568,56 @@ def apply_command_defaults(option_seen: Dict[str, bool],
         params.opt_notrunclabels = True
 
 
+_CMD_NONE_TEXT = """\
+For more help, please enter: %s --help
+For further details, please consult the manual by entering: man vsearch
+
+Selected command examples:
+
+vsearch --allpairs_global FILENAME --id 0.5 --alnout FILENAME
+vsearch --cluster_size FILENAME --id 0.97 --centroids FILENAME
+vsearch --cut FILENAME --cut_pattern G^AATT_C --fastaout FILENAME
+vsearch --fastq_chars FILENAME
+vsearch --fastq_convert FILENAME --fastqout FILENAME --fastq_ascii 64
+vsearch --fastq_eestats FILENAME --output FILENAME
+vsearch --fastq_eestats2 FILENAME --output FILENAME
+vsearch --fastq_mergepairs FILENAME --reverse FILENAME --fastqout FILENAME
+vsearch --fastq_stats FILENAME --log FILENAME
+vsearch --fastx_filter FILENAME --fastaout FILENAME --fastq_trunclen 100
+vsearch --fastx_getseq FILENAME --label LABEL --fastaout FILENAME
+vsearch --fastx_mask FILENAME --fastaout FILENAME
+vsearch --fastx_revcomp FILENAME --fastqout FILENAME
+vsearch --fastx_subsample FILENAME --fastaout FILENAME --sample_pct 1
+vsearch --fastx_uniques FILENAME --fastaout FILENAME
+vsearch --makeudb_usearch FILENAME --output FILENAME
+vsearch --search_exact FILENAME --db FILENAME --alnout FILENAME
+vsearch --sff_convert FILENAME --output FILENAME --sff_clip
+vsearch --shuffle FILENAME --output FILENAME
+vsearch --sintax FILENAME --db FILENAME --tabbedout FILENAME
+vsearch --sortbylength FILENAME --output FILENAME
+vsearch --sortbysize FILENAME --output FILENAME
+vsearch --uchime_denovo FILENAME --nonchimeras FILENAME
+vsearch --uchime_ref FILENAME --db FILENAME --nonchimeras FILENAME
+vsearch --usearch_global FILENAME --db FILENAME --id 0.97 --alnout FILENAME
+
+Other commands: cluster_fast, cluster_smallmem, cluster_unoise, cut,
+                derep_id, derep_fulllength, derep_prefix, derep_smallmem,
+                fasta2fastq, fastq_filter, fastq_join, fastx_getseqs,
+                fastx_getsubseq, fastx_syncpairs, maskfasta, orient, rereplicate,
+                uchime2_denovo, uchime3_denovo, udb2fasta, udbinfo, udbstats,
+                version
+
+"""
+
+
 def dispatch(params: Parameters) -> None:
     """reference: vsearch.cc dispatch_command (:607-800)."""
     command = params._command  # type: ignore[attr-defined]
+    if command == "_none":
+        # reference: cmd_none (vsearch.cc:384-427)
+        if not params.opt_quiet:
+            sys.stderr.write(_CMD_NONE_TEXT % PROG_NAME)
+        return
     if command == "version":
         # reference: vsearch.cc cmd_version → show_publication + build info
         if not params.opt_quiet:
@@ -515,10 +780,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     if argv is None:
         argv = sys.argv[1:]
+    params: Optional[Parameters] = None
+    fp_log = None
     try:
         params = parse_args(argv)
         show_header(params)
-        fp_log = None
         if params.opt_log is not None:
             # reference: utils/logfile.cpp LogFile — header, Started/Finished
             # timestamps, elapsed time and peak memory bracket the report
@@ -531,25 +797,40 @@ def main(argv: Optional[List[str]] = None) -> int:
             fp_log.write(params.command_line.encode() + b"\n")
             fp_log.write(b"Started  %s\n" % stamp.encode())
             t0 = time.monotonic()
-        try:
-            dispatch(params)
-        finally:
-            if fp_log is not None:
-                dt = time.monotonic() - t0
-                stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
-                fp_log.write(b"\nFinished %s\n" % stamp.encode())
-                fp_log.write(b"Elapsed time %02.0f:%02.0f\n"
-                             % (dt // 60, dt % 60))
-                maxmem = resource.getrusage(
-                    resource.RUSAGE_SELF).ru_maxrss / 1024.0
-                if maxmem < 1024.0:
-                    fp_log.write(b"Max memory %.1fMB\n" % maxmem)
-                else:
-                    fp_log.write(b"Max memory %.1fGB\n" % (maxmem / 1024.0))
-                fp_log.close()
+        dispatch(params)
+        if fp_log is not None:
+            # footer only on success: fatal() exits without running the
+            # LogFile destructor in the reference (std::exit skips locals)
+            dt = time.monotonic() - t0
+            stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+            fp_log.write(b"\nFinished %s\n" % stamp.encode())
+            fp_log.write(b"Elapsed time %02.0f:%02.0f\n"
+                         % (dt // 60, dt % 60))
+            maxmem = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024.0
+            if maxmem < 1024.0:
+                fp_log.write(b"Max memory %.1fMB\n" % maxmem)
+            else:
+                fp_log.write(b"Max memory %.1fGB\n" % (maxmem / 1024.0))
+            fp_log.close()
+    except SystemExit as exc:
+        # pre-formatted CLI reports (invalid-option matrix, getopt-style
+        # unrecognized option) already wrote their message; string payloads
+        # (pre-formatted fatal texts from deep pipelines) print like the
+        # interpreter would and exit 1
+        if isinstance(exc.code, str):
+            sys.stderr.write(exc.code if exc.code.endswith("\n")
+                             else exc.code + "\n")
+            return 1
+        return int(exc.code or 0)
     except (CliError, ValueError, OSError) as exc:
-        # reference: utils/fatal.cpp — "Fatal error: <message>", exit 1
-        print("Fatal error: %s" % exc, file=sys.stderr)
+        # reference: utils/fatal.cpp:68-79 — "\n\nFatal error: <message>\n"
+        # on stderr, duplicated to the log file, exit 1
+        text = "\n\nFatal error: %s\n" % exc
+        sys.stderr.write(text)
+        if fp_log is not None and not fp_log.closed:
+            fp_log.write(text.encode())
+            fp_log.close()
         return 1
     return 0
 

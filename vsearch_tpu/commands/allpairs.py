@@ -24,29 +24,24 @@ from ..core.searchcore import (Hit, QueryInfo, align_trim,
                                search_acceptable_unaligned)
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def allpairs_global(params: Parameters) -> None:
     with ExitStack() as stack:
-        fp_alnout = _open(stack, params.opt_alnout)
+        fp_alnout = _open(stack, params.opt_alnout, "--alnout")
         if fp_alnout is not None:
             fp_alnout.write(params.command_line.encode() + b"\n")
             fp_alnout.write(params.prog_header.encode() + b"\n")
-        fp_samout = _open(stack, params.opt_samout)
-        fp_userout = _open(stack, params.opt_userout)
-        fp_blast6out = _open(stack, params.opt_blast6out)
-        fp_uc = _open(stack, params.opt_uc)
-        fp_fastapairs = _open(stack, params.opt_fastapairs)
-        fp_qsegout = _open(stack, params.opt_qsegout)
-        fp_tsegout = _open(stack, params.opt_tsegout)
-        fp_matched = _open(stack, params.opt_matched)
-        fp_notmatched = _open(stack, params.opt_notmatched)
+        fp_samout = _open(stack, params.opt_samout, "--samout")
+        fp_userout = _open(stack, params.opt_userout, "--userout")
+        fp_blast6out = _open(stack, params.opt_blast6out, "--blast6out")
+        fp_uc = _open(stack, params.opt_uc, "--uc")
+        fp_fastapairs = _open(stack, params.opt_fastapairs, "--fastapairs")
+        fp_qsegout = _open(stack, params.opt_qsegout, "--qsegout")
+        fp_tsegout = _open(stack, params.opt_tsegout, "--tsegout")
+        fp_matched = _open(stack, params.opt_matched, "--matched")
+        fp_notmatched = _open(stack, params.opt_notmatched, "--notmatched")
 
         db = Database()
         db.read(params.opt_allpairs_global, params)

@@ -21,12 +21,7 @@ from ..core.chimera import (ChimeraEngine, ChimeraResult, Status,
 from ..core.search import SearchContext
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def _strip(params: Parameters, header: bytes) -> bytes:
@@ -191,17 +186,17 @@ def chimera_command(params: Parameters, command: str) -> None:
     detection = detection_parameters(params)
 
     with ExitStack() as stack:
-        fp_chimeras = _open(stack, params.opt_chimeras)
-        fp_nonchimeras = _open(stack, params.opt_nonchimeras)
-        fp_borderline = _open(stack, params.opt_borderline)
+        fp_chimeras = _open(stack, params.opt_chimeras, "--chimeras")
+        fp_nonchimeras = _open(stack, params.opt_nonchimeras, "--nonchimeras")
+        fp_borderline = _open(stack, params.opt_borderline, "--borderline")
         # chimeras_denovo reuses the aln/tab handles for --alnout/--tabbedout
         # (chimera.cpp:2441-2453)
         if is_long:
-            fp_uchimealns = _open(stack, params.opt_alnout)
-            fp_uchimeout = _open(stack, params.opt_tabbedout)
+            fp_uchimealns = _open(stack, params.opt_alnout, "--alnout")
+            fp_uchimeout = _open(stack, params.opt_tabbedout, "--tabbedout")
         else:
-            fp_uchimealns = _open(stack, params.opt_uchimealns)
-            fp_uchimeout = _open(stack, params.opt_uchimeout)
+            fp_uchimealns = _open(stack, params.opt_uchimealns, "--uchimealns")
+            fp_uchimeout = _open(stack, params.opt_uchimeout, "--uchimeout")
 
         if is_ref:
             from ..core.search import load_db_and_index

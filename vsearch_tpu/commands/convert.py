@@ -13,6 +13,7 @@ from typing import Dict, List, Optional
 from ..params import Parameters
 from ..io import fastx as fastx_io
 from ..utils.maps import reverse_complement
+from ..io.openfile import open_output
 
 
 def fastq_convert(params: Parameters) -> None:
@@ -24,7 +25,7 @@ def fastq_convert(params: Parameters) -> None:
         raise ValueError("The input file is not in FASTQ format")
 
     from ..utils.progress import Progress
-    with open(params.opt_fastqout, "wb") as out, \
+    with open_output(params.opt_fastqout, "--fastqout") as out, \
             Progress("Reading FASTQ file", 1, params) as prog:
         n = 0
         for rec in fastx_io.read_fastx(params.opt_fastq_convert, params,
@@ -57,7 +58,7 @@ def fasta2fastq(params: Parameters) -> None:
         raise ValueError("No output file specified with --fastqout")
     max_ascii = params.opt_fastq_asciiout + params.opt_fastq_qmaxout
     from ..utils.progress import Progress
-    with open(params.opt_fastqout, "wb") as out, \
+    with open_output(params.opt_fastqout, "--fastqout") as out, \
             Progress("Converting FASTA file to FASTQ", 1, params) as prog:
         n = 0
         for rec in fastx_io.read_fastx(params.opt_fasta2fastq, params,
@@ -92,8 +93,8 @@ def fastq_join(params: Parameters) -> None:
     rev_iter = fastx_io.read_fastx(params.opt_reverse, params,
                                    truncateatspace=False)
 
-    fp_fa = open(params.opt_fastaout, "wb") if params.opt_fastaout else None
-    fp_fq = open(params.opt_fastqout, "wb") if params.opt_fastqout else None
+    fp_fa = open_output(params.opt_fastaout, "--fastaout") if params.opt_fastaout else None
+    fp_fq = open_output(params.opt_fastqout, "--fastqout") if params.opt_fastqout else None
     total = 0
     from ..utils.progress import Progress
     join_progress = Progress("Joining reads", 1, params)

@@ -43,8 +43,10 @@ def cut(params: Parameters) -> None:
         raise ValueError("Illegal character in cut pattern")
     plen = len(pattern)
 
+    from ..io.openfile import open_output
+
     def _open(path: Optional[str]):
-        return open(path, "wb") if path else None
+        return open_output(path) if path else None
 
     fp_cut = _open(params.opt_fastaout)
     fp_cut_rev = _open(params.opt_fastaout_rev)

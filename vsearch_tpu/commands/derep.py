@@ -16,6 +16,7 @@ from ..params import Parameters
 from ..io import fastx as fastx_io
 from ..utils.digest import normalize
 from ..utils.maps import reverse_complement
+from ..io.openfile import open_output
 
 
 class _Cluster:
@@ -341,7 +342,7 @@ def _post_derep(params: Parameters, is_uniques: bool, out_fasta,
                         break
 
     if is_uniques and params.opt_fastqout is not None:
-        with open(params.opt_fastqout, "wb") as out, \
+        with open_output(params.opt_fastqout, "--fastqout") as out, \
                 Progress("Writing FASTQ output file", n, params) as prog:
             relabel_count = 0
             for c in clusters:
@@ -355,7 +356,7 @@ def _post_derep(params: Parameters, is_uniques: bool, out_fasta,
                         break
 
     if params.opt_uc is not None:
-        with open(params.opt_uc, "wb") as out:
+        with open_output(params.opt_uc, "--uc") as out:
             # rows are batched per cluster and written in one join per
             # section — the uc file dominates derep wall time at scale
             with Progress("Writing uc file, first part", n, params) as prog:
@@ -381,7 +382,7 @@ def _post_derep(params: Parameters, is_uniques: bool, out_fasta,
                 out.write(b"".join(rows))
 
     if is_uniques and params.opt_tabbedout is not None:
-        with open(params.opt_tabbedout, "wb") as out, \
+        with open_output(params.opt_tabbedout, "--tabbedout") as out, \
                 Progress("Writing tab separated file", n, params) as _prog:
             for i, c in enumerate(clusters):
                 _prog.update()
@@ -507,7 +508,7 @@ def derep_prefix(params: Parameters) -> None:
         return params.opt_minuniquesize <= c.size <= params.opt_maxuniquesize
 
     if params.opt_output is not None:
-        with open(params.opt_output, "wb") as out, \
+        with open_output(params.opt_output, "--output") as out, \
                 Progress("Writing output file", n, params) as _wprog:
             relabel_count = 0
             for c in clusters:
@@ -521,7 +522,7 @@ def derep_prefix(params: Parameters) -> None:
                         break
 
     if params.opt_uc is not None:
-        with open(params.opt_uc, "wb") as out:
+        with open_output(params.opt_uc, "--uc") as out:
             with Progress("Writing uc file, first part", n, params) as prog:
                 for i, c in enumerate(clusters):
                     prog.update()
@@ -629,7 +630,7 @@ def derep_smallmem(params: Parameters) -> None:
 
     selected = 0
     _wprog = Progress("Writing FASTA output file", 1, params)
-    with open(params.opt_fastaout, "wb") as out:
+    with open_output(params.opt_fastaout, "--fastaout") as out:
         for rec in fastx_io.read_fastx(params.opt_derep_smallmem, params):
             _wprog.update()
             seqlen = len(rec.sequence)

@@ -19,12 +19,7 @@ from ..utils.maps import reverse_complement
 from ..utils.random import MT19937_64, random_base_seed
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def fastx_mask(params: Parameters) -> None:
@@ -33,8 +28,8 @@ def fastx_mask(params: Parameters) -> None:
         raise ValueError("Specify output files for masking with --fastaout "
                          "and/or --fastqout")
     with ExitStack() as stack:
-        fp_fastaout = _open(stack, params.opt_fastaout)
-        fp_fastqout = _open(stack, params.opt_fastqout)
+        fp_fastaout = _open(stack, params.opt_fastaout, "--fastaout")
+        fp_fastqout = _open(stack, params.opt_fastqout, "--fastqout")
         db = Database()
         db.read(params.opt_fastx_mask, params)
         if fp_fastqout is not None and not db.fastq_format:
@@ -80,7 +75,7 @@ def fastx_mask(params: Parameters) -> None:
 def maskfasta(params: Parameters) -> None:
     """reference: maskfasta.cpp (:66-100)."""
     with ExitStack() as stack:
-        out = _open(stack, params.opt_output)
+        out = _open(stack, params.opt_output, "--output")
         db = Database()
         db.read(params.opt_maskfasta, params)
         if params.opt_qmask == Masking.dust:
@@ -105,8 +100,8 @@ def fastx_revcomp(params: Parameters) -> None:
         raise ValueError("Cannot write FASTQ output with a FASTA input "
                          "file, lacking quality scores")
     with ExitStack() as stack:
-        fp_fastaout = _open(stack, params.opt_fastaout)
-        fp_fastqout = _open(stack, params.opt_fastqout)
+        fp_fastaout = _open(stack, params.opt_fastaout, "--fastaout")
+        fp_fastqout = _open(stack, params.opt_fastqout, "--fastqout")
         from ..utils.progress import Progress
         count = 0
         rc_progress = Progress(
@@ -133,7 +128,7 @@ def rereplicate(params: Parameters) -> None:
     """reference: rereplicate.cpp (:77-139)."""
     from ..io.attributes import header_get_size
     with ExitStack() as stack:
-        out = _open(stack, params.opt_output)
+        out = _open(stack, params.opt_output, "--output")
         n_amplicons = 0
         n_reads = 0
         missing = False
@@ -232,10 +227,10 @@ def fastx_subsample(params: Parameters) -> None:
                                              printed)
 
     with ExitStack() as stack:
-        fp_fastaout = _open(stack, params.opt_fastaout)
-        fp_fastqout = _open(stack, params.opt_fastqout)
-        fp_fastaout_d = _open(stack, params.opt_fastaout_discarded)
-        fp_fastqout_d = _open(stack, params.opt_fastqout_discarded)
+        fp_fastaout = _open(stack, params.opt_fastaout, "--fastaout")
+        fp_fastqout = _open(stack, params.opt_fastqout, "--fastqout")
+        fp_fastaout_d = _open(stack, params.opt_fastaout_discarded, "--fastaout_discarded")
+        fp_fastqout_d = _open(stack, params.opt_fastqout_discarded, "--fastqout_discarded")
         if fp_fastaout is not None:
             with Progress("Writing fasta output", 1, params):
                 write_deck(subsampled, fp_fastaout, None)

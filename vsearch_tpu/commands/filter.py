@@ -146,12 +146,7 @@ def analyse(rec: fastx_io.SeqRecord, is_fastq: bool,
     return res
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def _filter_arrays(params, filename, fp_fastaout, fp_fastqout,
@@ -281,17 +276,17 @@ def filter_command(params: Parameters, command: str) -> None:
                                              truncateatspace=False)
 
     with ExitStack() as stack:
-        fp_fastaout = _open(stack, params.opt_fastaout)
-        fp_fastqout = _open(stack, params.opt_fastqout)
-        fp_fastaout_d = _open(stack, params.opt_fastaout_discarded)
-        fp_fastqout_d = _open(stack, params.opt_fastqout_discarded)
+        fp_fastaout = _open(stack, params.opt_fastaout, "--fastaout")
+        fp_fastqout = _open(stack, params.opt_fastqout, "--fastqout")
+        fp_fastaout_d = _open(stack, params.opt_fastaout_discarded, "--fastaout_discarded")
+        fp_fastqout_d = _open(stack, params.opt_fastqout_discarded, "--fastqout_discarded")
         fp_fastaout_rev = fp_fastqout_rev = None
         fp_fastaout_d_rev = fp_fastqout_d_rev = None
         if reverse_reader is not None:
-            fp_fastaout_rev = _open(stack, params.opt_fastaout_rev)
-            fp_fastqout_rev = _open(stack, params.opt_fastqout_rev)
-            fp_fastaout_d_rev = _open(stack, params.opt_fastaout_discarded_rev)
-            fp_fastqout_d_rev = _open(stack, params.opt_fastqout_discarded_rev)
+            fp_fastaout_rev = _open(stack, params.opt_fastaout_rev, "--fastaout_rev")
+            fp_fastqout_rev = _open(stack, params.opt_fastqout_rev, "--fastqout_rev")
+            fp_fastaout_d_rev = _open(stack, params.opt_fastaout_discarded_rev, "--fastaout_discarded_rev")
+            fp_fastqout_d_rev = _open(stack, params.opt_fastqout_discarded_rev, "--fastqout_discarded_rev")
 
         kept = 0
         discarded = 0

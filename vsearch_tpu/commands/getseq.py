@@ -14,6 +14,7 @@ from typing import List, Optional
 
 from ..params import Parameters
 from ..io import fastx as fastx_io
+from ..io.openfile import open_output
 
 
 def _read_labels_file(filename: str, params: Parameters) -> List[bytes]:
@@ -127,11 +128,11 @@ def getseq(params: Parameters, command: str) -> None:
             or params.opt_notmatchedfq is not None) and not is_fq:
         raise ValueError("Cannot write FASTQ output from FASTA input")
 
-    fp_fa = open(params.opt_fastaout, "wb") if params.opt_fastaout else None
-    fp_fq = open(params.opt_fastqout, "wb") if params.opt_fastqout else None
-    fp_nm = open(params.opt_notmatched, "wb") \
+    fp_fa = open_output(params.opt_fastaout, "--fastaout") if params.opt_fastaout else None
+    fp_fq = open_output(params.opt_fastqout, "--fastqout") if params.opt_fastqout else None
+    fp_nm = open_output(params.opt_notmatched, "--notmatched") \
         if params.opt_notmatched else None
-    fp_nmfq = open(params.opt_notmatchedfq, "wb") \
+    fp_nmfq = open_output(params.opt_notmatchedfq, "--notmatchedfq") \
         if params.opt_notmatchedfq else None
 
     kept = 0

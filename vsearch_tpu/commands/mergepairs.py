@@ -18,12 +18,7 @@ from ..io import fastx as fastx_io
 from ..core.mergepairs import MergeData, QualTables, Reason, process
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def _ee_value(out: IO[bytes], ee: float) -> None:
@@ -65,14 +60,20 @@ def fastq_mergepairs(params: Parameters) -> None:
 
     tables = QualTables(params)
 
+    # input open failures surface before outputs/progress (reference:
+    # fastq_open at fastq_mergepairs.cpp:1016-1017 precedes the output opens)
+    from ..io import fastx as _fx
+    _fx.check_readable(params.opt_fastq_mergepairs)
+    _fx.check_readable(params.opt_reverse)
+
     with ExitStack() as stack:
-        fp_fastqout = _open(stack, params.opt_fastqout)
-        fp_fastaout = _open(stack, params.opt_fastaout)
-        fp_fastqout_nm_fwd = _open(stack, params.opt_fastqout_notmerged_fwd)
-        fp_fastqout_nm_rev = _open(stack, params.opt_fastqout_notmerged_rev)
-        fp_fastaout_nm_fwd = _open(stack, params.opt_fastaout_notmerged_fwd)
-        fp_fastaout_nm_rev = _open(stack, params.opt_fastaout_notmerged_rev)
-        fp_eetabbedout = _open(stack, params.opt_eetabbedout)
+        fp_fastqout = _open(stack, params.opt_fastqout, "--fastqout")
+        fp_fastaout = _open(stack, params.opt_fastaout, "--fastaout")
+        fp_fastqout_nm_fwd = _open(stack, params.opt_fastqout_notmerged_fwd, "--fastqout_notmerged_fwd")
+        fp_fastqout_nm_rev = _open(stack, params.opt_fastqout_notmerged_rev, "--fastqout_notmerged_rev")
+        fp_fastaout_nm_fwd = _open(stack, params.opt_fastaout_notmerged_fwd, "--fastaout_notmerged_fwd")
+        fp_fastaout_nm_rev = _open(stack, params.opt_fastaout_notmerged_rev, "--fastaout_notmerged_rev")
+        fp_eetabbedout = _open(stack, params.opt_eetabbedout, "--eetabbedout")
 
         stats = {"total": 0, "merged": 0, "notmerged": 0,
                  "sum_read_length": 0.0, "pairs_read": 0,
@@ -114,7 +115,7 @@ def fastq_mergepairs(params: Parameters) -> None:
             try:
                 rev = next(rev_reader)
             except StopIteration:
-                raise SystemExit("Fatal error: More forward reads than "
+                raise SystemExit("\n\nFatal error: More forward reads than "
                                  "reverse reads")
             pair = MergeData(
                 fwd_header=fwd.header, rev_header=rev.header,
@@ -244,10 +245,10 @@ def _merge_native_arrays(params, tables, stats, failed, fp_fastqout,
     (fdata, nf, fseq, fqual, foff, fhead_off, fhead_len, _) = fa
     (rdata, nr, rseq, rqual, roff, rhead_off, rhead_len, _) = ra
     if nf > nr:
-        raise SystemExit("Fatal error: More forward reads than reverse "
+        raise SystemExit("\n\nFatal error: More forward reads than reverse "
                          "reads")
     if nr > nf:
-        raise SystemExit("Fatal error: More reverse reads than forward "
+        raise SystemExit("\n\nFatal error: More reverse reads than forward "
                          "reads")
     n = nf
 
@@ -365,10 +366,10 @@ def _merge_native(params, tables, fwd_reader, rev_reader, stats, failed,
         rev_quals.append(rec.quality or b"")
         rev_abunds.append(rec.abundance)
     if len(rev_seqs) > len(fwd_seqs):
-        raise SystemExit("Fatal error: More reverse reads than forward "
+        raise SystemExit("\n\nFatal error: More reverse reads than forward "
                          "reads")
     if len(fwd_seqs) > len(rev_seqs):
-        raise SystemExit("Fatal error: More forward reads than reverse "
+        raise SystemExit("\n\nFatal error: More forward reads than reverse "
                          "reads")
     n = len(fwd_seqs)
 

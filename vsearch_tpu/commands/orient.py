@@ -32,12 +32,7 @@ def rc_kmer(kmer: int, wordlength: int) -> int:
     return rev
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def orient(params: Parameters) -> None:
@@ -73,10 +68,10 @@ def orient(params: Parameters) -> None:
     stats = {"queries": 0, "fwd": 0, "rev": 0, "notmatched": 0}
 
     with ExitStack() as stack:
-        fp_fastaout = _open(stack, params.opt_fastaout)
-        fp_fastqout = _open(stack, params.opt_fastqout)
-        fp_notmatched = _open(stack, params.opt_notmatched)
-        fp_tabbedout = _open(stack, params.opt_tabbedout)
+        fp_fastaout = _open(stack, params.opt_fastaout, "--fastaout")
+        fp_fastqout = _open(stack, params.opt_fastqout, "--fastqout")
+        fp_notmatched = _open(stack, params.opt_notmatched, "--notmatched")
+        fp_tabbedout = _open(stack, params.opt_tabbedout, "--tabbedout")
 
         from ..utils.progress import Progress, message_both
         orient_progress = Progress("Orienting sequences", 1, params)

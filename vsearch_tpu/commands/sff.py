@@ -13,6 +13,7 @@ from typing import BinaryIO
 
 from ..params import Parameters
 from ..io import fastx as fastx_io
+from ..io.openfile import open_output
 
 
 def _read_exact(handle: BinaryIO, n: int, what: str) -> bytes:
@@ -41,7 +42,7 @@ def sff_convert(params: Parameters) -> None:
             params.fp_log.write(b"WARNING: %s\n" % message.encode())
 
     with open(params.opt_sff_convert, "rb") as sff, \
-            open(params.opt_fastqout, "wb") as out:
+            open_output(params.opt_fastqout, "--fastqout") as out:
         header = _read_exact(sff, 32, "header")
         (magic, version, index_offset, index_length, number_of_reads,
          header_length, key_length, flows_per_read,

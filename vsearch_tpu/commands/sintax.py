@@ -23,6 +23,7 @@ from ..core.tax import tax_split, TAX_LEVELS, TAXONOMIC_FIELDS
 from ..utils.maps import reverse_complement
 from ..utils.random import (SplitMix64, random_base_seed, random_bounded,
                             random_substream_seed)
+from ..io.openfile import open_output
 
 SUBSET_SIZE = 32
 BOOTSTRAP_COUNT = 100
@@ -134,16 +135,23 @@ def _analyse(params: Parameters, db, out, query_head: bytes, strand: int,
 
 def sintax(params: Parameters) -> None:
     if params.opt_tabbedout is None:
-        raise ValueError("No output file specified with --tabbedout")
-
-    from ..core.search import load_db_and_index
-    db, index = load_db_and_index(params, params.opt_db, do_mask=False)
-
-    base_seed = random_base_seed(params)
-    stats = {"queries": 0, "classified": 0}
+        # reference: open_mandatory_output_file (open_file.cpp:140-143)
+        raise ValueError("output file must be specified with --tabbedout")
 
     with ExitStack() as stack:
-        out = stack.enter_context(open(params.opt_tabbedout, "wb"))
+        # reference opens --tabbedout before the database (sintax.cpp:704)
+        out = stack.enter_context(
+            open_output(params.opt_tabbedout, "--tabbedout"))
+
+        from ..core.search import load_db_and_index
+        db, index = load_db_and_index(params, params.opt_db, do_mask=False)
+
+        base_seed = random_base_seed(params)
+        stats = {"queries": 0, "classified": 0}
+
+        # query open failure surfaces before the progress meter
+        # (reference: fastx_open at sintax.cpp:730)
+        fastx_io.check_readable(params.opt_sintax)
         from ..utils.progress import Progress
         classify_progress = Progress("Classifying sequences", 1, params)
         for rec in fastx_io.read_fastx(params.opt_sintax, params):

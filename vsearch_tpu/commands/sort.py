@@ -13,6 +13,7 @@ from ..db import Database
 from ..io import fastx as fastx_io
 from ..utils.random import MT19937_64, random_base_seed, random_shuffle
 from ..utils.progress import Progress, message_both, phase
+from ..io.openfile import open_output_ctx
 
 
 def _print_db_relabel(out, params: Parameters, db, seqno: int,
@@ -38,6 +39,9 @@ def _median_msg(sizes: List[int], params: Parameters) -> None:
 def sortbysize(params: Parameters) -> None:
     """reference: sortbysize.cpp (:238-256); deck filtered by
     minsize/maxsize, stable sort by (size desc, label asc), topn cut."""
+    # reference opens --output before reading the database
+    # (sortbysize.cpp open_mandatory_output_file precedes db.read)
+    out_ctx = open_output_ctx(params.opt_output, "--output")
     db = Database()
     db.read(params.opt_sortbysize, params)
     phase(params, "Getting sizes")
@@ -47,7 +51,7 @@ def sortbysize(params: Parameters) -> None:
         deck.sort(key=lambda i: (-db.getabundance(i), db.getheader(i), i))
     _median_msg([db.getabundance(i) for i in deck], params)
     deck = deck[:params.opt_topn]
-    with open(params.opt_output, "wb") as out, \
+    with out_ctx as out, \
             Progress("Writing output", len(deck), params) as prog:
         for ordinal, seqno in enumerate(deck, 1):
             prog.update()
@@ -57,6 +61,9 @@ def sortbysize(params: Parameters) -> None:
 def sortbylength(params: Parameters) -> None:
     """reference: sortbylength.cpp — stable sort by (length desc, size desc,
     label asc), topn cut (no min/max size filter)."""
+    # reference opens --output before reading the database
+    # (sortbylength.cpp open_mandatory_output_file precedes db.read)
+    out_ctx = open_output_ctx(params.opt_output, "--output")
     db = Database()
     db.read(params.opt_sortbylength, params)
     phase(params, "Getting lengths")
@@ -74,7 +81,7 @@ def sortbylength(params: Parameters) -> None:
                   lens[mid] + (lens[mid - 1] - lens[mid]) * 0.5)
     message_both(params, "Median length: %.0f\n" % median)
     deck = deck[:params.opt_topn]
-    with open(params.opt_output, "wb") as out, \
+    with out_ctx as out, \
             Progress("Writing output", len(deck), params) as prog:
         for ordinal, seqno in enumerate(deck, 1):
             prog.update()
@@ -83,6 +90,9 @@ def sortbylength(params: Parameters) -> None:
 
 def shuffle(params: Parameters) -> None:
     """reference: shuffle.cpp — Fisher-Yates with mt19937_64(randseed)."""
+    # reference opens --output before reading the database
+    # (shuffle.cpp open_mandatory_output_file precedes db.read)
+    out_ctx = open_output_ctx(params.opt_output, "--output")
     db = Database()
     db.read(params.opt_shuffle, params)
     deck = list(range(db.seqcount))
@@ -90,7 +100,7 @@ def shuffle(params: Parameters) -> None:
     with Progress("Shuffling", 1, params):
         random_shuffle(deck, gen)
     deck = deck[:params.opt_topn]
-    with open(params.opt_output, "wb") as out, \
+    with out_ctx as out, \
             Progress("Writing output", len(deck), params) as prog:
         for ordinal, seqno in enumerate(deck, 1):
             prog.update()

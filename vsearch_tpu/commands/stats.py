@@ -16,6 +16,7 @@ import numpy as np
 from ..params import Parameters
 from ..io import fastx as fastx_io
 from ..utils.progress import Progress
+from ..io.openfile import open_output
 
 
 def _q2p(q: float) -> float:
@@ -367,7 +368,7 @@ def fastq_eestats(params: Parameters) -> None:
             mx = v
         return mn, lo, md, hi, mx
 
-    with open(params.opt_output, "wb") as out:
+    with open_output(params.opt_output, "--output") as out:
         out.write(b"Pos\tRecs\tPctRecs\t"
                   b"Min_Q\tLow_Q\tMed_Q\tMean_Q\tHi_Q\tMax_Q\t"
                   b"Min_Pe\tLow_Pe\tMed_Pe\tMean_Pe\tHi_Pe\tMax_Pe\t"
@@ -466,7 +467,7 @@ def fastq_eestats2(params: Parameters) -> None:
                     100.0 * count_table[x, y] / seq_count))
             out.write(b"\n")
 
-    with open(params.opt_output, "wb") as out:
+    with open_output(params.opt_output, "--output") as out:
         report(out)
     if params.fp_log is not None:
         # log variant uses a single-line header (fastq_eestats2.cpp:204-208)

@@ -17,6 +17,7 @@ from ..index import KmerIndex
 from ..io import fastx as fastx_io
 from ..io import udb as udb_io
 from ..core import mask as mask_mod
+from ..io.openfile import open_output
 
 
 def _kmer_string(wordlength: int, kmer: int) -> str:
@@ -48,7 +49,7 @@ def udb2fasta(params: Parameters) -> None:
     index = KmerIndex(params.opt_wordlength)
     udb_io.read_udb(params.opt_udb2fasta, params, db, index,
                     parse_abundances=False)
-    with open(params.opt_output, "wb") as out:
+    with open_output(params.opt_output, "--output") as out:
         for i in range(db.seqcount):
             fastx_io.fasta_print_general(out, params, db.getsequence(i),
                                          db.getheader(i),

@@ -25,12 +25,7 @@ from ..core.otutable import OtuTable
 BATCH = 2048
 
 
-def _open(stack: ExitStack, path: Optional[str]) -> Optional[IO[bytes]]:
-    if path is None:
-        return None
-    if path == "-":
-        return sys.stdout.buffer
-    return stack.enter_context(open(path, "wb"))
+from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
 def _batches(iterable, size=BATCH):
@@ -57,25 +52,25 @@ def run_search_output(params: Parameters, db: Database, ctx,
     (reference: usearch_global.cpp search_output_results + post passes;
     search_exact.cpp reuses the identical surface)."""
     with ExitStack() as stack:
-        fp_alnout = _open(stack, params.opt_alnout)
+        fp_alnout = _open(stack, params.opt_alnout, "--alnout")
         if fp_alnout is not None:
             fp_alnout.write(params.command_line.encode() + b"\n")
             fp_alnout.write(params.prog_header.encode() + b"\n")
-        fp_samout = _open(stack, params.opt_samout)
-        fp_userout = _open(stack, params.opt_userout)
-        fp_blast6out = _open(stack, params.opt_blast6out)
-        fp_uc = _open(stack, params.opt_uc)
-        fp_fastapairs = _open(stack, params.opt_fastapairs)
-        fp_qsegout = _open(stack, params.opt_qsegout)
-        fp_tsegout = _open(stack, params.opt_tsegout)
-        fp_matched = _open(stack, params.opt_matched)
-        fp_notmatched = _open(stack, params.opt_notmatched)
-        fp_dbmatched = _open(stack, params.opt_dbmatched)
-        fp_dbnotmatched = _open(stack, params.opt_dbnotmatched)
-        fp_otutabout = _open(stack, params.opt_otutabout)
-        fp_mothur = _open(stack, params.opt_mothur_shared_out)
-        fp_biomout = _open(stack, params.opt_biomout)
-        fp_lcaout = _open(stack, params.opt_lcaout)
+        fp_samout = _open(stack, params.opt_samout, "--samout")
+        fp_userout = _open(stack, params.opt_userout, "--userout")
+        fp_blast6out = _open(stack, params.opt_blast6out, "--blast6out")
+        fp_uc = _open(stack, params.opt_uc, "--uc")
+        fp_fastapairs = _open(stack, params.opt_fastapairs, "--fastapairs")
+        fp_qsegout = _open(stack, params.opt_qsegout, "--qsegout")
+        fp_tsegout = _open(stack, params.opt_tsegout, "--tsegout")
+        fp_matched = _open(stack, params.opt_matched, "--matched")
+        fp_notmatched = _open(stack, params.opt_notmatched, "--notmatched")
+        fp_dbmatched = _open(stack, params.opt_dbmatched, "--dbmatched")
+        fp_dbnotmatched = _open(stack, params.opt_dbnotmatched, "--dbnotmatched")
+        fp_otutabout = _open(stack, params.opt_otutabout, "--otutabout")
+        fp_mothur = _open(stack, params.opt_mothur_shared_out, "--mothur_shared_out")
+        fp_biomout = _open(stack, params.opt_biomout, "--biomout")
+        fp_lcaout = _open(stack, params.opt_lcaout, "--lcaout")
 
         if fp_samout is not None:
             results.show_samheader(fp_samout, params, params.opt_db, db)
@@ -185,6 +180,9 @@ def run_search_output(params: Parameters, db: Database, ctx,
 
         from ..utils.progress import Progress, message_both
         prev = None
+        # query open failure must surface before the progress meter starts
+        # (reference: fastx_open at usearch_global.cpp:675 precedes Progress)
+        fastx_io.check_readable(query_file)
         with Progress("Searching", 1, params) as search_progress:
             for chunk in _batches(fastx_io.read_fastx(query_file, params)):
                 if hasattr(ctx, "prepare_tasks"):

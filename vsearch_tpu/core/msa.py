@@ -14,6 +14,7 @@ from typing import IO, List, Optional, Tuple
 from ..params import Parameters
 from ..io import fastx as fastx_io
 from ..utils.maps import reverse_complement
+from ..io.openfile import open_output
 
 _CIGAR_RE = re.compile(r"(\d*)([MDI])")
 
@@ -206,11 +207,11 @@ def msa(fp_msaout: Optional[IO[bytes]], fp_consout: Optional[IO[bytes]],
 def write_msa_outputs(params: Parameters, db, engine, order: List[int],
                       stack) -> None:
     """Post-clustering MSA pass (reference: cluster.cpp:1443-1530)."""
-    fp_msaout = stack.enter_context(open(params.opt_msaout, "wb")) \
+    fp_msaout = stack.enter_context(open_output(params.opt_msaout, "--msaout")) \
         if params.opt_msaout else None
-    fp_consout = stack.enter_context(open(params.opt_consout, "wb")) \
+    fp_consout = stack.enter_context(open_output(params.opt_consout, "--consout")) \
         if params.opt_consout else None
-    fp_profile = stack.enter_context(open(params.opt_profile, "wb")) \
+    fp_profile = stack.enter_context(open_output(params.opt_profile, "--profile")) \
         if params.opt_profile else None
 
     from ..utils.progress import phase

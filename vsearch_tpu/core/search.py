@@ -43,10 +43,6 @@ class QueryTask:
     seqs: List[bytes]                  # masked sequence per strand
     hits: List[Optional[List[Hit]]]    # filled per strand
 
-    @property
-    def joined(self) -> List[Hit]:
-        raise NotImplementedError
-
 
 _db_cache: dict = {}
 

@@ -54,8 +54,21 @@ class SeqRecord:
 
 def open_maybe_compressed(filename: str) -> IO[bytes]:
     """Auto-detect gzip/bzip2 by magic bytes (reference: fastx.cpp
-    fastx_open MAGIC detection; the reference dlopens zlib/bz2)."""
-    handle = open(filename, "rb")
+    fastx_open MAGIC detection; the reference dlopens zlib/bz2).
+
+    "-" maps to standard input (reference: open_file.cpp open_input_file
+    duplicates stdin); the stream is slurped into a seekable buffer so the
+    magic probe and the record scan both see it from the start.  Open
+    failures carry the reference's fatal text (fastx.cpp:276)."""
+    if filename == "-":
+        import io as _io
+        handle: IO[bytes] = _io.BytesIO(sys.stdin.buffer.read())
+    else:
+        try:
+            handle = open(filename, "rb")
+        except OSError:
+            raise ValueError("Unable to open file for reading (%s)"
+                             % filename)
     magic = handle.read(3)
     handle.seek(0)
     if magic[:2] == b"\x1f\x8b":
@@ -125,6 +138,18 @@ def _warn_stripped(params, stripped, is_fastq: bool) -> None:
     log = getattr(params, "fp_log", None) if params is not None else None
     if log is not None:
         log.write(text.encode())
+
+
+def check_readable(filename: str) -> None:
+    """Fail fast with the reference's open error (fastx.cpp:276) before any
+    progress output starts — the reference opens the query file before its
+    per-phase Progress is constructed."""
+    if filename == "-":
+        return
+    try:
+        open(filename, "rb").close()
+    except OSError:
+        raise ValueError("Unable to open file for reading (%s)" % filename)
 
 
 def is_fastq(filename: str) -> bool:

@@ -28,21 +28,23 @@ MAGIC_DB4 = 0x005E0DB4
 
 
 def detect_isudb(filename: str) -> bool:
-    """reference: udb.cpp udb_detect_isudb (:120-168)."""
+    """reference: udb.cpp udb_detect_isudb (:120-168): unopenable input is
+    fatal ("Unable to open input file for reading"); non-regular files
+    (pipes, process substitutions) are never UDB."""
+    if filename == "-":
+        return False
+    import stat as stat_mod
     try:
-        if not os.path.isfile(filename) or os.path.islink(filename) and \
-                not os.path.isfile(os.path.realpath(filename)):
-            return False
         mode = os.stat(filename)
-        import stat as stat_mod
         if not stat_mod.S_ISREG(mode.st_mode):
             return False
         with open(filename, "rb") as handle:
             magic = handle.read(4)
-        return len(magic) == 4 and \
-            int.from_bytes(magic, "little") == MAGIC_HEAD
     except OSError:
-        return False
+        raise ValueError("Unable to open input file for reading (%s)"
+                         % filename)
+    return len(magic) == 4 and \
+        int.from_bytes(magic, "little") == MAGIC_HEAD
 
 
 def read_udb(filename: str, params: Parameters, db, index,

@@ -39,6 +39,7 @@ class Masking(enum.Enum):
     none = 0
     dust = 1
     soft = 2
+    error = 3   # invalid CLI argument; rejected in validate_option_values
 
 
 @dataclasses.dataclass
