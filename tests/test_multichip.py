@@ -1,26 +1,133 @@
-"""Multi-chip sharding dry run on a virtual 8-device CPU mesh.
+"""Multi-chip sharding parity on a virtual 8-device CPU mesh.
 
-Runs in a subprocess with the axon sitecustomize scrubbed from PYTHONPATH so
-JAX_PLATFORMS=cpu + xla_force_host_platform_device_count actually take
-effect (see conftest note).
+The production pipeline shards the k-mer incidence matrix across the mesh
+(parallel/sharded_index.py: per-shard counts + local top-k + all_gather +
+exact device merge) and runs alignment pair batches data-parallel over it
+(ops/nw_jax.py _build_kernels_sharded).  These tests assert the 8-device
+run is byte-identical to the 1-device run AND to the reference binary.
+
+Runs in subprocesses with the axon sitecustomize scrubbed from PYTHONPATH
+so JAX_PLATFORMS=cpu + xla_force_host_platform_device_count take effect
+(see conftest note).
 """
 
 import os
 import pathlib
+import random
 import subprocess
 import sys
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
+REF_BINARY = REPO / ".refbuild" / "bin" / "vsearch"
 
 
-def test_dryrun_multichip_subprocess():
+def _env(n_devices=None, force_device_nw=False):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    if n_devices is not None:
+        env["VSEARCH_TPU_DEVICES"] = str(n_devices)
+    else:
+        env.pop("VSEARCH_TPU_DEVICES", None)
+    if force_device_nw:
+        env["VSEARCH_TPU_NATIVE_NW_CELLS"] = "0"
+    return env
+
+
+def _ours(args, env, timeout=600):
+    result = subprocess.run(
+        [sys.executable, "-m", "vsearch_tpu.cli"] + args,
+        cwd=str(REPO), env=env, capture_output=True, text=True,
+        timeout=timeout)
+    assert result.returncode == 0, result.stderr[-3000:]
+
+
+def _reference(args):
+    subprocess.run([str(REF_BINARY)] + args, check=True,
+                   capture_output=True)
+
+
+def _workload(d, n_db=900, n_q=256, seqlen=200):
+    rng = random.Random(31)
+    seqs = []
+    with open(d / "db.fa", "w") as fh:
+        for i in range(n_db):
+            s = "".join(rng.choice("ACGT") for _ in range(seqlen))
+            seqs.append(s)
+            fh.write(">d%d\n%s\n" % (i, s))
+    with open(d / "q.fa", "w") as fh:
+        for i in range(n_q):
+            s = list(seqs[rng.randrange(n_db)])
+            for _ in range(seqlen // 15):
+                s[rng.randrange(len(s))] = rng.choice("ACGT")
+            fh.write(">q%d\n%s\n" % (i, "".join(s)))
+
+
+def test_usearch_global_mesh_parity(tmp_path):
+    """8-device mesh == 1 device == reference, byte-for-byte uc/blast6.
+
+    The DB (900 seqs) engages the sharded device index; 256 queries x 2
+    strands x 200nt alignment rounds exceed the native crossover so the
+    pair-sharded NW kernel runs on the mesh."""
+    _workload(tmp_path)
+    base = ["--usearch_global", str(tmp_path / "q.fa"),
+            "--db", str(tmp_path / "db.fa"), "--id", "0.8",
+            "--strand", "both", "--minseqlength", "1",
+            "--threads", "1", "--quiet"]
+    _ours(base + ["--uc", str(tmp_path / "m8.uc"),
+                  "--blast6out", str(tmp_path / "m8.b6")],
+          _env(8, force_device_nw=True))
+    _ours(base + ["--uc", str(tmp_path / "m1.uc"),
+                  "--blast6out", str(tmp_path / "m1.b6")], _env(1))
+    assert (tmp_path / "m8.uc").read_bytes() == \
+        (tmp_path / "m1.uc").read_bytes()
+    assert (tmp_path / "m8.b6").read_bytes() == \
+        (tmp_path / "m1.b6").read_bytes()
+    if REF_BINARY.exists():
+        _reference(base + ["--uc", str(tmp_path / "ref.uc"),
+                           "--blast6out", str(tmp_path / "ref.b6")])
+        assert (tmp_path / "m8.uc").read_bytes() == \
+            (tmp_path / "ref.uc").read_bytes()
+        assert (tmp_path / "m8.b6").read_bytes() == \
+            (tmp_path / "ref.b6").read_bytes()
+
+
+def test_cluster_size_mesh_parity(tmp_path):
+    """cluster_size on the 8-device mesh == 1 device == reference
+    (centroids + uc).  Clustering's candidate scoring stays on the host
+    (the index grows every round), but its alignment rounds run the
+    pair-sharded device kernel when forced over the crossover."""
+    _workload(tmp_path, n_db=400, n_q=0, seqlen=180)
+    base = ["--cluster_size", str(tmp_path / "db.fa"), "--id", "0.90",
+            "--minseqlength", "1", "--threads", "1", "--quiet"]
+    _ours(base + ["--centroids", str(tmp_path / "m8.fa"),
+                  "--uc", str(tmp_path / "m8.uc")],
+          _env(8, force_device_nw=True), timeout=900)
+    _ours(base + ["--centroids", str(tmp_path / "m1.fa"),
+                  "--uc", str(tmp_path / "m1.uc")], _env(1))
+    assert (tmp_path / "m8.fa").read_bytes() == \
+        (tmp_path / "m1.fa").read_bytes()
+    assert (tmp_path / "m8.uc").read_bytes() == \
+        (tmp_path / "m1.uc").read_bytes()
+    if REF_BINARY.exists():
+        _reference(base + ["--centroids", str(tmp_path / "ref.fa"),
+                           "--uc", str(tmp_path / "ref.uc")])
+        assert (tmp_path / "m8.fa").read_bytes() == \
+            (tmp_path / "ref.fa").read_bytes()
+        assert (tmp_path / "m8.uc").read_bytes() == \
+            (tmp_path / "ref.uc").read_bytes()
+
+
+def test_dryrun_multichip_subprocess():
+    """The driver's dryrun: real usearch_global over the mesh, byte-compared
+    to the 1-device run inside one process."""
     result = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
-        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=600)
-    assert result.returncode == 0, result.stderr[-2000:]
+        cwd=str(REPO), env=_env(), capture_output=True, text=True,
+        timeout=600)
+    assert result.returncode == 0, result.stderr[-3000:]
     assert "OK" in result.stdout

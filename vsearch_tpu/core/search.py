@@ -138,13 +138,23 @@ class SearchContext:
                 aligner = None
             try:
                 from ..ops.score import DeviceKmerIndex
+                from ..parallel.mesh import active_mesh
                 if index.count >= 512:
+                    # multi-device runtime: shard the incidence matrix over
+                    # the mesh (parallel/sharded_index.py); single device:
+                    # the blocked single-chip layout
+                    if active_mesh() is not None:
+                        from ..parallel.sharded_index import ShardedKmerIndex
+                        index_cls = ShardedKmerIndex
+                    else:
+                        index_cls = DeviceKmerIndex
                     # ride the load_db_and_index session cache: the packed
                     # device tensors are immutable alongside the host index
                     device_index = getattr(index, "_device_index", None)
                     if (device_index is None
+                            or not isinstance(device_index, index_cls)
                             or device_index.n != index.count):
-                        device_index = DeviceKmerIndex(
+                        device_index = index_cls(
                             index.wordlength,
                             index.kmer_lists_by_position(),
                             np.asarray(index.lengths),

@@ -293,7 +293,33 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
 
     if Bp == -1:  # profiling hook: split forward/backtrack timings
         return jax.jit(forward), jax.jit(backtrack)
+    if Bp == -2:  # raw (unjitted) full kernel for shard_map wrapping
+        return full
     return jax.jit(full)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_kernels_sharded(scheme_key: tuple, M: int, N: int, Bp: int,
+                           n_devices: int):
+    """Pair-parallel forward+backtrack over the device mesh: the batch axis
+    is sharded, each device runs the wavefront scan + backtrack on its
+    Bp/n_devices slice, outputs are re-sharded by pairs (fetched to host).
+
+    The per-pair computation is independent, so a sharded run is trivially
+    bit-identical to the single-device kernel — this is the TPU-native
+    analogue of spreading the reference's alignment channels over threads
+    (align_simd.cpp CHANNELS), scaled to chips."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    full = _build_kernels(scheme_key, M, N, -2)
+    return jax.jit(jax.shard_map(
+        full, mesh=mesh,
+        in_specs=(P("db"), P("db"), P("db"), P("db")),
+        out_specs=(P("db"), P("db"), P(None, "db")),
+        check_vma=False,
+    ))
 
 
 @functools.lru_cache(maxsize=64)
@@ -349,8 +375,12 @@ class BatchAligner:
         if B == 0:
             return []
         cells = sum(len(q) * len(t) for q, t in zip(qseqs, tseqs))
-        # CPU backend: the threaded C tier always beats the XLA CPU scan
-        if cells <= self.NATIVE_CELLS_LIMIT or jax.default_backend() == "cpu":
+        # CPU backend: the threaded C tier always beats the XLA CPU scan —
+        # except under an active device mesh, where large batches take the
+        # sharded device kernel so the multi-chip path is the one exercised
+        from ..parallel.mesh import active_mesh
+        if cells <= self.NATIVE_CELLS_LIMIT or (
+                jax.default_backend() == "cpu" and active_mesh() is None):
             native_res = self._align_pairs_native(qseqs, tseqs)
             if native_res is not None:
                 return native_res
@@ -424,7 +454,13 @@ class BatchAligner:
         tlens_p = np.ones(Bp, dtype=np.int32)
         tlens_p[:B] = tlens
 
-        kernel = _build_kernels(self._key, M, N, Bp)
+        from ..parallel.mesh import active_mesh
+        mesh = active_mesh()
+        if mesh is not None and Bp % mesh.devices.size == 0:
+            kernel = _build_kernels_sharded(self._key, M, N, Bp,
+                                            mesh.devices.size)
+        else:
+            kernel = _build_kernels(self._key, M, N, Bp)
         return kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
                       jnp.asarray(t4), jnp.asarray(tlens_p))
 

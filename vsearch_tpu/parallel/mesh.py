@@ -18,7 +18,7 @@ virtual CPU mesh and by the bench on real chips.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -27,6 +27,31 @@ _cfg()
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+_ACTIVE_MESH = None
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The process-wide 1-D device mesh over every visible device, or None
+    on a single-device (or force-disabled) runtime.
+
+    The production pipeline consults this: with >1 device the DB k-mer
+    incidence shards across the "db" axis and alignment pair batches run
+    data-parallel over it.  VSEARCH_TPU_DEVICES=1 forces the single-device
+    path (used by the multichip parity tests as the oracle)."""
+    global _ACTIVE_MESH
+    if _ACTIVE_MESH is None:
+        import os
+        limit = int(os.environ.get("VSEARCH_TPU_DEVICES", "0"))
+        devices = jax.devices()
+        if limit:
+            devices = devices[:limit]
+        if len(devices) > 1:
+            _ACTIVE_MESH = Mesh(np.array(devices), axis_names=("db",))
+        else:
+            _ACTIVE_MESH = False
+    return _ACTIVE_MESH or None
 
 
 def make_mesh(n_devices: int) -> Mesh:
