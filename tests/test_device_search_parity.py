@@ -73,5 +73,11 @@ def test_device_index_engaged(ref_binary, tmp_path):
     database, index = load_db_and_index(params, str(db))
     ctx = SearchContext.build(params, database, index=index)
     assert ctx.device_index is not None
-    assert ctx.device_index.db_codes is not None
-    assert ctx.device_index.db_codes_width >= 150
+    from vsearch_tpu.parallel.mesh import active_mesh
+    if active_mesh() is not None:
+        # multi-device runtime: the mesh-sharded index carries the load
+        from vsearch_tpu.parallel.sharded_index import ShardedKmerIndex
+        assert isinstance(ctx.device_index, ShardedKmerIndex)
+    else:
+        assert ctx.device_index.db_codes is not None
+        assert ctx.device_index.db_codes_width >= 150

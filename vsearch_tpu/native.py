@@ -18,7 +18,11 @@ import numpy as np
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 _SRC = _REPO / "native" / "vsearch_tpu_native.c"
-_SO = _REPO / "native" / "libvsearch_tpu_native.so"
+# VSEARCH_TPU_NATIVE_SO overrides the library path (tools/sanitize_native.sh
+# points it at an ASan+UBSan instrumented build)
+_SO = pathlib.Path(os.environ.get(
+    "VSEARCH_TPU_NATIVE_SO",
+    str(_REPO / "native" / "libvsearch_tpu_native.so")))
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -42,7 +46,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if "VSEARCH_TPU_NATIVE_SO" in os.environ:
+            if not _SO.exists():
+                return None          # instrumented build must pre-exist
+        elif not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
             if not _build():
                 return None
         try:
