@@ -17,5 +17,7 @@ cd "$BUILD"
 "$REF_SRC/configure" CXXFLAGS=-O2 --prefix="$BUILD" >configure.log 2>&1
 make -j"$(nproc)" >make.log 2>&1
 mkdir -p bin
-cp src/vsearch bin/vsearch 2>/dev/null || cp "$BUILD"/*/vsearch bin/vsearch
+if [ ! -x bin/vsearch ]; then
+    cp src/vsearch bin/vsearch
+fi
 "$BUILD/bin/vsearch" --version
