@@ -1305,6 +1305,25 @@ void vstpu_pack_bits(const uint32_t *kmers, const int64_t *starts,
     }
 }
 
+/* ---- query one-hot bit packing ----
+ * out: n_queries rows x qwords uint32 (row-major, zeroed by caller); bit
+ * (k & 31) of word k >> 5 in row q set when query q's unique-kmer list
+ * contains k-mer k.  This is the wire format of the MXU scoring kernel's
+ * one-hot operand (ops/score_mxu.py): 8x narrower than int8 over the
+ * tunneled host->device link; the device unpacks it once per chunk. */
+void vstpu_pack_query_bits(const uint32_t *kmers, const int64_t *starts,
+                           int n_queries, int qwords, uint32_t *out) {
+    #pragma omp parallel for schedule(static)
+    for (int q = 0; q < n_queries; q++) {
+        uint32_t *row = out + (int64_t)q * qwords;
+        const int64_t lo = starts[q], hi = starts[q + 1];
+        for (int64_t i = lo; i < hi; i++) {
+            uint32_t k = kmers[i];
+            row[k >> 5] |= 1u << (k & 31);
+        }
+    }
+}
+
 /* ---- FASTA/FASTQ record scanners ------------------------------------
  *
  * Single-pass scanners over an in-memory file image; they replace the

@@ -1,0 +1,68 @@
+"""Dense MXU scoring kernel (ops/score_mxu.py) exactness.
+
+Runs in Pallas interpret mode so the kernel logic is exercised on the CPU
+test mesh; on TPU runs the real Mosaic kernel path is covered by
+test_device_search_parity (DeviceKmerIndex picks dense there).
+"""
+
+import numpy as np
+import pytest
+
+from vsearch_tpu import native
+from vsearch_tpu.ops.score_mxu import dense_topk_kernel, pack_query_bits
+from vsearch_tpu.ops.score import _topk_kernel
+
+WORDLENGTH = 3
+V = 1 << (2 * WORDLENGTH)
+WORDS = 640                      # kernel minimum (20480 columns)
+N_REAL = 100
+QP = 128
+K = 10
+MAXK = 640
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    rng = np.random.default_rng(42)
+    bits = np.zeros((V + 1, WORDS), dtype=np.uint32)
+    tlists = []
+    starts = [0]
+    for p in range(N_REAL):
+        nk = rng.integers(3, 40)
+        tlists.append(np.sort(rng.choice(V, size=nk, replace=False))
+                      .astype(np.uint32))
+        starts.append(starts[-1] + nk)
+    assert native.pack_bits(
+        np.ascontiguousarray(np.concatenate(tlists)),
+        np.asarray(starts, np.int64), N_REAL, WORDS, bits)
+    qlists = []
+    for q in range(17):
+        nk = rng.integers(1, 50)
+        qlists.append(np.sort(rng.choice(V, size=nk, replace=False))
+                      .astype(np.uint32))
+    return bits, qlists
+
+
+@pytest.mark.parametrize("packed_keys", [True, False])
+def test_dense_matches_scan_kernel(fixture, packed_keys):
+    import jax.numpy as jnp
+    bits, qlists = fixture
+    ids = np.zeros((QP, MAXK), dtype=np.int32)
+    kcounts = np.zeros(QP, dtype=np.int32)
+    for qi, kl in enumerate(qlists):
+        ids[qi, :kl.size] = kl
+        kcounts[qi] = kl.size
+    v_scan, i_scan = _topk_kernel(V, WORDS, QP, MAXK, K, N_REAL)(
+        jnp.asarray(ids), jnp.asarray(kcounts), jnp.asarray(bits))
+    v_scan = np.asarray(v_scan)
+    i_scan = np.asarray(i_scan)
+
+    Kb = pack_query_bits(qlists, QP, V)
+    v_d, i_d = dense_topk_kernel(V, WORDS, QP, K, N_REAL, interpret=True,
+                                 packed_keys=packed_keys)(
+        jnp.asarray(Kb), jnp.asarray(bits[:V]))
+    v_d = np.asarray(v_d)
+    i_d = np.asarray(i_d)
+    assert np.array_equal(v_scan, v_d)
+    valid = v_scan >= 0
+    assert np.array_equal(i_scan[valid], i_d[valid])

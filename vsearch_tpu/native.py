@@ -72,6 +72,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vstpu_pack_bits.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]
+        lib.vstpu_pack_query_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -139,6 +142,21 @@ def pack_bits(all_kmers: np.ndarray, starts: np.ndarray, n_pos: int,
     lib.vstpu_pack_bits(all_kmers.ctypes.data, starts.ctypes.data,
                         n_pos, words, bits.ctypes.data)
     return True
+
+
+def pack_query_bits(all_kmers: np.ndarray, starts: np.ndarray,
+                    n_queries: int, qwords: int) -> Optional[np.ndarray]:
+    """Pack per-query unique-kmer lists into a (n_queries, qwords) uint32
+    one-hot bit matrix (the MXU scoring kernel's wire format)."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert all_kmers.dtype == np.uint32 and all_kmers.flags.c_contiguous
+    assert starts.dtype == np.int64 and starts.flags.c_contiguous
+    out = np.zeros((n_queries, qwords), dtype=np.uint32)
+    lib.vstpu_pack_query_bits(all_kmers.ctypes.data, starts.ctypes.data,
+                              n_queries, qwords, out.ctypes.data)
+    return out
 
 
 def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,

@@ -65,6 +65,13 @@ class DeviceKmerIndex:
         self.n = n
         cap = capacity or n
         cap = max(cap, 1)
+        # dense MXU scoring path (ops/score_mxu.py): one-hot x bit-matrix
+        # int8 matmul + packed two-stage top-k; 3.2x the scan kernel on v5e.
+        # Blocks then store V rows (no gather-sentinel row) with columns
+        # rounded to the kernel's 4096-position tiles.
+        from .score_mxu import dense_supported, DENSE_MAXK_LIMIT
+        self.dense = dense_supported(self.hashsize, self.BLOCK_POS)
+        self._dense_maxk_limit = DENSE_MAXK_LIMIT
         lengths = np.asarray(lengths, dtype=np.int64)
         mapping = np.asarray(mapping, dtype=np.int64)
         # device position p <-> heap rank p: sorted by (length, seqno) so
@@ -87,8 +94,10 @@ class DeviceKmerIndex:
             nb_real = max(0, min(n - base, nb))
             # keep the gather geometry inside the proven-fast envelope:
             # narrow rows (words < 640, i.e. < 2.5KB per gathered row)
-            # compiled pathologically on the TPU backend
-            words = max(_round_up(max(nb, 1), 1024) // 32, 640)
+            # compiled pathologically on the TPU backend; the dense path
+            # additionally tiles positions at 4096 (score_mxu.NBLK)
+            round_pos = 4096 if self.dense else 1024
+            words = max(_round_up(max(nb, 1), round_pos) // 32, 640)
             bits = np.zeros((self.hashsize + 1, words), dtype=np.uint32)
             if nb_real > 0:
                 lo_k, hi_k = int(starts[base]), int(starts[base + nb_real])
@@ -100,7 +109,11 @@ class DeviceKmerIndex:
                     self._pack_bits_numpy(
                         bits, blk_kmers, blk_starts,
                         sizes[base:base + nb_real], nb_real)
-            self.blocks.append((jax.device_put(bits), words, base, nb_real))
+            # dense kernels consume the V-row matrix; the scan fallback
+            # needs the all-zero sentinel row for padding-id gathers
+            dev = jax.device_put(bits[:self.hashsize] if self.dense
+                                 else bits)
+            self.blocks.append((dev, words, base, nb_real))
             base += nb
             if base >= cap:
                 break
@@ -201,6 +214,28 @@ class DeviceKmerIndex:
             # (qp, maxk) is a separate TPU compile (expensive and
             # queue-dependent on a tunneled device)
             qp = 128 if len(chunk) <= 128 else CHUNK
+            if self.dense:
+                from .score_mxu import dense_topk_kernel, pack_query_bits
+                Kbits = pack_query_bits(chunk, qp, self.hashsize)
+                kb_d = jnp.asarray(Kbits)
+                per_block = []
+                for bits_dev, words, pbase, nb_real in self.blocks:
+                    v, i = dense_topk_kernel(
+                        self.hashsize, words, qp,
+                        min(k, max(nb_real, 1)), nb_real,
+                        packed_keys=maxk <= self._dense_maxk_limit)(
+                        kb_d, bits_dev)
+                    per_block.append((v, i, pbase))
+                if len(per_block) == 1:
+                    v, i, _ = per_block[0]
+                    handle = (v, i)
+                else:
+                    handle = _merge_blocks(
+                        qp, k, tuple(p for _, _, p in per_block))(
+                        [v for v, _, _ in per_block],
+                        [i for _, i, _ in per_block])
+                pending.append((len(chunk), handle))
+                continue
             kcounts = np.zeros(qp, dtype=np.int32)
             ids = np.zeros((qp, maxk), dtype=np.uint16 if u16 else np.int32)
             for qi, kmers in enumerate(chunk):

@@ -1,0 +1,193 @@
+"""Dense MXU candidate scoring: one-hot x bit-matrix int8 matmul.
+
+TPU-first replacement for the gather/unpack scan in ops/score.py: the
+shared-kmer counts of a query chunk against an index block are
+
+    counts(Q, N) = onehot(Q, 4^w) @ unpack(bits(4^w, N/32))
+
+with the one-hot operand shipped as packed bits (8x narrower wire format,
+built by the native tier: native/vsearch_tpu_native.c
+vstpu_pack_query_bits) and the DB bit matrix unpacked INSIDE a Pallas
+kernel, once per (vocab-block, position-block) VMEM tile — so the unpack
+cost is paid per DB tile and amortized over the whole query chunk, and the
+102x-redundant MACs run on the MXU at int8 throughput instead of the VPU.
+Measured on v5e (512 queries x 131072 positions, w=8): 22 ms vs 203 ms
+for the scan kernel (9x), of which ~127 ms was lax.top_k — replaced here
+by an exact two-stage packed-key top-k (~6x faster).
+
+Exactness: the top-k key packs (count << 17) | (2^17 - 1 - position), a
+strict total order equal to the reference min-heap's (count desc, length
+asc, seqno asc) once positions are presorted by (length, seqno)
+(src/core/minheap.cpp:111-146; ops/score.py position presort).  The packed
+key needs count < 2^14 and block positions <= 2^17, so the dense path is
+gated on maxk <= 16383 (amplicon regime; longer queries take the scan
+path) and BLOCK_POS <= 131072.
+
+The in-kernel unpack emits bit b of word w at column j = b*WBLK + w (a
+lane-aligned concatenate; Mosaic cannot reshape a (V, W, 32) unpack), so
+kernel column j maps to position (j//NBLK)*NBLK + 32*(r%WBLK) + r//WBLK,
+r = j%NBLK — decoded arithmetically when building the top-k key.
+
+reference: src/core/searchcore.cpp:260-340 (search_topscores),
+src/arch/x86_64/SSSE3/increment_counters.cpp (the SIMD counter kernel this
+replaces at chip scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from vsearch_tpu import configure_jax as _cfg
+_cfg()
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# kernel geometry: NBLK positions (NBLK/32 packed words, lane-aligned at
+# 128) per grid step along positions; VBLK vocabulary rows per grid step
+NBLK = 4096
+WBLK = NBLK // 32
+VBLK_MAX = 2048
+
+# packed top-k key: count<<17 | (2^17-1-pos); exact iff count < 2^14
+DENSE_MAXK_LIMIT = 16383
+POS_BITS = 17
+
+
+def dense_supported(hashsize: int, block_pos: int) -> bool:
+    """Dense path eligibility for an index geometry.  The per-chunk
+    packed-key/fallback choice (maxk vs DENSE_MAXK_LIMIT) happens at
+    dispatch time; this gates only what is static per index."""
+    return (hashsize <= 1 << 18 and block_pos <= 1 << POS_BITS
+            and jax.default_backend() != "cpu")
+
+
+def _kernel(vblk: int):
+    def kernel(K_ref, bits_ref, out_ref):
+        i_v = pl.program_id(1)
+        rows = pltpu.bitcast(bits_ref[:], jnp.int32)     # (VBLK, WBLK)
+        parts = [((rows >> b) & 1).astype(jnp.int8) for b in range(32)]
+        unp = jnp.concatenate(parts, axis=1)             # (VBLK, NBLK)
+        acc = jax.lax.dot(K_ref[:], unp, preferred_element_type=jnp.int32)
+
+        @pl.when(i_v == 0)
+        def _():
+            out_ref[:] = acc
+
+        @pl.when(i_v > 0)
+        def _():
+            out_ref[:] = out_ref[:] + acc
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
+                      n_real: int, interpret: bool = False,
+                      packed_keys: bool = True):
+    """counts + exact top-k for one index block.
+
+    Takes (Kbits (qp, hashsize/32) uint32, bits (hashsize, words) uint32);
+    returns (counts (qp, k) int32, positions (qp, k) int32) in reference
+    heap order; invalid rows carry count -1 / position 2^30 (the contract
+    ops/score.py's merge and host cut consume)."""
+    V = hashsize
+    qw = (V + 31) // 32
+    n_cols = words * 32
+    assert n_cols % NBLK == 0, "dense geometry requires cols %% %d" % NBLK
+    vblk = min(VBLK_MAX, V)
+    grid = (n_cols // NBLK, V // vblk)
+
+    @jax.jit
+    def run(Kbits, bits):
+        s = jnp.arange(32, dtype=jnp.int32)
+        u = ((Kbits.view(jnp.int32)[:, :, None] >> s) & 1).astype(jnp.int8)
+        K8 = u.reshape(qp, qw * 32)[:, :V]
+        counts = pl.pallas_call(
+            _kernel(vblk),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((qp, vblk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((vblk, WBLK), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((qp, NBLK), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((qp, n_cols), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(K8, bits)
+        # kernel column -> index position (see module docstring)
+        j = jax.lax.broadcasted_iota(jnp.int32, (qp, n_cols), 1)
+        r = j % NBLK
+        pos = (j // NBLK) * NBLK + 32 * (r % WBLK) + r // WBLK
+        if not packed_keys:
+            # counts may exceed the packed-key budget (queries longer than
+            # the amplicon regime): permute columns back to position order
+            # and run the direct top-k, whose index tie-break (lowest
+            # column first) then IS the reference heap order
+            jc = np.arange(n_cols)
+            rc = jc % NBLK
+            pos_of_col = (jc // NBLK) * NBLK + 32 * (rc % WBLK) + rc // WBLK
+            col_of_pos = np.empty_like(pos_of_col)
+            col_of_pos[pos_of_col] = jc
+            counts_pos = counts[:, jnp.asarray(col_of_pos)]
+            colp = jax.lax.broadcasted_iota(jnp.int32, (qp, n_cols), 1)
+            counts_pos = jnp.where(colp < n_real, counts_pos, -1)
+            vals, idx = jax.lax.top_k(counts_pos, k)
+            return vals, jnp.where(vals >= 0, idx.astype(jnp.int32),
+                                   jnp.int32(2**30))
+        key = jnp.where(pos < n_real,
+                        counts * (1 << POS_BITS)
+                        + ((1 << POS_BITS) - 1 - pos),
+                        -1)
+        # exact two-stage top-k on the packed keys (keys are distinct, so
+        # any selection of the k largest is THE top-k)
+        G = 512
+        kk = min(k, G)
+        if n_cols > G:
+            v1, _ = jax.lax.top_k(key.reshape(qp * (n_cols // G), G), kk)
+            key2 = v1.reshape(qp, (n_cols // G) * kk)
+        else:
+            key2 = key
+        v2, _ = jax.lax.top_k(key2, k)
+        cnt = jnp.where(v2 >= 0,
+                        jax.lax.shift_right_logical(v2, POS_BITS),
+                        -1)
+        p = jnp.where(v2 >= 0,
+                      ((1 << POS_BITS) - 1) - (v2 & ((1 << POS_BITS) - 1)),
+                      jnp.int32(2**30))
+        return cnt, p
+
+    return run
+
+
+def pack_query_bits(query_kmer_lists: List[np.ndarray], qp: int,
+                    hashsize: int) -> Optional[np.ndarray]:
+    """(qp, hashsize/32) uint32 one-hot bit rows (native tier; None if the
+    native library is unavailable — callers fall back to the scan path)."""
+    from .. import native
+    qw = (hashsize + 31) // 32
+    n = len(query_kmer_lists)
+    if n == 0:
+        return np.zeros((qp, qw), dtype=np.uint32)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    starts[1:] = np.cumsum([kl.size for kl in query_kmer_lists])
+    allk = np.ascontiguousarray(
+        np.concatenate(query_kmer_lists) if starts[-1]
+        else np.zeros(0, np.uint32), dtype=np.uint32)
+    out = native.pack_query_bits(allk, starts, n, qw)
+    if out is None:
+        # numpy fallback (row-chunked bitwise_or.at)
+        out = np.zeros((n, qw), dtype=np.uint32)
+        for q, kl in enumerate(query_kmer_lists):
+            np.bitwise_or.at(out[q], (kl >> 5).astype(np.int64),
+                             np.uint32(1) << (kl & 31).astype(np.uint32))
+    if n < qp:
+        out = np.vstack([out, np.zeros((qp - n, qw), dtype=np.uint32)])
+    return out
