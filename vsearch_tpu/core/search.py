@@ -139,6 +139,14 @@ class SearchContext:
             try:
                 from ..ops.score import DeviceKmerIndex
                 from ..parallel.mesh import active_mesh
+                import jax as _jax
+                # pure-CPU backend without a mesh: the threaded native
+                # postings top-k + native NW tier beat the XLA-CPU scan
+                # by an order of magnitude — skip the device index (the
+                # virtual-mesh path still exercises the sharded kernels)
+                if (_jax.default_backend() == "cpu"
+                        and active_mesh() is None):
+                    raise RuntimeError("host tier faster on cpu backend")
                 if index.count >= 512:
                     # multi-device runtime: shard the incidence matrix over
                     # the mesh (parallel/sharded_index.py); single device:
@@ -220,9 +228,9 @@ class SearchContext:
         if self.device_index is not None:
             vals, idx = self.device_index.topk(kmer_lists, self.tophits)
             return self._candidates_from_topk(vals, idx, samplecounts)
-        return [self.index.candidates_for_query(k, self.tophits,
-                                                 self._minmatches(sc))
-                for k, sc in zip(kmer_lists, samplecounts)]
+        return self.index.candidates_for_query_batch(
+            kmer_lists, self.tophits,
+            [self._minmatches(sc) for sc in samplecounts])
 
     def _candidates_from_topk(self, vals, idx, samplecounts: List[int]
                               ) -> List[List[Tuple[int, int]]]:

@@ -75,8 +75,9 @@ def _bucket(x: int, base: int = 64) -> int:
 
 def _pallas_tile(Bp: int, M: int) -> int:
     """Pair-tile size for the Pallas forward: largest divisor of Bp that
-    keeps the VMEM working set (~9 int32 arrays of TB x M) in budget."""
-    limit = max(8, 200_000 // max(M, 1))
+    keeps the VMEM working set (~9 int32 arrays of TB x M plus two
+    TB x (M+N) target windows) inside the ~100 MB v5e budget."""
+    limit = max(8, 600_000 // max(M, 1))
     tb = Bp
     while tb > limit and tb % 2 == 0:
         tb //= 2
@@ -269,14 +270,15 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
 
     forward_fn = forward
     # The Pallas forward keeps the H/E/F carries VMEM-resident (the XLA scan
-    # round-trips them through HBM every diagonal): forward-only it measures
-    # ~1.35x the XLA scan at (512, 768x768) on v5e, but end-to-end the gain
-    # vanishes (the backtrack gather pays a relayout on the Pallas dirs
-    # layout) while first-run Mosaic compiles add ~200s across the geometry
-    # ladder — so it stays opt-in.
-    if Bp > 0 and os.environ.get("VSEARCH_TPU_PALLAS"):
+    # round-trips them through HBM every diagonal).  It is the default on
+    # TPU backends (bit-identical outputs, measured 51.4 vs 59.3 ms
+    # end-to-end incl. backtrack at (512, 640x640) on v5e; the persistent
+    # compilation cache absorbs the one-time Mosaic compiles).
+    # VSEARCH_TPU_PALLAS=0 is the kill-switch back to the XLA scan.
+    if (Bp > 0 and os.environ.get("VSEARCH_TPU_PALLAS", "1") != "0"
+            and jax.default_backend() != "cpu"):
         tb = _pallas_tile(Bp, M)
-        if tb >= 8 and Bp % tb == 0 and jax.default_backend() != "cpu":
+        if tb >= 8 and Bp % tb == 0:
             try:
                 from .nw_pallas import build_forward
                 forward_fn = build_forward(scheme_key, M, N, tb)

@@ -62,7 +62,9 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
         ii = jax.lax.broadcasted_iota(jnp.int32, (TB, Mp), 1)
         qlen_c = qlen_ref[:]               # (TB, 1) int32
         tlen_c = tlen_ref[:]
-        q4 = q4_ref[:]
+        # widen codes before comparing: Mosaic (this toolchain) rejects
+        # int8 vector compares ("Target does not support this comparison")
+        q4 = q4_ref[:].astype(jnp.int32)
         # ambiguity via arithmetic: codes {1,2,4,8} are unambiguous
         amb_q_m = jnp.logical_not((q4 == 1) | (q4 == 2) | (q4 == 4)
                                   | (q4 == 8))
