@@ -66,8 +66,12 @@ def dense_supported(hashsize: int, block_pos: int) -> bool:
             and jax.default_backend() != "cpu")
 
 
-def _kernel(vblk: int):
+def _kernel(vblk: int, n_v: int, n_real: int, pack: bool):
+    """Counts tile kernel; when ``pack`` the last vocab step folds the
+    counts into the top-k key (count<<17 | (2^17-1-pos), -1 on padding
+    columns) in-place, saving an HBM round-trip of the counts matrix."""
     def kernel(K_ref, bits_ref, out_ref):
+        i_n = pl.program_id(0)
         i_v = pl.program_id(1)
         rows = pltpu.bitcast(bits_ref[:], jnp.int32)     # (VBLK, WBLK)
         parts = [((rows >> b) & 1).astype(jnp.int8) for b in range(32)]
@@ -81,6 +85,16 @@ def _kernel(vblk: int):
         @pl.when(i_v > 0)
         def _():
             out_ref[:] = out_ref[:] + acc
+
+        if pack:
+            @pl.when(i_v == n_v - 1)
+            def _():
+                qp, nblk = out_ref.shape
+                j = jax.lax.broadcasted_iota(jnp.int32, (qp, nblk), 1)
+                pos = (i_n * NBLK + 32 * (j % WBLK) + j // WBLK)
+                key = out_ref[:] * (1 << POS_BITS) \
+                    + ((1 << POS_BITS) - 1 - pos)
+                out_ref[:] = jnp.where(pos < n_real, key, -1)
     return kernel
 
 
@@ -99,15 +113,15 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
     n_cols = words * 32
     assert n_cols % NBLK == 0, "dense geometry requires cols %% %d" % NBLK
     vblk = min(VBLK_MAX, V)
-    grid = (n_cols // NBLK, V // vblk)
+    n_v = V // vblk
+    grid = (n_cols // NBLK, n_v)
 
-    @jax.jit
-    def run(Kbits, bits):
+    def counts_or_keys(Kbits, bits, pack: bool):
         s = jnp.arange(32, dtype=jnp.int32)
         u = ((Kbits.view(jnp.int32)[:, :, None] >> s) & 1).astype(jnp.int8)
         K8 = u.reshape(qp, qw * 32)[:, :V]
-        counts = pl.pallas_call(
-            _kernel(vblk),
+        return pl.pallas_call(
+            _kernel(vblk, n_v, n_real, pack),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((qp, vblk), lambda i, j: (0, j),
@@ -122,15 +136,15 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(K8, bits)
-        # kernel column -> index position (see module docstring)
-        j = jax.lax.broadcasted_iota(jnp.int32, (qp, n_cols), 1)
-        r = j % NBLK
-        pos = (j // NBLK) * NBLK + 32 * (r % WBLK) + r // WBLK
+
+    @jax.jit
+    def run(Kbits, bits):
         if not packed_keys:
             # counts may exceed the packed-key budget (queries longer than
             # the amplicon regime): permute columns back to position order
             # and run the direct top-k, whose index tie-break (lowest
             # column first) then IS the reference heap order
+            counts = counts_or_keys(Kbits, bits, pack=False)
             jc = np.arange(n_cols)
             rc = jc % NBLK
             pos_of_col = (jc // NBLK) * NBLK + 32 * (rc % WBLK) + rc // WBLK
@@ -142,20 +156,24 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
             vals, idx = jax.lax.top_k(counts_pos, k)
             return vals, jnp.where(vals >= 0, idx.astype(jnp.int32),
                                    jnp.int32(2**30))
-        key = jnp.where(pos < n_real,
-                        counts * (1 << POS_BITS)
-                        + ((1 << POS_BITS) - 1 - pos),
-                        -1)
-        # exact two-stage top-k on the packed keys (keys are distinct, so
-        # any selection of the k largest is THE top-k)
-        G = 512
-        kk = min(k, G)
-        if n_cols > G:
-            v1, _ = jax.lax.top_k(key.reshape(qp * (n_cols // G), G), kk)
-            key2 = v1.reshape(qp, (n_cols // G) * kk)
+
+        key = counts_or_keys(Kbits, bits, pack=True)
+        # exact pruned top-k: a group whose max exceeds the k-th largest
+        # key necessarily CONTAINS a top-k key, and top-k keys occupy at
+        # most k distinct groups — so the k groups with the largest maxima
+        # cover every top-k element (keys are distinct, so the selection
+        # is THE top-k, not a tie-dependent one)
+        G = 256
+        ng = n_cols // G
+        if ng > k:
+            kg = key.reshape(qp, ng, G)
+            gmax = kg.max(axis=2)                        # (qp, ng)
+            _, gidx = jax.lax.top_k(gmax, k)             # (qp, k)
+            cand = jnp.take_along_axis(kg, gidx[:, :, None],
+                                       axis=1)           # (qp, k, G)
+            v2, _ = jax.lax.top_k(cand.reshape(qp, k * G), k)
         else:
-            key2 = key
-        v2, _ = jax.lax.top_k(key2, k)
+            v2, _ = jax.lax.top_k(key, k)
         cnt = jnp.where(v2 >= 0,
                         jax.lax.shift_right_logical(v2, POS_BITS),
                         -1)
