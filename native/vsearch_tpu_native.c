@@ -180,31 +180,38 @@ static int assemble_core(const int8_t *ops, int64_t stride, int nops,
     while (start >= 0 && ops[(int64_t)start * stride] == 0) start--;
 
     for (int k = start; k >= 0; k--) {
-        int op = ops[(int64_t)k * stride];
-        if (op == 0) continue;
-        aligned++;
+        int raw = ops[(int64_t)k * stride];
+        if (raw == 0) continue;
+        /* run-length encoded bytes: op | count << 2 (count 1..31); the
+         * flat format's plain 1..3 values decode as count 1 */
+        int op = raw & 3;
+        int cnt = (raw >> 2) & 31;
+        if (cnt == 0) cnt = 1;
+        aligned += cnt;
         if (op == 1) { /* M */
-            int qa = map4[q[qpos]], ta = map4[t[tpos]];
-            if ((qa & ta) != 0) {
-                if (n_mismatch && (qa == 15 || ta == 15)) mismatches++;
-                else matches++;
-            } else mismatches++;
-            qpos++; tpos++;
+            for (int c = 0; c < cnt; c++) {
+                int qa = map4[q[qpos]], ta = map4[t[tpos]];
+                if ((qa & ta) != 0) {
+                    if (n_mismatch && (qa == 15 || ta == 15)) mismatches++;
+                    else matches++;
+                } else mismatches++;
+                qpos++; tpos++;
+            }
         } else if (op == 2) { /* D consumes query */
             if (prev != 2) gaps++;
-            qpos++;
+            qpos += cnt;
         } else { /* I consumes target */
             if (prev != 3) gaps++;
-            tpos++;
+            tpos += cnt;
         }
-        if (op == prev) run++;
+        if (op == prev) run += cnt;
         else {
             if (run > 0) {
                 if (run > 1) out += sprintf(out, "%d", run);
                 *out++ = (char)(prev == 1 ? 'M' : prev == 2 ? 'D' : 'I');
             }
             prev = op;
-            run = 1;
+            run = cnt;
         }
     }
     if (run > 0) {
@@ -1319,7 +1326,10 @@ void vstpu_pack_query_bits(const uint32_t *kmers, const int64_t *starts,
         const int64_t lo = starts[q], hi = starts[q + 1];
         for (int64_t i = lo; i < hi; i++) {
             uint32_t k = kmers[i];
-            row[k >> 5] |= 1u << (k & 31);
+            /* defensive contract for the exported symbol: skip ids past
+             * the row width instead of corrupting adjacent heap rows */
+            if ((int64_t)(k >> 5) < qwords)
+                row[k >> 5] |= 1u << (k & 31);
         }
     }
 }

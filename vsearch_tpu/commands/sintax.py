@@ -154,7 +154,12 @@ def sintax(params: Parameters) -> None:
         fastx_io.check_readable(params.opt_sintax)
         from ..utils.progress import Progress
         classify_progress = Progress("Classifying sequences", 1, params)
-        for rec in fastx_io.read_fastx(params.opt_sintax, params):
+        # deferred stripped-char warning: the reference emits it at
+        # fastx_close, after the progress meter AND the Classified summary
+        # (sintax.cpp:755-796) — collect it here and flush at the end
+        deferred_warn = []
+        for rec in fastx_io.read_fastx(params.opt_sintax, params,
+                                       warn_out=deferred_warn):
             classify_progress.update()
             rng = SplitMix64(random_substream_seed(base_seed, rec.seqno))
             strands = 2 if params.opt_strand else 1
@@ -215,3 +220,5 @@ def sintax(params: Parameters) -> None:
             msg += " (%.2f%%)" % (100.0 * stats["classified"]
                                   / stats["queries"])
         message_both(params, msg + "\n")
+        for stripped, is_fq in deferred_warn:
+            fastx_io._warn_stripped(params, stripped, is_fq)

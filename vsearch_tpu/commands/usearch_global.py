@@ -18,6 +18,7 @@ from ..db import Database
 from ..io import fastx as fastx_io
 from ..core import results
 from ..core.search import SearchContext
+from ..utils.phasetimer import phase
 from ..core.otutable import OtuTable
 
 # query batch per device round: large enough to amortize the tunnel
@@ -41,8 +42,9 @@ def _batches(iterable, size=BATCH):
 
 def usearch_global(params: Parameters) -> None:
     from ..core.search import load_db_and_index
-    db, index = load_db_and_index(params, params.opt_db)
-    ctx = SearchContext.build(params, db, index=index)
+    with phase("load"):
+        db, index = load_db_and_index(params, params.opt_db)
+        ctx = SearchContext.build(params, db, index=index)
     run_search_output(params, db, ctx, params.opt_usearch_global)
 
 
@@ -173,10 +175,11 @@ def run_search_output(params: Parameters, db: Database, ctx,
             chunk, tasks, state = prev
             if hasattr(ctx, "search_tasks_finish"):
                 ctx.search_tasks_finish(state)
-            for rec, task in zip(chunk, tasks):
-                hits = ctx.join_task(task)
-                emit(rec, hits, task.seqs[0],
-                     task.seqs[1] if len(task.seqs) > 1 else None)
+            with phase("emit"):
+                for rec, task in zip(chunk, tasks):
+                    hits = ctx.join_task(task)
+                    emit(rec, hits, task.seqs[0],
+                         task.seqs[1] if len(task.seqs) > 1 else None)
 
         from ..utils.progress import Progress, message_both
         prev = None

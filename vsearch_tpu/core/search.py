@@ -26,6 +26,7 @@ import numpy as np
 from ..params import Masking, Parameters
 from ..db import Database
 from ..index import KmerIndex
+from ..utils.phasetimer import phase
 from ..ops import kmer as kmer_ops
 from ..ops.nw import (AlignmentResult, ScoreScheme, SHRT_MAX, align_pair_host,
                       fits_simd)
@@ -188,6 +189,11 @@ class SearchContext:
                     ) -> List[AlignmentResult]:
         """Align (qseq, target_seqno) pairs with search16 semantics +
         linear-memory fallback for sentinel scores."""
+        with phase("align"):
+            return self._align_pairs_timed(pairs)
+
+    def _align_pairs_timed(self, pairs: Sequence[Tuple[bytes, int]]
+                           ) -> List[AlignmentResult]:
         results: List[Optional[AlignmentResult]] = [None] * len(pairs)
         pending: List[int] = []
         for idx, (qseq, t) in enumerate(pairs):
@@ -323,22 +329,24 @@ class SearchContext:
         params = self.params
         units = []  # (task, strand, QueryInfo)
         kmer_lists = []
-        for task in tasks:
-            for strand, seq in enumerate(task.seqs):
-                qi = QueryInfo(query_head=task.query_head, qsequence=seq,
-                               qseqlen=len(seq), qsize=task.qsize,
-                               strand=strand, query_no=task.query_no)
-                kmers = kmer_ops.unique_kmer_set(
-                    seq, self.index.wordlength, params.opt_qmask)
-                qi.kmersamplecount = int(kmers.size)
-                units.append((task, strand, qi))
-                kmer_lists.append(kmers)
+        with phase("prep"):
+            for task in tasks:
+                for strand, seq in enumerate(task.seqs):
+                    qi = QueryInfo(query_head=task.query_head, qsequence=seq,
+                                   qseqlen=len(seq), qsize=task.qsize,
+                                   strand=strand, query_no=task.query_no)
+                    kmers = kmer_ops.unique_kmer_set(
+                        seq, self.index.wordlength, params.opt_qmask)
+                    qi.kmersamplecount = int(kmers.size)
+                    units.append((task, strand, qi))
+                    kmer_lists.append(kmers)
         pending = None
         prefetch = None
         if self.device_index is not None:
-            pending = self.device_index.topk_dispatch(kmer_lists,
-                                                      self.tophits)
-            prefetch = self._prefetch_dispatch(units, pending)
+            with phase("dispatch"):
+                pending = self.device_index.topk_dispatch(kmer_lists,
+                                                          self.tophits)
+                prefetch = self._prefetch_dispatch(units, pending)
         return tasks, units, kmer_lists, pending, prefetch
 
     # -- top-1 prefetch ---------------------------------------------------
@@ -458,8 +466,9 @@ class SearchContext:
             # tunneled device)
             import jax
             q, chunks = pending
-            topk_h, pref_h = jax.device_get(
-                ([h for _, h in chunks], prefetch))
+            with phase("topk_fetch"):
+                topk_h, pref_h = jax.device_get(
+                    ([h for _, h in chunks], prefetch))
             if chunks:
                 vals = np.concatenate(
                     [np.asarray(v)[:nq]
@@ -472,13 +481,23 @@ class SearchContext:
                 idx = np.zeros((q, 0), dtype=np.int32)
             cand_lists = self._candidates_from_topk(
                 vals, idx, [qi.kmersamplecount for (_, _, qi) in units])
-            prefetched = self._prefetch_table(chunks, pref_h, idx, units)
+            with phase("prefetch"):
+                prefetched = self._prefetch_table(chunks, pref_h, idx, units)
         else:
-            cand_lists = self._candidates_batch(
-                kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])
+            with phase("host_topk"):
+                cand_lists = self._candidates_batch(
+                    kmer_lists, [qi.kmersamplecount for (_, _, qi) in units])
+        with phase("walk"):
+            self._run_walks(units, cand_lists, prefetched)
+        for (task, strand, qi), walk in zip(units, self._last_walks):
+            task.hits[strand] = walk.hits
+
+    def _run_walks(self, units, cand_lists, prefetched) -> None:
+        params = self.params
         walks: List[QueryWalk] = []
         for (task, strand, qi), candidates in zip(units, cand_lists):
             walks.append(QueryWalk(params, qi, self.db, candidates))
+        self._last_walks = walks
 
         # lockstep alignment rounds over all walks
         active = list(range(len(walks)))
@@ -515,9 +534,6 @@ class SearchContext:
                 if not walks[w].done:
                     next_active.append(w)
             active = next_active
-
-        for (task, strand, qi), walk in zip(units, walks):
-            task.hits[strand] = walk.hits
 
     def join_task(self, task: QueryTask) -> List[Hit]:
         return join_hits(self.params, task.hits[0],

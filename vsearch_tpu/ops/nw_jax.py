@@ -60,6 +60,30 @@ def encode_padded(seqs: Sequence[bytes], rows: int, width: int) -> np.ndarray:
     return out
 
 
+def encode_rowT(qseqs: Sequence[bytes], rows: int, width: int,
+                mismatch: int, n_mismatch: bool):
+    """Host-side wire prep for the row-scan kernel (nw_pallas2): returns
+    (qmT, amT) — (width, rows) int8, transposed, with the ambiguity/N
+    remap folded in by LUT so the device does no per-batch preprocessing.
+
+    qm: the 4-bit code, or -1 for ambiguous codes (never equal to any
+    target code => substitution falls through to am), or -2 for N under
+    n_mismatch.  am: the mismatch score, or 0 for ambiguous codes
+    (reference score-matrix semantics, align_simd.cpp:1319-1342)."""
+    codes = encode_padded(qseqs, rows, width)
+    amb = np.ones(16, dtype=bool)
+    amb[[1, 2, 4, 8]] = False
+    qm_lut = np.arange(16, dtype=np.int8)
+    qm_lut[amb] = -1
+    am_lut = np.full(16, mismatch, dtype=np.int8)
+    am_lut[amb] = 0
+    if n_mismatch:
+        qm_lut[15] = -2
+        am_lut[15] = mismatch
+    return (np.ascontiguousarray(qm_lut[codes].T),
+            np.ascontiguousarray(am_lut[codes].T))
+
+
 def _bucket(x: int, base: int = 64) -> int:
     """Shape bucket: powers of two with one midpoint (1.5x ladder), so the
     number of distinct compiled kernel geometries stays small."""
@@ -227,24 +251,37 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
         overflow = (hmin <= score_min) | (hmax >= SHRT_MAX)
         return score, overflow, dirs
 
-    def backtrack(dirs, qlen, tlen):
-        """dirs (D, B, M) uint8 -> ops (S, B) int8 (end-to-front order).
+    def backtrack(dirs, qlen, tlen, row_layout: bool = False):
+        """dirs -> ops (S, B) int8 (end-to-front order).
 
-        reference: align_simd.cpp backtrack16 (:1144-1233)."""
+        Two direction-buffer layouts: the wavefront forward emits
+        (D, B, Ms) diagonal-major (cell (i,j) at [i+j, b, i]); the
+        row-scan forward (nw_pallas2) emits (M, Np, B) row-major
+        (cell (i,j) at [i, j, b]).  reference: align_simd.cpp
+        backtrack16 (:1144-1233)."""
         B = qlen.shape[0]
-        # lane stride may exceed M (Pallas pads lanes to the int8 tiling)
-        Ms = dirs.shape[2]
-        # flat 1-D gather: a per-step 2-D take_along_axis over the (B, D*Ms)
-        # transpose lowers to a gather ~5x slower than indexing the
-        # row-major (D, B, Ms) buffer directly with linearized offsets
-        dirs_flat = dirs.reshape(D * B * Ms)
-        brange = jnp.arange(B, dtype=jnp.int32) * Ms
+        if row_layout:
+            Mr, Npr = dirs.shape[0], dirs.shape[1]
+            dirs_flat = dirs.reshape(Mr * Npr * B)
+            brange = jnp.arange(B, dtype=jnp.int32)
+        else:
+            # lane stride may exceed M (Pallas pads lanes to int8 tiling)
+            Ms = dirs.shape[2]
+            # flat 1-D gather: a per-step 2-D take_along_axis over the
+            # (B, D*Ms) transpose lowers to a gather ~5x slower than
+            # indexing the row-major (D, B, Ms) buffer directly
+            dirs_flat = dirs.reshape(D * B * Ms)
+            brange = jnp.arange(B, dtype=jnp.int32) * Ms
 
         def step(carry, _):
             i, j, prev = carry
             both = (i >= 0) & (j >= 0)
-            idx = (jnp.clip(i + j, 0, D - 1) * (B * Ms) + brange
-                   + jnp.clip(i, 0, Ms - 1))
+            if row_layout:
+                idx = ((jnp.clip(i, 0, Mr - 1) * Npr
+                        + jnp.clip(j, 0, Npr - 1)) * B + brange)
+            else:
+                idx = (jnp.clip(i + j, 0, D - 1) * (B * Ms) + brange
+                       + jnp.clip(i, 0, Ms - 1))
             dword = dirs_flat[idx].astype(jnp.int32)
             extleft = (dword & DIR_EXTLEFT) != 0
             extup = (dword & DIR_EXTUP) != 0
@@ -268,36 +305,127 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
         _, ops = jax.lax.scan(step, init, None, length=S)
         return ops
 
+    def backtrack_rle(dirs, qlen, tlen):
+        """RLE backtrack over the row-scan forward's fused dir bytes.
+
+        dirs (M, Np, B) uint8 with bits 0-3 the direction flags and bits
+        4-7 the M-run length ending at the cell (nw_pallas2).  Each
+        while-loop step consumes a whole diagonal run (or one I/D move, or
+        a whole boundary drain), so the number of HBM gathers — the
+        backtrack's cost on TPU (~23 ns/element, scalar-loop gather) — is
+        ~#runs instead of #moves: >10x fewer for high-identity pairs.
+
+        Returns ops (S, B) int8 in end-to-front order, run-length encoded
+        as op | count << 2 (count 1..31; plain 1..3 bytes mean count 1 —
+        the format the host assembler accepts for both kernels)."""
+        B = qlen.shape[0]
+        Mr, Npr = dirs.shape[0], dirs.shape[1]
+        dirs_flat = dirs.reshape(Mr * Npr * B)
+        brange = jnp.arange(B, dtype=jnp.int32)
+
+        def cond(state):
+            t, i, j, prev, ops = state
+            return (t < S) & jnp.any((i >= 0) | (j >= 0))
+
+        def body(state):
+            t, i, j, prev, ops = state
+            both = (i >= 0) & (j >= 0)
+            idx = ((jnp.clip(i, 0, Mr - 1) * Npr
+                    + jnp.clip(j, 0, Npr - 1)) * B + brange)
+            byte = dirs_flat[idx].astype(jnp.int32)
+            rl = (byte >> 4) & 15
+            extleft = (byte & DIR_EXTLEFT) != 0
+            extup = (byte & DIR_EXTUP) != 0
+            left = (byte & DIR_LEFT) != 0
+            up = (byte & DIR_UP) != 0
+            op_main = jnp.where(
+                (prev == OP_I) & extleft, OP_I,
+                jnp.where((prev == OP_D) & extup, OP_D,
+                          jnp.where(left, OP_I,
+                                    jnp.where(up, OP_D, OP_M))))
+            cnt_main = jnp.where(op_main == OP_M, jnp.maximum(rl, 1), 1)
+            active = (i >= 0) | (j >= 0)
+            op_drain = jnp.where(i >= 0, OP_D, OP_I)
+            cnt_drain = jnp.minimum(jnp.where(i >= 0, i, j) + 1, 31)
+            op = jnp.where(both, op_main,
+                           jnp.where(active, op_drain, OP_NONE))
+            cnt = jnp.where(both, cnt_main,
+                            jnp.where(active, cnt_drain, 0))
+            di = jnp.where((op == OP_D) | (op == OP_M), cnt, 0)
+            dj = jnp.where((op == OP_I) | (op == OP_M), cnt, 0)
+            packed = (op | (cnt << 2)).astype(jnp.int8)
+            ops = jax.lax.dynamic_update_index_in_dim(ops, packed, t, 0)
+            prev = jnp.where(active, op, prev)
+            return (t + 1, i - di, j - dj, prev, ops)
+
+        state = (jnp.int32(0), qlen - 1, tlen - 1,
+                 jnp.zeros(B, dtype=jnp.int32),
+                 jnp.zeros((S, B), dtype=jnp.int8))
+        _, _, _, _, ops = jax.lax.while_loop(cond, body, state)
+        return ops
+
     forward_fn = forward
-    # The Pallas forward keeps the H/E/F carries VMEM-resident (the XLA scan
-    # round-trips them through HBM every diagonal).  It is the default on
-    # TPU backends (bit-identical outputs, measured 51.4 vs 59.3 ms
-    # end-to-end incl. backtrack at (512, 640x640) on v5e; the persistent
-    # compilation cache absorbs the one-time Mosaic compiles).
-    # VSEARCH_TPU_PALLAS=0 is the kill-switch back to the XLA scan.
-    if (Bp > 0 and os.environ.get("VSEARCH_TPU_PALLAS", "1") != "0"
-            and jax.default_backend() != "cpu"):
-        tb = _pallas_tile(Bp, M)
-        if tb >= 8 and Bp % tb == 0:
+    row_layout = False
+    # Kernel ladder on TPU backends (Pallas primitives here are TPU-only —
+    # Mosaic; GPU/CPU take the XLA scan):
+    #   pallas2 (default): row-scan forward with VMEM carries and a
+    #     max-plus prefix for E (ops/nw_pallas2.py) — measured 43 GCUPS-eq
+    #     at (1024 pairs, 640x640) on v5e vs 2.8 for the wavefront.
+    #   pallas: the r2 anti-diagonal wavefront (ops/nw_pallas.py).
+    #   xla: the scan above (also VSEARCH_TPU_PALLAS=0, the r2 kill-switch).
+    impl = os.environ.get("VSEARCH_TPU_NW_IMPL", "pallas2")
+    if os.environ.get("VSEARCH_TPU_PALLAS", "1") == "0":
+        impl = "xla"
+    if Bp > 0 and jax.default_backend() == "tpu" and impl != "xla":
+        built = False
+        if (impl == "pallas2" and Bp % 128 == 0 and M % 8 == 0
+                and N % 8 == 0 and -128 <= mismatch <= 127):
             try:
-                from .nw_pallas import build_forward
-                forward_fn = build_forward(scheme_key, M, N, tb)
+                from .nw_pallas2 import build_forward2
+                forward_fn = build_forward2(scheme_key, M, N, Bp)
+                row_layout = True
+                built = True
             except Exception:
                 forward_fn = forward
+        if not built and impl in ("pallas", "pallas2"):
+            tb = _pallas_tile(Bp, M)
+            if tb >= 8 and Bp % tb == 0:
+                try:
+                    from .nw_pallas import build_forward
+                    forward_fn = build_forward(scheme_key, M, N, tb)
+                except Exception:
+                    forward_fn = forward
 
-    def full(q4, qlen, t4, tlen):
-        # codes may arrive as int8 (the wire format is 4x narrower than
-        # int32 over the tunneled host<->device link); widen on device
-        score, overflow, dirs = forward_fn(q4.astype(jnp.int32), qlen,
-                                           t4.astype(jnp.int32), tlen)
-        ops = backtrack(dirs, qlen, tlen)
-        return score, overflow, ops
+    if row_layout:
+        def full(qmT, amT, qlen, t4T, tlen):
+            # pre-transposed int8 wire format (encode_rowT on host)
+            score, overflow, dirs = forward_fn(qmT, amT, qlen, t4T, tlen)
+            ops = backtrack_rle(dirs, qlen, tlen)
+            return score, overflow, ops
+        full.wire = "rowT"
+    else:
+        def full(q4, qlen, t4, tlen):
+            # codes may arrive as int8 (the wire format is 4x narrower
+            # than int32 over the tunneled host<->device link)
+            score, overflow, dirs = forward_fn(q4.astype(jnp.int32), qlen,
+                                               t4.astype(jnp.int32), tlen)
+            ops = backtrack(dirs, qlen, tlen)
+            return score, overflow, ops
 
     if Bp == -1:  # profiling hook: split forward/backtrack timings
         return jax.jit(forward), jax.jit(backtrack)
     if Bp == -2:  # raw (unjitted) full kernel for shard_map wrapping
         return full
-    return jax.jit(full)
+    jitted = jax.jit(full)
+    try:
+        jitted.wire = getattr(full, "wire", None)
+    except AttributeError:  # jit wrapper refuses attributes: wrap it
+        _inner = jitted
+
+        def jitted(*a):
+            return _inner(*a)
+        jitted.wire = getattr(full, "wire", None)
+    return jitted
 
 
 @functools.lru_cache(maxsize=64)
@@ -334,6 +462,16 @@ def _gather_align_kernel(scheme_key: tuple, M: int, N: int, Bp: int):
     only the query-side data."""
     full_kernel = _build_kernels(scheme_key, M, N, Bp)
 
+    if getattr(full_kernel, "wire", None) == "rowT":
+        @jax.jit
+        def run(qmT, amT, qlen, pos, db_codes, tlen_by_pos):
+            p = jnp.clip(pos, 0, db_codes.shape[0] - 1)
+            t4T = db_codes[p][:, :N].T
+            tlen = jnp.minimum(tlen_by_pos[p], N)
+            return full_kernel(qmT, amT, qlen, t4T, tlen)
+        run.wire = "rowT"
+        return run
+
     @jax.jit
     def run(q4, qlen, pos, db_codes, tlen_by_pos):
         p = jnp.clip(pos, 0, db_codes.shape[0] - 1)
@@ -359,11 +497,12 @@ class BatchAligner:
         """One query vs many targets (the search16 call shape)."""
         return self.align_pairs([qseq] * len(tseqs), tseqs)
 
-    # pair-batch geometry ladder: exactly three buckets so at most three
-    # kernel geometries ever compile per (M, N) — TPU compiles are the
-    # scarce resource on a tunneled device (tens of seconds to minutes
-    # each, queue-dependent), while padded lanes only cost idle VPU work
-    PAIR_BUCKETS = (64, 256, 512, 1024)
+    # pair-batch geometry ladder: few buckets so at most four kernel
+    # geometries ever compile per (M, N) — TPU compiles are the scarce
+    # resource on a tunneled device (tens of seconds to minutes each,
+    # queue-dependent), while padded lanes only cost idle VPU work.  All
+    # buckets are multiples of 128 (the row-scan kernel's lane width).
+    PAIR_BUCKETS = (128, 256, 512, 1024)
 
     # batches below this many DP cells run on the host C tier: a device
     # dispatch costs a ~25-90 ms tunnel round-trip, the scalar C aligner
@@ -428,8 +567,13 @@ class BatchAligner:
         for i, s in enumerate(qseqs):
             qlens[i] = max(len(s), 1)
         M = _bucket(max(len(s) for s in qseqs))
-        q4 = encode_padded(qseqs, rows, M)
         kernel = _gather_align_kernel(self._key, M, N, rows)
+        if getattr(kernel, "wire", None) == "rowT":
+            qmT, amT = encode_rowT(qseqs, rows, M, self.scheme.mismatch,
+                                   self.scheme.n_mismatch)
+            return kernel(jnp.asarray(qmT), jnp.asarray(amT),
+                          jnp.asarray(qlens), pos, db_codes, tlen_by_pos)
+        q4 = encode_padded(qseqs, rows, M)
         return kernel(jnp.asarray(q4), jnp.asarray(qlens), pos,
                       db_codes, tlen_by_pos)
 
@@ -449,8 +593,6 @@ class BatchAligner:
 
         # vectorized encode into the int8 wire format (one lookup over the
         # concatenated bytes + masked scatter instead of per-pair slicing)
-        q4 = encode_padded(qseqs, Bp, M)
-        t4 = encode_padded(tseqs, Bp, N)
         qlens_p = np.ones(Bp, dtype=np.int32)
         qlens_p[:B] = qlens
         tlens_p = np.ones(Bp, dtype=np.int32)
@@ -463,6 +605,17 @@ class BatchAligner:
                                             mesh.devices.size)
         else:
             kernel = _build_kernels(self._key, M, N, Bp)
+        if getattr(kernel, "wire", None) == "rowT":
+            # row-scan wire: pre-transposed + LUT-remapped on host so the
+            # device does no per-batch preprocessing
+            qmT, amT = encode_rowT(qseqs, Bp, M, self.scheme.mismatch,
+                                   self.scheme.n_mismatch)
+            t4T = np.ascontiguousarray(encode_padded(tseqs, Bp, N).T)
+            return kernel(jnp.asarray(qmT), jnp.asarray(amT),
+                          jnp.asarray(qlens_p), jnp.asarray(t4T),
+                          jnp.asarray(tlens_p))
+        q4 = encode_padded(qseqs, Bp, M)
+        t4 = encode_padded(tseqs, Bp, N)
         return kernel(jnp.asarray(q4), jnp.asarray(qlens_p),
                       jnp.asarray(t4), jnp.asarray(tlens_p))
 
@@ -509,7 +662,10 @@ class BatchAligner:
             cigar, aligned, matches, mismatches, gaps = res
             return AlignmentResult(score, cigar, aligned, matches,
                                    mismatches, gaps)
-        fwd = ops_rev[ops_rev != OP_NONE][::-1]
+        vals = ops_rev[ops_rev != OP_NONE][::-1].astype(np.int64)
+        # decode run-length bytes (op | count << 2); flat bytes have
+        # count-field 0 and decode as a single move
+        fwd = np.repeat(vals & 3, np.maximum(vals >> 2, 1))
         aligned = int(fwd.size)
         is_m = fwd == OP_M
         is_d = fwd == OP_D

@@ -225,7 +225,7 @@ def build_forward(scheme_key: tuple, M: int, N: int, TB: int):
                              memory_space=pltpu.VMEM),       # score
                 pl.BlockSpec((TB, 1), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),       # overflow
-                pl.BlockSpec(memory_space=pltpu.ANY),        # dirs (HBM, full)
+                pl.BlockSpec(memory_space=pl.ANY),           # dirs (HBM, full)
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),

@@ -1,0 +1,303 @@
+"""Pallas TPU row-scan forward for the batched Needleman-Wunsch DP.
+
+Second-generation forward kernel (replaces the anti-diagonal wavefront of
+ops/nw_pallas.py as the TPU default).  Design:
+
+* layout: target positions j in SUBLANES (Np rows), pair batch in LANES
+  (TB columns, multiple of 128).  All shifts are sublane shifts; the pair
+  dimension is the vector width that hides the VPU dependency latency
+  (measured: TB=128 -> 13 GCUPS, TB=1024 -> 43 GCUPS on v5e).
+* one fori_loop step per QUERY row (M steps instead of the wavefront's
+  M+N-1): the horizontal gap state E, whose within-row recurrence
+  E(j+1) = max(E(j) - R, h(j) - QR) is a max-plus prefix, is computed with
+  a log2(Np)-stage shifted-max scan:
+      E(j) = max(E0, P(j-1) - QR + R) - j*R,  P = cummax(htemp + j*R)
+  This removes both the wavefront's ~2x padded-diagonal redundancy and its
+  per-step dynamic window rotates.
+* the vertical gap state F and the H row are plain per-row carries.
+* direction bits (same 4-bit layout as ops/nw.py) stream to HBM through a
+  double-buffered KROWS-deep staging buffer, layout (M, Np, B) —
+  dirs[i, j, b] — consumed by the layout-aware device backtrack in
+  nw_jax.py.
+* 16-bit overflow *detection* (hmin/hmax vs score_min/SHRT_MAX,
+  align_simd.cpp:2029-2040 semantics) is only materialized when the static
+  score-envelope analysis (overflow_possible) says the reference engine
+  could overflow for this (scheme, M, N); for amplicon geometries the
+  bound proves overflow impossible in BOTH engines, so the tracking ops
+  are dropped and the flag is constant false — bit-identical behavior.
+
+Cell semantics are identical to ops/nw.py's scalar oracle (reference:
+align_simd.cpp onestep :752-781, aligncolumns_* :783-1050).
+
+This toolchain's Mosaic rejects int16 vector max/compare and int8 dynamic
+sublane slices (probed), so the datapath is int32 and per-row query codes
+are pre-widened to int32 on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from vsearch_tpu import configure_jax as _cfg
+_cfg()
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nw import DIR_EXTLEFT, DIR_EXTUP, DIR_LEFT, DIR_UP, SHRT_MAX, ScoreScheme
+
+NEG = -(2 ** 30)
+KROWS = 16  # direction rows per staging DMA
+
+
+def overflow_possible(scheme_key: tuple, M: int, N: int) -> bool:
+    """Static envelope: can any cell's h reach the reference's 16-bit
+    overflow thresholds for this scheme/geometry?
+
+    h(i,j) is the optimal prefix-alignment score, bounded below by the
+    score of the specific diagonal-then-single-gap path and above by
+    all-diagonal matches.  When both bounds stay inside
+    (score_min, SHRT_MAX), neither engine can flag overflow and the
+    tracking is dropped (reference: align_simd.cpp compute_score_min
+    :1432-1444)."""
+    (match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r,
+     ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r, n_mismatch) = scheme_key
+    gos = (go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r)
+    ges = (ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r)
+    if min(gos) < 0 or min(ges) < 0:
+        return True  # gap rewards: bail to exact tracking
+    mm_floor = min(mismatch, match, 0)
+    hmin_b = min(M, N) * mm_floor - 2 * max(gos) - max(M, N) * max(ges)
+    hmax_b = min(M, N) * max(match, 0)
+    scheme = ScoreScheme(match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i,
+                         go_q_r, go_t_r, ge_q_l, ge_t_l, ge_q_i, ge_t_i,
+                         ge_q_r, ge_t_r, bool(n_mismatch))
+    return not (hmin_b > scheme.score_min() + 8 and hmax_b < SHRT_MAX - 8)
+
+
+def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
+                   interpret: bool = False):
+    """Forward DP for geometry (M query rows, N target cols, TB pairs).
+
+    Returns a jitted fn (q4 (B, M) int8, qlen (B,), t4 (B, N) int8,
+    tlen (B,)) -> (score (B,) i32, overflow (B,) bool, dirs (M, N, B) u8)
+    with B == TB (TB a multiple of 128; N, M multiples of 8 with M a
+    multiple of KROWS)."""
+    (match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r,
+     ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r, n_mismatch) = scheme_key
+    QR_q_i = go_q_i + ge_q_i
+    QR_q_r = go_q_r + ge_q_r
+    QR_t_i = go_t_i + ge_t_i
+    QR_t_r = go_t_r + ge_t_r
+    scheme = ScoreScheme(match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i,
+                         go_q_r, go_t_r, ge_q_l, ge_t_l, ge_q_i, ge_t_i,
+                         ge_q_r, ge_t_r, bool(n_mismatch))
+    score_min = scheme.score_min()
+    Np = N
+    assert Np % 8 == 0 and M % KROWS == 0 and TB % 128 == 0
+    track = overflow_possible(scheme_key, M, N)
+    # last-row (query-right) classes identical to interior: drop the
+    # per-row class selects entirely
+    q_classes_equal = (QR_q_i == QR_q_r and ge_q_i == ge_q_r)
+    nblk = M // KROWS
+
+    def kernel(qm8_ref, am8_ref, qlen_ref, t4_ref, tlen_ref,
+               score_ref, over_ref, dirs_hbm, qm_ref, am_ref, stage, sems):
+        # widen the int8 wire rows once (dynamic sublane slices require a
+        # 32-bit element type on this Mosaic toolchain)
+        qm_ref[:] = qm8_ref[:].astype(jnp.int32)
+        am_ref[:] = am8_ref[:].astype(jnp.int32)
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (Np, TB), 0)
+        j0 = jidx == 0
+        t4c = t4_ref[:].astype(jnp.int32)
+        tlen_v = tlen_ref[:]                       # (1, TB)
+        qlen_v = qlen_ref[:]                       # (1, TB)
+        # target-side static vectors
+        amb_t = jnp.logical_not((t4c == 1) | (t4c == 2) | (t4c == 4)
+                                | (t4c == 8))
+        if n_mismatch:
+            t_is_n = t4c == 15
+            amb_t = amb_t & jnp.logical_not(t_is_n)
+        right_t = jidx == (tlen_v - 1)
+        last_t = right_t                            # score extraction mask
+        QR_t_v = jnp.where(right_t, QR_t_r, QR_t_i)
+        R_t_v = jnp.where(right_t, ge_t_r, ge_t_i)
+        jR_i = jidx * ge_q_i
+        if not q_classes_equal:
+            jR_r = jidx * ge_q_r
+        # virtual row -1 (top boundary) and its F
+        H0 = -(go_q_l + (jidx + 1) * ge_q_l)
+        F0 = H0 - QR_t_v
+        zero = jnp.zeros((Np, TB), jnp.int32)
+
+        def row(i, carry):
+            H, F, RL, score_acc, hmin, hmax = carry
+            qm_row = qm_ref[pl.ds(i, 1), :]        # (1, TB) int32
+            am_row = am_ref[pl.ds(i, 1), :]
+            V = jnp.where(t4c == qm_row, match, am_row)
+            V = jnp.where(amb_t, 0, V)
+            if n_mismatch:
+                either_n = t_is_n | (qm_row == -2)
+                V = jnp.where(either_n, mismatch, V)
+            lastq = qlen_v == (i + 1)              # (1, TB)
+            if q_classes_equal:
+                QR_q_row = QR_q_i
+                R_q_row = ge_q_i
+                QRmR = QR_q_i - ge_q_i
+                jR = jR_i
+            else:
+                QR_q_row = jnp.where(lastq, QR_q_r, QR_q_i)
+                R_q_row = jnp.where(lastq, ge_q_r, ge_q_i)
+                QRmR = QR_q_row - R_q_row
+                jR = jnp.where(lastq, jR_r, jR_i)
+            # diagonal input: previous row's H shifted down one position,
+            # with the left-boundary H[i-1][-1] injected at j=0
+            diag_left = jax.lax.select(i == 0, 0, -(go_t_l + i * ge_t_l))
+            Hs = pltpu.roll(H, 1, 0)
+            diag = jnp.where(j0, diag_left, Hs)
+            htemp = diag + V
+            dup = F > htemp
+            htemp2 = jnp.maximum(htemp, F)
+            # E via max-plus prefix:
+            #   E(j) = max(E0, P(j-1) - (QR - R)) - j*R,
+            #   P = cummax(htemp2 + j*R)
+            E0 = -(go_t_l + (i + 1) * ge_t_l) - QR_q_row
+            A = htemp2 + jR
+            P = A
+            s = 1
+            while s < Np:
+                c = min(s, Np)
+                P = jnp.maximum(
+                    P, jnp.concatenate(
+                        (jnp.full((c, TB), NEG, jnp.int32), P[:Np - c]),
+                        axis=0))
+                s *= 2
+            Ps = jnp.concatenate(
+                (jnp.full((1, TB), NEG, jnp.int32), P[:Np - 1]), axis=0)
+            E = jnp.maximum(Ps - QRmR, E0) - jR
+            dleft = E > htemp2
+            h = jnp.maximum(E, htemp2)
+            # direction bits for this row
+            HE = h - QR_q_row
+            Ex = E - R_q_row
+            dextl = Ex > HE
+            Fx = F - R_t_v
+            HF = h - QR_t_v
+            dextu = Fx > HF
+            F_next = jnp.maximum(Fx, HF)
+            dirs32 = (jnp.where(dup, DIR_UP, 0)
+                      | jnp.where(dleft, DIR_LEFT, 0)
+                      | jnp.where(dextu, DIR_EXTUP, 0)
+                      | jnp.where(dextl, DIR_EXTLEFT, 0))
+            # M-run length (capped 15) fused into the high nibble: the
+            # number of consecutive diagonal (no-LEFT/no-UP) cells ending
+            # here lets the RLE backtrack skip whole match runs per gather
+            if os.environ.get("VSEARCH_TPU_NW_NORL", "0") == "1":
+                RL_next = RL
+            else:
+                leftup = (dirs32 & (DIR_UP | DIR_LEFT)) != 0
+                RLs = jnp.where(j0, 0, pltpu.roll(RL, 1, 0))
+                RL_next = jnp.where(leftup, 0, jnp.minimum(RLs + 1, 15))
+                dirs32 = dirs32 | (RL_next << 4)
+            blk = i // KROWS
+            k = i - blk * KROWS
+            slot = jax.lax.rem(blk, 2)
+
+            # before overwriting a slot's first row, drain its previous DMA
+            @pl.when((k == 0) & (blk >= 2))
+            def _():
+                pltpu.make_async_copy(
+                    stage.at[slot],
+                    dirs_hbm.at[pl.ds((blk - 2) * KROWS, KROWS)],
+                    sems.at[slot]).wait()
+
+            stage[slot, k] = dirs32.astype(jnp.uint8)
+
+            @pl.when(k == KROWS - 1)
+            def _():
+                pltpu.make_async_copy(
+                    stage.at[slot],
+                    dirs_hbm.at[pl.ds(blk * KROWS, KROWS)],
+                    sems.at[slot]).start()
+
+            # final-cell score: row qlen-1, column tlen-1
+            at_end = last_t & lastq
+            score_acc = score_acc + jnp.where(at_end, h, 0)
+            if track:
+                valid = (jidx < tlen_v) & (qlen_v > i)
+                hv = jnp.where(valid, h, 0)
+                hmin = jnp.minimum(hmin, hv)
+                hmax = jnp.maximum(hmax, hv)
+            return (h, F_next, RL_next, score_acc, hmin, hmax)
+
+        # NOTE: a dynamic (traced) row bound of ceil(max(qlen)/KROWS)*KROWS
+        # was measured 48% SLOWER than the static bound — the traced trip
+        # count defeats Mosaic's loop pipelining — so the loop always runs
+        # all M rows (the bucket ladder keeps M close to max qlen anyway)
+        H, F, RL, score_acc, hmin, hmax = jax.lax.fori_loop(
+            0, M, row, (H0, F0, zero, zero, zero, zero))
+
+        # drain outstanding staging DMAs (the last one or two started)
+        pltpu.make_async_copy(
+            stage.at[(nblk - 1) % 2],
+            dirs_hbm.at[pl.ds((nblk - 1) * KROWS, KROWS)],
+            sems.at[(nblk - 1) % 2]).wait()
+        if nblk >= 2:
+            pltpu.make_async_copy(
+                stage.at[(nblk - 2) % 2],
+                dirs_hbm.at[pl.ds((nblk - 2) * KROWS, KROWS)],
+                sems.at[(nblk - 2) % 2]).wait()
+
+        score_ref[:] = jnp.sum(score_acc, axis=0, keepdims=True)
+        if track:
+            mn = jnp.min(hmin, axis=0, keepdims=True)
+            mx = jnp.max(hmax, axis=0, keepdims=True)
+            over_ref[:] = ((mn <= score_min)
+                           | (mx >= SHRT_MAX)).astype(jnp.int32)
+        else:
+            over_ref[:] = jnp.zeros((1, TB), jnp.int32)
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qm (M, TB) i8
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # am (M, TB) i8
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qlen (1, TB) i32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # t4 (Np, TB) i8
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tlen (1, TB) i32
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # score (1, TB)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # overflow (1, TB)
+            pl.BlockSpec(memory_space=pl.ANY),       # dirs (M, Np, TB) HBM
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((M, Np, TB), jnp.uint8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, TB), jnp.int32),          # widened qm
+            pltpu.VMEM((M, TB), jnp.int32),          # widened am
+            pltpu.VMEM((2, KROWS, Np, TB), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def forward(qmT, amT, qlen, t4T, tlen):
+        """Pre-transposed wire format (nw_jax.encode_rowT): qmT/amT
+        (M, TB) int8 with the ambiguity/N remap folded in on host, t4T
+        (Np, TB) int8."""
+        score, over, dirs = call(qmT, amT, qlen[None, :].astype(jnp.int32),
+                                 t4T, tlen[None, :].astype(jnp.int32))
+        return score[0], over[0] != 0, dirs
+
+    return forward

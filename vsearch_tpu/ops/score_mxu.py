@@ -62,8 +62,10 @@ def dense_supported(hashsize: int, block_pos: int) -> bool:
     """Dense path eligibility for an index geometry.  The per-chunk
     packed-key/fallback choice (maxk vs DENSE_MAXK_LIMIT) happens at
     dispatch time; this gates only what is static per index."""
+    # the kernel uses Mosaic (TPU-only) primitives — gate on an actual TPU
+    # backend, not merely "not cpu" (a GPU backend must take the scan path)
     return (hashsize <= 1 << 18 and block_pos <= 1 << POS_BITS
-            and jax.default_backend() != "cpu")
+            and jax.default_backend() == "tpu")
 
 
 def _kernel(vblk: int, n_v: int, n_real: int, pack: bool):
