@@ -146,6 +146,10 @@ def main():
                     break
                 dst.write(line)
         run_ours(db_path, warm_q, workdir / "warm.uc")
+        if os.environ.get("VSEARCH_TPU_PHASES") == "1":
+            # drop warmup compile waits from the phase breakdown
+            from vsearch_tpu.utils import phasetimer
+            phasetimer.reset()
 
         # median of N measured runs: the tunneled TPU's transfer latency
         # varies run to run; each sample is a complete N_QUERIES-query run

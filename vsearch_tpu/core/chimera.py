@@ -117,6 +117,68 @@ class ChimeraEngine:
         self.index = index
         self.ctx = ctx                 # SearchContext built with detection
         self.tophits = detection.opt_maxaccepts + detection.opt_maxrejects
+        import os as _os
+        import jax as _jax
+        self._dev_enabled = (
+            _jax.default_backend() == "tpu"
+            and _os.environ.get("VSEARCH_TPU_CHIMERA_DEVICE", "1") != "0")
+        # reference-set size above which denovo candidate scoring moves to
+        # the growing device index (per-query device latency beats host
+        # postings cost only once the accepted set is large) — r2 Missing #3
+        self.DEVICE_MIN = int(_os.environ.get(
+            "VSEARCH_TPU_CHIMERA_DEVICE_MIN", "16384"))
+        self._dev_index = None
+
+    def _part_candidates(self, kmers_list, qis, minmatches_list):
+        """Candidate parents for every query part, batched on device when
+        an index tier is available: uchime_ref rides the static
+        DeviceKmerIndex (dense MXU path) built by SearchContext; denovo
+        modes use the growing scatter-append index (ops/score_grow.py)
+        past DEVICE_MIN accepted sequences."""
+        if self.ctx.device_index is not None:
+            return self.ctx._candidates_batch(
+                kmers_list, [qi.kmersamplecount for qi in qis])
+        dev = self._growing_device()
+        if dev is not None and dev.supports(kmers_list):
+            return dev.topk_batch(kmers_list, self.tophits, minmatches_list)
+        return self.index.candidates_for_query_batch(
+            kmers_list, self.tophits, minmatches_list)
+
+    def _growing_device(self):
+        """Lazy device mirror of the growing denovo index, self-synced to
+        the host index's current length."""
+        if not self._dev_enabled:
+            return None
+        try:
+            from ..ops.score_grow import GrowingDeviceKmerIndex, RANK_MAX
+            count = self.index.count
+            if count > RANK_MAX:
+                self._dev_enabled = False
+                self._dev_index = None
+                return None
+            if self._dev_index is None:
+                if count < self.DEVICE_MIN:
+                    return None
+                self._dev_index = GrowingDeviceKmerIndex.build(
+                    self.index.wordlength,
+                    self.index.kmer_lists_by_position(),
+                    list(self.index.lengths), list(self.index.mapping),
+                    capacity=max(2 * count, 40960))
+            elif self._dev_index.n < count:
+                entries = [(self.index._kmer_lists[p],
+                            self.index.lengths[p], self.index.mapping[p])
+                           for p in range(self._dev_index.n, count)]
+                if not self._dev_index.append_round(entries):
+                    self._dev_index = GrowingDeviceKmerIndex.build(
+                        self.index.wordlength,
+                        self.index.kmer_lists_by_position(),
+                        list(self.index.lengths), list(self.index.mapping),
+                        capacity=max(2 * count, 40960))
+            return self._dev_index
+        except Exception:
+            self._dev_enabled = False
+            self._dev_index = None
+            return None
 
     def parts_for(self, query_len: int) -> int:
         """reference: realloc_arrays (:275-299)."""
@@ -146,8 +208,10 @@ class ChimeraEngine:
         # and each wave aligns as ONE batch (parts x MAXDELAYED pairs)
         rest = len(query_seq)
         cursor = 0
-        walks = []
         part_seqs = []
+        qis = []
+        kmers_list = []
+        minmatches_list = []
         for i in range(parts):
             length = (rest + (parts - i - 1)) // (parts - i)
             part_seq = query_seq[cursor:cursor + length]
@@ -162,11 +226,13 @@ class ChimeraEngine:
             qi.kmersamplecount = int(kmers.size)
             mwm = detection.opt_minwordmatches
             mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
-            minmatches = min(mwm_u, qi.kmersamplecount)
-            candidates = self.index.candidates_for_query(
-                kmers, self.tophits, minmatches)
-            walks.append(QueryWalk(detection, qi, self.db, candidates))
+            minmatches_list.append(min(mwm_u, qi.kmersamplecount))
             part_seqs.append(part_seq)
+            qis.append(qi)
+            kmers_list.append(kmers)
+        cand_lists = self._part_candidates(kmers_list, qis, minmatches_list)
+        walks = [QueryWalk(detection, qi, self.db, candidates)
+                 for qi, candidates in zip(qis, cand_lists)]
 
         active = [w for w in range(parts) if not walks[w].done]
         while active:

@@ -114,6 +114,54 @@ class ClusterEngine:
         self.clusters = 0
         self._extras_postings = None   # per-round native postings
         self._extras_cache_len = -1
+        import os as _os
+        import jax as _jax
+        self._dev_enabled = (
+            _jax.default_backend() == "tpu"
+            and _os.environ.get("VSEARCH_TPU_CLUSTER_DEVICE", "1") != "0")
+        # centroid count above which candidate scoring moves to the device
+        # (below it, per-round kernel latency beats the host postings
+        # cost; above it, host counting scales with centroids x postings
+        # while the device scan stays one packed-bit pass) — r2 Missing #3
+        self.DEVICE_MIN = int(_os.environ.get(
+            "VSEARCH_TPU_CLUSTER_DEVICE_MIN", "4096"))
+        self._dev_index = None         # GrowingDeviceKmerIndex once active
+
+    # -- growing device index (ops/score_grow.py) ------------------------
+
+    def _device_sync(self, new_entries) -> None:
+        """Activate or grow the device-side index after a round added
+        centroids.  new_entries: [(kmers, length, seqno)] this round."""
+        if not self._dev_enabled:
+            return
+        try:
+            from ..ops.score_grow import GrowingDeviceKmerIndex, RANK_MAX
+            count = self.index.count
+            if self._dev_index is None:
+                if count < self.DEVICE_MIN:
+                    return
+                if count > RANK_MAX:
+                    self._dev_enabled = False
+                    return
+                self._dev_index = GrowingDeviceKmerIndex.build(
+                    self.index.wordlength,
+                    self.index.kmer_lists_by_position(),
+                    list(self.index.lengths), list(self.index.mapping),
+                    capacity=max(2 * count, 40960))
+                return
+            if not self._dev_index.append_round(new_entries):
+                if count > RANK_MAX:
+                    self._dev_enabled = False
+                    self._dev_index = None
+                    return
+                self._dev_index = GrowingDeviceKmerIndex.build(
+                    self.index.wordlength,
+                    self.index.kmer_lists_by_position(),
+                    list(self.index.lengths), list(self.index.mapping),
+                    capacity=max(2 * count, 40960))
+        except Exception:
+            self._dev_enabled = False
+            self._dev_index = None
 
     # -- search phase (device-batched, frozen index) --------------------
 
@@ -143,9 +191,16 @@ class ClusterEngine:
             per_query.append((states[0],
                               states[1] if len(states) > 1 else None))
 
-        cand_lists = self.index.candidates_for_query_batch(
-            kmer_lists, self.tophits,
-            [self.ctx._minmatches(st.qi.kmersamplecount) for st in units])
+        minmatches = [self.ctx._minmatches(st.qi.kmersamplecount)
+                      for st in units]
+        if (self._dev_index is not None
+                and self._dev_index.n == self.index.count
+                and self._dev_index.supports(kmer_lists)):
+            cand_lists = self._dev_index.topk_batch(
+                kmer_lists, self.tophits, minmatches)
+        else:
+            cand_lists = self.index.candidates_for_query_batch(
+                kmer_lists, self.tophits, minmatches)
         for st, cands in zip(units, cand_lists):
             st.walk.candidates = cands
 
@@ -319,6 +374,7 @@ class ClusterEngine:
             per_query = self._search_round(round_seqnos)
 
             extras: List[_StrandState] = []
+            new_entries = []           # device-index appends this round
             self._extras_postings = None
             self._extras_cache_len = -1
             for si_p, si_m in per_query:
@@ -343,5 +399,10 @@ class ClusterEngine:
                     info.strand = 0
                     self.index.add_sequence(myseqno, self.db,
                                             params.opt_qmask)
+                    new_entries.append(
+                        (self.index._kmer_lists[-1],
+                         self.db.getsequencelen(myseqno), myseqno))
                     on_nohit(self.clusters, si_p)
                     self.clusters += 1
+            if new_entries:
+                self._device_sync(new_entries)

@@ -1,0 +1,243 @@
+"""Device k-mer scoring for GROWING indexes (clustering / denovo chimera).
+
+The search engines that grow their index mid-run (greedy clustering adds
+every new centroid, denovo chimera every accepted non-chimera — reference
+dbindex.cpp:121-148 add_sequence) cannot use ops/score.py's
+DeviceKmerIndex, whose exactness relies on device positions being
+pre-sorted in min-heap order.  This class keeps the packed-bit incidence
+matrix over-allocated on device and appends rows with per-round
+scatter-OR updates (buffer-donated, so XLA updates in place), while the
+heap ORDER travels separately as a per-position rank vector maintained
+incrementally on host:
+
+    key(q, p) = counts(q, p) << RANK_BITS  |  (RANK_MAX - rank(p))
+
+which makes jax.lax.top_k's descending value order exactly the reference
+min-heap's (count desc, length asc, seqno asc) total order
+(src/core/minheap.cpp:111-146) for ANY position insertion order.
+
+Exactness gates (callers fall back to the host postings tier otherwise):
+  * counts fit the key:   max query-kmer count < 2^(31-RANK_BITS)
+  * positions fit ranks:  capacity < 2^RANK_BITS  (1M centroids)
+
+reference: src/core/searchcore.cpp:260-340 (search_topscores) feeding
+src/core/cluster.cpp:877-1030 / chimera.cpp:2018-2071.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vsearch_tpu import configure_jax as _cfg
+_cfg()
+import jax
+import jax.numpy as jnp
+
+RANK_BITS = 20
+RANK_MAX = (1 << RANK_BITS) - 1
+MAX_COUNT = (1 << (31 - RANK_BITS)) - 1     # 2047 shared kmers per query
+MIN_WORDS = 640        # narrower gathered rows compile pathologically
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _scatter_fn():
+    @functools.partial(jax.jit, donate_argnums=0)
+    def scatter(bits, rows, cols, vals):
+        # fresh positions: the targeted bits are all zero, and every
+        # (kmer, position) pair is unique, so scatter-add == scatter-or
+        return bits.at[rows, cols].add(vals)
+    return scatter
+
+
+@functools.lru_cache(maxsize=32)
+def _topk_ranked_kernel(hashsize: int, words: int, qp: int, maxk: int,
+                        k: int):
+    """Scan-counts + rank-keyed exact top-k over one growing block."""
+    chunk = 32
+    nchunks = maxk // chunk
+    n_cols = words * 32
+
+    @jax.jit
+    def run(ids, kcounts, bits, rank):
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (qp, maxk), 1)
+        ids = jnp.where(kpos < kcounts[:, None], ids.astype(jnp.int32),
+                        jnp.int32(hashsize))
+
+        def body(acc, idx_chunk):
+            rows = bits[idx_chunk]                     # (qp, chunk, words)
+            unpacked = (rows[..., None] >> shifts) & jnp.uint32(1)
+            return acc + unpacked.astype(jnp.int32).sum(axis=1), None
+
+        chunks = ids.reshape(qp, nchunks, chunk).transpose(1, 0, 2)
+        acc = jnp.zeros((qp, words, 32), dtype=jnp.int32)
+        acc, _ = jax.lax.scan(body, acc, chunks)
+        acc = acc.reshape(qp, n_cols)
+        # heap-order key; unoccupied positions carry rank RANK_MAX and are
+        # masked out entirely
+        key = (acc << RANK_BITS) | (RANK_MAX - rank)[None, :]
+        key = jnp.where(rank[None, :] >= RANK_MAX, -1, key)
+        vals, idx = jax.lax.top_k(key, k)
+        counts = jnp.where(vals >= 0,
+                           jax.lax.shift_right_logical(vals, RANK_BITS), -1)
+        return counts, idx.astype(jnp.int32)
+
+    return run
+
+
+class GrowingDeviceKmerIndex:
+    """Over-allocated packed-bit incidence matrix with scatter appends."""
+
+    def __init__(self, wordlength: int, capacity: int = 0) -> None:
+        self.wordlength = wordlength
+        self.hashsize = 1 << (2 * wordlength)
+        cap = max(capacity, MIN_WORDS * 32)
+        cap = _round_up(cap, 1024)
+        if cap > RANK_MAX:
+            raise ValueError("capacity exceeds rank budget")
+        self.cap = cap
+        self.words = cap // 32
+        self.n = 0
+        # +1 sentinel row: padded query-kmer ids gather all-zero bits
+        self.bits = jax.device_put(
+            np.zeros((self.hashsize + 1, self.words), dtype=np.uint32))
+        self.lengths = np.zeros(cap, dtype=np.int64)
+        self.seqnos = np.zeros(cap, dtype=np.int64)
+        # positions sorted by (length, seqno): maintained incrementally
+        self._order = np.zeros(0, dtype=np.int64)
+        self._rank_dev = None          # uploaded lazily before a topk
+        self._rank_dirty = True
+
+    # -- growth ----------------------------------------------------------
+
+    def append_round(self, entries: Sequence[Tuple[np.ndarray, int, int]]
+                     ) -> bool:
+        """Append (kmers, length, seqno) entries; False if capacity full
+        (caller rebuilds with a larger capacity)."""
+        if self.n + len(entries) > self.cap:
+            return False
+        rows_all = []
+        cols_all = []
+        vals_all = []
+        for kmers, length, seqno in entries:
+            p = self.n
+            if kmers.size:
+                rows_all.append(kmers.astype(np.int32))
+                cols_all.append(np.full(kmers.size, p >> 5, dtype=np.int32))
+                vals_all.append(np.full(kmers.size,
+                                        np.uint32(1) << np.uint32(p & 31),
+                                        dtype=np.uint32))
+            self.lengths[p] = length
+            self.seqnos[p] = seqno
+            # incremental sorted-order insert (length asc, seqno asc);
+            # seqnos arrive ascending, so (length, seqno) insertion via
+            # searchsorted on the composite key keeps ties stable
+            composite = self.lengths[self._order] * (1 << 40) \
+                + self.seqnos[self._order]
+            at = int(np.searchsorted(composite,
+                                     length * (1 << 40) + seqno))
+            self._order = np.insert(self._order, at, p)
+            self.n += 1
+        if rows_all:
+            self.bits = _scatter_fn()(
+                self.bits, jnp.asarray(np.concatenate(rows_all)),
+                jnp.asarray(np.concatenate(cols_all)),
+                jnp.asarray(np.concatenate(vals_all)))
+        self._rank_dirty = True
+        return True
+
+    @classmethod
+    def build(cls, wordlength: int, kmer_lists: List[np.ndarray],
+              lengths: Sequence[int], seqnos: Sequence[int],
+              capacity: int) -> "GrowingDeviceKmerIndex":
+        """Bulk build (native bit pack + one upload) for activation or
+        capacity growth."""
+        from .. import native
+        self = cls(wordlength, capacity)
+        n = len(kmer_lists)
+        if n:
+            sizes = np.fromiter((kl.size for kl in kmer_lists),
+                                dtype=np.int64, count=n)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            allk = np.ascontiguousarray(
+                np.concatenate(kmer_lists) if sizes.sum()
+                else np.zeros(0, np.uint32), dtype=np.uint32)
+            bits = np.zeros((self.hashsize + 1, self.words), dtype=np.uint32)
+            if not native.pack_bits(allk, starts, n, self.words, bits):
+                for p, kl in enumerate(kmer_lists):
+                    bits[kl.astype(np.int64), p >> 5] |= \
+                        np.uint32(1) << np.uint32(p & 31)
+            self.bits = jax.device_put(bits)
+            self.lengths[:n] = np.asarray(lengths)
+            self.seqnos[:n] = np.asarray(seqnos)
+            self.n = n
+            self._order = np.lexsort((self.seqnos[:n], self.lengths[:n]))
+            self._rank_dirty = True
+        return self
+
+    # -- scoring ---------------------------------------------------------
+
+    def _ranks(self):
+        if self._rank_dirty or self._rank_dev is None:
+            rank = np.full(self.words * 32, RANK_MAX, dtype=np.int32)
+            rank[self._order] = np.arange(self.n, dtype=np.int32)
+            self._rank_dev = jax.device_put(rank)
+            self._rank_dirty = False
+        return self._rank_dev
+
+    def supports(self, kmer_lists: List[np.ndarray]) -> bool:
+        return (self.cap <= RANK_MAX
+                and max((kl.size for kl in kmer_lists), default=0)
+                <= MAX_COUNT)
+
+    def topk_batch(self, kmer_lists: List[np.ndarray], tophits: int,
+                   minmatches_list: Sequence[int]
+                   ) -> List[List[Tuple[int, int]]]:
+        """Per-query (seqno, count) candidates in reference heap order."""
+        q = len(kmer_lists)
+        k = min(tophits, self.n)
+        if q == 0 or self.n == 0 or k == 0:
+            return [[] for _ in range(q)]
+        rank = self._ranks()
+        CHUNK = 512
+        maxk = max((kl.size for kl in kmer_lists), default=1)
+        maxk = max(_round_up(maxk, 640), 640)
+        u16 = self.hashsize <= 65536
+        pending = []
+        for lo in range(0, q, CHUNK):
+            chunk = kmer_lists[lo:lo + CHUNK]
+            qp = 128 if len(chunk) <= 128 else CHUNK
+            kcounts = np.zeros(qp, dtype=np.int32)
+            ids = np.zeros((qp, maxk), dtype=np.uint16 if u16 else np.int32)
+            for qi, kmers in enumerate(chunk):
+                ids[qi, :kmers.size] = kmers
+                kcounts[qi] = kmers.size
+            v, i = _topk_ranked_kernel(self.hashsize, self.words, qp, maxk,
+                                       k)(jnp.asarray(ids),
+                                          jnp.asarray(kcounts),
+                                          self.bits, rank)
+            pending.append((len(chunk), (v, i)))
+        fetched = jax.device_get([h for _, h in pending])
+        out: List[List[Tuple[int, int]]] = []
+        qi_global = 0
+        for (nq, _), (vals, idx) in zip(pending, fetched):
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+            for r in range(nq):
+                mm = minmatches_list[qi_global]
+                row: List[Tuple[int, int]] = []
+                for c, p in zip(vals[r].tolist(), idx[r].tolist()):
+                    if c < mm:
+                        break
+                    row.append((int(self.seqnos[p]), int(c)))
+                out.append(row)
+                qi_global += 1
+        return out
