@@ -58,9 +58,9 @@ def test_dense_matches_scan_kernel(fixture, packed_keys):
     i_scan = np.asarray(i_scan)
 
     Kb = pack_query_bits(qlists, QP, V)
-    v_d, i_d = dense_topk_kernel(V, WORDS, QP, K, N_REAL, interpret=True,
+    v_d, i_d = dense_topk_kernel(V, WORDS, QP, K, interpret=True,
                                  packed_keys=packed_keys)(
-        jnp.asarray(Kb), jnp.asarray(bits[:V]))
+        jnp.asarray(Kb), jnp.asarray(bits[:V]), N_REAL)
     v_d = np.asarray(v_d)
     i_d = np.asarray(i_d)
     assert np.array_equal(v_scan, v_d)

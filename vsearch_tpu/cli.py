@@ -778,6 +778,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                           os.path.expanduser("~/.cache/vsearch_tpu/jax"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    # multi-host runtime (jax.distributed) — must precede any device use
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()
     if argv is None:
         argv = sys.argv[1:]
     params: Optional[Parameters] = None
@@ -790,7 +793,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             # timestamps, elapsed time and peak memory bracket the report
             import resource
             import time
-            fp_log = open(params.opt_log, "wb")
+            from .parallel.distributed import output_path as _distpath
+            fp_log = open(_distpath(params.opt_log), "wb")
             params.fp_log = fp_log
             stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
             fp_log.write(params.prog_header.encode() + b"\n")

@@ -17,6 +17,9 @@ def open_output(path: str, name: str = "writing") -> IO[bytes]:
     exactly as the reference's OutputOption does."""
     if path == "-":
         return sys.stdout.buffer
+    # multi-host: replicated non-primary drivers stream to the null device
+    from ..parallel.distributed import output_path
+    path = output_path(path)
     try:
         return open(path, "wb")
     except OSError:

@@ -443,11 +443,44 @@ def _build_kernels_sharded(scheme_key: tuple, M: int, N: int, Bp: int,
     from ..parallel.mesh import active_mesh
 
     mesh = active_mesh()
-    full = _build_kernels(scheme_key, M, N, -2)
+    # per-shard kernel: the SAME impl ladder as single-chip for the local
+    # batch size (pallas2 row-scan on TPU shards, XLA scan elsewhere) — the
+    # sharded path is no longer a slow twin of the single-chip one
+    local_kern = _build_kernels(scheme_key, M, N, Bp // n_devices)
+    # multi-host: every (replicated) host driver consumes the FULL result,
+    # and cross-process shards are not addressable — gather on device
+    replicate = jax.process_count() > 1
+
+    def _finish(score, over, ops):
+        if replicate:
+            score = jax.lax.all_gather(score, "db", axis=0, tiled=True)
+            over = jax.lax.all_gather(over, "db", axis=0, tiled=True)
+            ops = jax.lax.all_gather(ops, "db", axis=1, tiled=True)
+        return score, over, ops
+
+    out_specs = (P(), P(), P()) if replicate \
+        else (P("db"), P("db"), P(None, "db"))
+    if getattr(local_kern, "wire", None) == "rowT":
+        run = jax.jit(jax.shard_map(
+            lambda qmT, amT, qlen, t4T, tlen:
+                _finish(*local_kern(qmT, amT, qlen, t4T, tlen)),
+            mesh=mesh,
+            in_specs=(P(None, "db"), P(None, "db"), P("db"),
+                      P(None, "db"), P("db")),
+            out_specs=out_specs,
+            check_vma=False,
+        ))
+
+        def wrapped(qmT, amT, qlen, t4T, tlen):
+            return run(qmT, amT, qlen, t4T, tlen)
+        wrapped.wire = "rowT"
+        return wrapped
+
     return jax.jit(jax.shard_map(
-        full, mesh=mesh,
+        lambda q4, qlen, t4, tlen: _finish(*local_kern(q4, qlen, t4, tlen)),
+        mesh=mesh,
         in_specs=(P("db"), P("db"), P("db"), P("db")),
-        out_specs=(P("db"), P("db"), P(None, "db")),
+        out_specs=out_specs,
         check_vma=False,
     ))
 
@@ -456,10 +489,62 @@ def _build_kernels_sharded(scheme_key: tuple, M: int, N: int, Bp: int,
 def _gather_align_kernel(scheme_key: tuple, M: int, N: int, Bp: int):
     """Forward+backtrack over pairs whose targets live on device.
 
-    Takes query codes (Bp, M) int8, query lengths, candidate index
-    positions (Bp,) int32, and the device-resident DB code matrix +
-    length table; gathers the target rows on device so a dispatch uploads
-    only the query-side data."""
+    Takes query codes, query lengths, candidate index positions (Bp,)
+    int32, and the device-resident DB code matrix + length table; gathers
+    the target rows on device so a dispatch uploads only the query-side
+    data.  Under an active mesh the pair batch is sharded over devices
+    (db codes replicated — parallel/sharded_index.attach_db_codes), so
+    the top-1 prefetch rides the mesh with the same kernels as
+    single-chip (r2 Weak #4)."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and Bp % mesh.devices.size == 0:
+        nd = mesh.devices.size
+        # per-shard batch: _build_kernels picks the best impl for the
+        # local size (pallas2 needs 128-multiples; others have no floor)
+        local_kern = _build_kernels(scheme_key, M, N, Bp // nd)
+        replicate = jax.process_count() > 1
+
+        def _finish(score, over, ops):
+            if replicate:
+                score = jax.lax.all_gather(score, "db", axis=0, tiled=True)
+                over = jax.lax.all_gather(over, "db", axis=0, tiled=True)
+                ops = jax.lax.all_gather(ops, "db", axis=1, tiled=True)
+            return score, over, ops
+
+        out_specs = (P(), P(), P()) if replicate \
+            else (P("db"), P("db"), P(None, "db"))
+        if getattr(local_kern, "wire", None) == "rowT":
+            def local(qmT, amT, qlen, pos, db_codes, tlen_by_pos):
+                p = jnp.clip(pos, 0, db_codes.shape[0] - 1)
+                t4T = db_codes[p][:, :N].T
+                tlen = jnp.minimum(tlen_by_pos[p], N)
+                return _finish(*local_kern(qmT, amT, qlen, t4T, tlen))
+            run_m = jax.jit(jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(None, "db"), P(None, "db"), P("db"), P("db"),
+                          P(), P()),
+                out_specs=out_specs,
+                check_vma=False))
+
+            def run(qmT, amT, qlen, pos, db_codes, tlen_by_pos):
+                return run_m(qmT, amT, qlen, pos, db_codes, tlen_by_pos)
+            run.wire = "rowT"
+            return run
+
+        def local(q4, qlen, pos, db_codes, tlen_by_pos):
+            p = jnp.clip(pos, 0, db_codes.shape[0] - 1)
+            t4 = db_codes[p][:, :N]
+            tlen = jnp.minimum(tlen_by_pos[p], N)
+            return _finish(*local_kern(q4, qlen, t4, tlen))
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("db"), P("db"), P("db"), P(), P()),
+            out_specs=out_specs,
+            check_vma=False))
+
     full_kernel = _build_kernels(scheme_key, M, N, Bp)
 
     if getattr(full_kernel, "wire", None) == "rowT":

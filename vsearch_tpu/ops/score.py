@@ -222,9 +222,9 @@ class DeviceKmerIndex:
                 for bits_dev, words, pbase, nb_real in self.blocks:
                     v, i = dense_topk_kernel(
                         self.hashsize, words, qp,
-                        min(k, max(nb_real, 1)), nb_real,
+                        min(k, max(nb_real, 1)),
                         packed_keys=maxk <= self._dense_maxk_limit)(
-                        kb_d, bits_dev)
+                        kb_d, bits_dev, nb_real)
                     per_block.append((v, i, pbase))
                 if len(per_block) == 1:
                     v, i, _ = per_block[0]

@@ -68,11 +68,13 @@ def dense_supported(hashsize: int, block_pos: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
-def _kernel(vblk: int, n_v: int, n_real: int, pack: bool):
+def _kernel(vblk: int, n_v: int, pack: bool):
     """Counts tile kernel; when ``pack`` the last vocab step folds the
     counts into the top-k key (count<<17 | (2^17-1-pos), -1 on padding
-    columns) in-place, saving an HBM round-trip of the counts matrix."""
-    def kernel(K_ref, bits_ref, out_ref):
+    columns) in-place, saving an HBM round-trip of the counts matrix.
+    n_real arrives as an SMEM scalar so mesh shards (whose real position
+    count is shard-dependent) reuse one compiled kernel."""
+    def kernel(nreal_ref, K_ref, bits_ref, out_ref):
         i_n = pl.program_id(0)
         i_v = pl.program_id(1)
         rows = pltpu.bitcast(bits_ref[:], jnp.int32)     # (VBLK, WBLK)
@@ -96,20 +98,22 @@ def _kernel(vblk: int, n_v: int, n_real: int, pack: bool):
                 pos = (i_n * NBLK + 32 * (j % WBLK) + j // WBLK)
                 key = out_ref[:] * (1 << POS_BITS) \
                     + ((1 << POS_BITS) - 1 - pos)
-                out_ref[:] = jnp.where(pos < n_real, key, -1)
+                out_ref[:] = jnp.where(pos < nreal_ref[0, 0], key, -1)
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
 def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
-                      n_real: int, interpret: bool = False,
+                      interpret: bool = False,
                       packed_keys: bool = True):
     """counts + exact top-k for one index block.
 
-    Takes (Kbits (qp, hashsize/32) uint32, bits (hashsize, words) uint32);
-    returns (counts (qp, k) int32, positions (qp, k) int32) in reference
-    heap order; invalid rows carry count -1 / position 2^30 (the contract
-    ops/score.py's merge and host cut consume)."""
+    Takes (Kbits (qp, hashsize/32) uint32, bits (hashsize, words) uint32,
+    n_real () int32 — the count of occupied positions, traced so mesh
+    shards share one compile); returns (counts (qp, k) int32, positions
+    (qp, k) int32) in reference heap order; invalid rows carry count -1 /
+    position 2^30 (the contract ops/score.py's merge and host cut
+    consume)."""
     V = hashsize
     qw = (V + 31) // 32
     n_cols = words * 32
@@ -118,14 +122,17 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
     n_v = V // vblk
     grid = (n_cols // NBLK, n_v)
 
-    def counts_or_keys(Kbits, bits, pack: bool):
+    def counts_or_keys(Kbits, bits, n_real, pack: bool):
         s = jnp.arange(32, dtype=jnp.int32)
         u = ((Kbits.view(jnp.int32)[:, :, None] >> s) & 1).astype(jnp.int8)
         K8 = u.reshape(qp, qw * 32)[:, :V]
+        nr = jnp.asarray(n_real, jnp.int32).reshape(1, 1)
         return pl.pallas_call(
-            _kernel(vblk, n_v, n_real, pack),
+            _kernel(vblk, n_v, pack),
             grid=grid,
             in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((qp, vblk), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((vblk, WBLK), lambda i, j: (j, i),
@@ -137,16 +144,16 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(K8, bits)
+        )(nr, K8, bits)
 
     @jax.jit
-    def run(Kbits, bits):
+    def run(Kbits, bits, n_real):
         if not packed_keys:
             # counts may exceed the packed-key budget (queries longer than
             # the amplicon regime): permute columns back to position order
             # and run the direct top-k, whose index tie-break (lowest
             # column first) then IS the reference heap order
-            counts = counts_or_keys(Kbits, bits, pack=False)
+            counts = counts_or_keys(Kbits, bits, n_real, pack=False)
             jc = np.arange(n_cols)
             rc = jc % NBLK
             pos_of_col = (jc // NBLK) * NBLK + 32 * (rc % WBLK) + rc // WBLK
@@ -154,12 +161,13 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
             col_of_pos[pos_of_col] = jc
             counts_pos = counts[:, jnp.asarray(col_of_pos)]
             colp = jax.lax.broadcasted_iota(jnp.int32, (qp, n_cols), 1)
-            counts_pos = jnp.where(colp < n_real, counts_pos, -1)
+            counts_pos = jnp.where(
+                colp < jnp.asarray(n_real, jnp.int32), counts_pos, -1)
             vals, idx = jax.lax.top_k(counts_pos, k)
             return vals, jnp.where(vals >= 0, idx.astype(jnp.int32),
                                    jnp.int32(2**30))
 
-        key = counts_or_keys(Kbits, bits, pack=True)
+        key = counts_or_keys(Kbits, bits, n_real, pack=True)
         # exact pruned top-k: a group whose max exceeds the k-th largest
         # key necessarily CONTAINS a top-k key, and top-k keys occupy at
         # most k distinct groups — so the k groups with the largest maxima

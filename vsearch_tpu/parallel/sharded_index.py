@@ -43,13 +43,21 @@ class ShardedKmerIndex:
     """Drop-in for ops.score.DeviceKmerIndex on a multi-device mesh.
 
     Same public surface consumed by core/search.py: n, seqno_by_pos,
-    length_by_pos, topk / topk_dispatch / topk_collect, attach_db_codes
-    (returns False: the top-1 prefetch is a tunneled-single-chip latency
-    optimization; sharded runs skip it)."""
+    length_by_pos, topk / topk_dispatch / topk_collect, attach_db_codes.
+    Scoring uses the SAME kernel tiers as the single-chip index: the dense
+    MXU one-hot x bit-matrix kernel per shard on TPU meshes (scan-gather
+    fallback elsewhere), followed by the collective all_gather + exact
+    two-key merge.  attach_db_codes replicates the padded code matrix so
+    the top-1 prefetch alignment runs under the mesh too (sharded over
+    pairs by nw_jax's mesh-aware gather kernel) — r2 Weak #4."""
+
+    # per-shard budget for the padded replicated code matrix
+    DB_CODES_BUDGET = 4 << 30
 
     def __init__(self, wordlength: int, kmer_lists: List[np.ndarray],
                  lengths: np.ndarray, mapping: np.ndarray,
                  capacity: Optional[int] = None) -> None:
+        import os
         mesh = active_mesh()
         assert mesh is not None, "ShardedKmerIndex requires a device mesh"
         self.mesh = mesh
@@ -59,6 +67,19 @@ class ShardedKmerIndex:
         n = len(kmer_lists)
         self.n = n
         cap = max(capacity or n, 1)
+
+        # dense MXU tier per shard: same gating as the single-chip index,
+        # plus the per-shard position count must fit one dense block;
+        # VSEARCH_TPU_DENSE_INTERPRET=1 forces the dense kernels in
+        # interpreter mode so CPU virtual meshes can exercise this path
+        from ..ops.score_mxu import dense_supported, DENSE_MAXK_LIMIT, NBLK
+        self.interpret = os.environ.get(
+            "VSEARCH_TPU_DENSE_INTERPRET", "0") == "1"
+        cols_est = _round_up(-(-cap // self.n_devices), 32)
+        self.dense = ((dense_supported(self.hashsize, cols_est)
+                       or (self.interpret and cols_est <= 1 << 17))
+                      and self.hashsize <= 1 << 18)
+        self._dense_maxk_limit = DENSE_MAXK_LIMIT
 
         lengths = np.asarray(lengths, dtype=np.int64)
         mapping = np.asarray(mapping, dtype=np.int64)
@@ -73,9 +94,10 @@ class ShardedKmerIndex:
         starts = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(sizes, out=starts[1:])
 
-        # equal per-shard column counts (positions), multiple of 32 so the
-        # shard boundary is word-aligned
-        cols = _round_up(-(-cap // self.n_devices), 32)
+        # equal per-shard column counts (positions); word-aligned for the
+        # scan tier, dense-tile (4096) aligned for the MXU tier
+        cols = _round_up(-(-cap // self.n_devices),
+                         NBLK if self.dense else 32)
         self.cols_per_shard = cols
         words_total = cols * self.n_devices // 32
         bits = np.zeros((self.hashsize + 1, words_total), dtype=np.uint32)
@@ -89,10 +111,11 @@ class ShardedKmerIndex:
         self.seqno_by_pos = mapping[perm]
         self.length_by_pos = lengths[perm]
         self.perm = perm
-        # prefetch surface (disabled in sharded mode)
+        # prefetch surface (attach_db_codes)
         self.db_codes = None
         self.tlen_by_pos_dev = None
         self.db_codes_width = 0
+        self._pos_of_seqno = None
 
     def _pack_bits_numpy(self, bits, all_kmers, starts, sizes, n,
                          words_total) -> None:
@@ -111,7 +134,31 @@ class ShardedKmerIndex:
             bits[:self.hashsize, w0:w1] = packed.view(np.uint32)[:, :w1 - w0]
 
     def attach_db_codes(self, db, bucket_fn) -> bool:
-        return False
+        """Replicate padded 4-bit DB codes across the mesh so the top-1
+        prefetch alignment (core/search.py) runs under the mesh; the
+        alignment itself shards over pairs (nw_jax mesh-aware gather)."""
+        if self.db_codes is not None:
+            return True
+        if self.n == 0:
+            return False
+        maxlen = int(self.length_by_pos.max())
+        width = bucket_fn(max(maxlen, 1))
+        if self.n * width > self.DB_CODES_BUDGET:
+            return False
+        from ..utils.maps import CHRMAP_4BIT
+        lens = self.length_by_pos.astype(np.int64)
+        flat = b"".join(db.getsequence(int(s)) for s in self.seqno_by_pos)
+        arr = CHRMAP_4BIT[np.frombuffer(flat, dtype=np.uint8)].astype(np.int8)
+        codes = np.zeros((self.n, width), dtype=np.int8)
+        codes[np.arange(width)[None, :] < lens[:, None]] = arr
+        repl = NamedSharding(self.mesh, P())
+        self.db_codes = jax.device_put(codes, repl)
+        self.tlen_by_pos_dev = jax.device_put(
+            self.length_by_pos.astype(np.int32), repl)
+        self.db_codes_width = width
+        self._pos_of_seqno = {int(s): p
+                              for p, s in enumerate(self.seqno_by_pos)}
+        return True
 
     # -- scoring ---------------------------------------------------------
 
@@ -132,6 +179,15 @@ class ShardedKmerIndex:
         for lo in range(0, q, CHUNK):
             chunk = query_kmer_lists[lo:lo + CHUNK]
             qp = 128 if len(chunk) <= 128 else CHUNK
+            if self.dense and maxk <= self._dense_maxk_limit:
+                from ..ops.score_mxu import pack_query_bits
+                Kbits = pack_query_bits(chunk, qp, self.hashsize)
+                handle = _sharded_dense_kernel(
+                    self.hashsize, self.cols_per_shard, qp, k, self.n,
+                    self.n_devices, self.interpret, id(self.mesh))(
+                    jnp.asarray(Kbits), self.bits)
+                pending.append((len(chunk), handle))
+                continue
             kcounts = np.zeros(qp, dtype=np.int32)
             ids = np.zeros((qp, maxk), dtype=np.uint16 if u16 else np.int32)
             for qi, kmers in enumerate(chunk):
@@ -155,6 +211,41 @@ class ShardedKmerIndex:
         idx = np.concatenate([np.asarray(i)[:nq]
                               for (nq, _), (_, i) in zip(pending, fetched)])
         return vals, idx
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_dense_kernel(hashsize: int, cols: int, qp: int, k: int,
+                          n_total: int, n_devices: int, interpret: bool,
+                          _mesh_id: int):
+    """shard_map around the dense MXU block kernel (ops/score_mxu.py):
+    each device scores its position shard with the one-hot x bit-matrix
+    matmul + packed-key top-k, then the per-shard candidates merge with
+    the same all_gather + two-key sort as the scan tier.  Per-shard
+    occupancy (n_real) is a traced scalar, so every shard shares one
+    compiled kernel."""
+    from ..ops.score_mxu import dense_topk_kernel
+    mesh = active_mesh()
+    k_local = min(k, cols)
+    kern = dense_topk_kernel(hashsize, cols // 32, qp, k_local,
+                             interpret=interpret)
+
+    def local(Kbits, bits_shard):
+        shard = jax.lax.axis_index("db")
+        base = shard.astype(jnp.int32) * jnp.int32(cols)
+        n_local = jnp.clip(jnp.int32(n_total) - base, 0, jnp.int32(cols))
+        vals, idx = kern(Kbits, bits_shard[:hashsize], n_local)
+        gidx = jnp.where(vals < 0, jnp.int32(2**30), idx + base)
+        allv = jax.lax.all_gather(vals, "db", axis=1, tiled=True)
+        alli = jax.lax.all_gather(gidx, "db", axis=1, tiled=True)
+        sneg, sidx = jax.lax.sort((-allv, alli), num_keys=2)
+        return -sneg[:, :k], sidx[:, :k]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, "db")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
 
 
 @functools.lru_cache(maxsize=32)
