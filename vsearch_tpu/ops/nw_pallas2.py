@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .nw import DIR_EXTLEFT, DIR_EXTUP, DIR_LEFT, DIR_UP, SHRT_MAX, ScoreScheme
 
 NEG = -(2 ** 30)
-KROWS = 16  # direction rows per staging DMA
+KROWS = 8  # direction rows per staging DMA
 
 
 def overflow_possible(scheme_key: tuple, M: int, N: int) -> bool:
@@ -134,7 +134,10 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
         F0 = H0 - QR_t_v
         zero = jnp.zeros((Np, TB), jnp.int32)
 
-        def row(i, carry):
+        def row(i, k, slot, carry):
+            # k (row-in-block) is a STATIC python int and the DMA control
+            # flow lives at block level: the unrolled block body carries no
+            # per-row conditionals, so Mosaic can pipeline it freely
             H, F, RL, score_acc, hmin, hmax = carry
             qm_row = qm_ref[pl.ds(i, 1), :]        # (1, TB) int32
             am_row = am_ref[pl.ds(i, 1), :]
@@ -157,8 +160,9 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
             # diagonal input: previous row's H shifted down one position,
             # with the left-boundary H[i-1][-1] injected at j=0
             diag_left = jax.lax.select(i == 0, 0, -(go_t_l + i * ge_t_l))
-            Hs = pltpu.roll(H, 1, 0)
-            diag = jnp.where(j0, diag_left, Hs)
+            diag = jnp.concatenate(
+                (jnp.full((1, TB), 0, jnp.int32) + diag_left, H[:Np - 1]),
+                axis=0)
             htemp = diag + V
             dup = F > htemp
             htemp2 = jnp.maximum(htemp, F)
@@ -170,11 +174,8 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
             P = A
             s = 1
             while s < Np:
-                c = min(s, Np)
-                P = jnp.maximum(
-                    P, jnp.concatenate(
-                        (jnp.full((c, TB), NEG, jnp.int32), P[:Np - c]),
-                        axis=0))
+                P = jnp.concatenate(
+                    (P[:s], jnp.maximum(P[s:], P[:Np - s])), axis=0)
                 s *= 2
             Ps = jnp.concatenate(
                 (jnp.full((1, TB), NEG, jnp.int32), P[:Np - 1]), axis=0)
@@ -200,29 +201,11 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                 RL_next = RL
             else:
                 leftup = (dirs32 & (DIR_UP | DIR_LEFT)) != 0
-                RLs = jnp.where(j0, 0, pltpu.roll(RL, 1, 0))
+                RLs = jnp.concatenate(
+                    (jnp.zeros((1, TB), jnp.int32), RL[:Np - 1]), axis=0)
                 RL_next = jnp.where(leftup, 0, jnp.minimum(RLs + 1, 15))
                 dirs32 = dirs32 | (RL_next << 4)
-            blk = i // KROWS
-            k = i - blk * KROWS
-            slot = jax.lax.rem(blk, 2)
-
-            # before overwriting a slot's first row, drain its previous DMA
-            @pl.when((k == 0) & (blk >= 2))
-            def _():
-                pltpu.make_async_copy(
-                    stage.at[slot],
-                    dirs_hbm.at[pl.ds((blk - 2) * KROWS, KROWS)],
-                    sems.at[slot]).wait()
-
             stage[slot, k] = dirs32.astype(jnp.uint8)
-
-            @pl.when(k == KROWS - 1)
-            def _():
-                pltpu.make_async_copy(
-                    stage.at[slot],
-                    dirs_hbm.at[pl.ds(blk * KROWS, KROWS)],
-                    sems.at[slot]).start()
 
             # final-cell score: row qlen-1, column tlen-1
             at_end = last_t & lastq
@@ -238,8 +221,29 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
         # was measured 48% SLOWER than the static bound — the traced trip
         # count defeats Mosaic's loop pipelining — so the loop always runs
         # all M rows (the bucket ladder keeps M close to max qlen anyway)
+        def blk_body(blk, carry):
+            slot = jax.lax.rem(blk, 2)
+
+            # before overwriting this slot, drain its previous DMA
+            @pl.when(blk >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stage.at[slot],
+                    dirs_hbm.at[pl.ds((blk - 2) * KROWS, KROWS)],
+                    sems.at[slot]).wait()
+
+            i0 = blk * KROWS
+            for k in range(KROWS):
+                carry = row(i0 + k, k, slot, carry)
+
+            pltpu.make_async_copy(
+                stage.at[slot],
+                dirs_hbm.at[pl.ds(blk * KROWS, KROWS)],
+                sems.at[slot]).start()
+            return carry
+
         H, F, RL, score_acc, hmin, hmax = jax.lax.fori_loop(
-            0, M, row, (H0, F0, zero, zero, zero, zero))
+            0, nblk, blk_body, (H0, F0, zero, zero, zero, zero))
 
         # drain outstanding staging DMAs (the last one or two started)
         pltpu.make_async_copy(
