@@ -148,6 +148,7 @@ class ClusterEngine:
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
                     capacity=max(2 * count, 40960))
+                self._attach_codes()
                 return
             if not self._dev_index.append_round(new_entries):
                 if count > RANK_MAX:
@@ -159,9 +160,24 @@ class ClusterEngine:
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
                     capacity=max(2 * count, 40960))
+                self._attach_codes()
         except Exception:
             self._dev_enabled = False
             self._dev_index = None
+
+    def _attach_codes(self) -> None:
+        """Device sequence codes for the top-1 prefetch: width covers the
+        longest DB sequence, so no centroid is ever truncated."""
+        try:
+            from ..ops.nw_jax import _bucket
+            maxlen = max((self.db.getsequencelen(s)
+                          for s in range(self.db.seqcount)), default=1)
+            if maxlen <= self.PREFETCH_MAXLEN and self.ctx.aligner is not None:
+                self._dev_index.attach_codes(
+                    _bucket(max(maxlen, 1)),
+                    lambda s: self.db.getsequence(s))
+        except Exception:
+            pass
 
     # -- search phase (device-batched, frozen index) --------------------
 
@@ -193,11 +209,21 @@ class ClusterEngine:
 
         minmatches = [self.ctx._minmatches(st.qi.kmersamplecount)
                       for st in units]
+        prefetched: Dict[int, Tuple[int, Optional[AlignmentResult]]] = {}
         if (self._dev_index is not None
                 and self._dev_index.n == self.index.count
                 and self._dev_index.supports(kmer_lists)):
-            cand_lists = self._dev_index.topk_batch(
-                kmer_lists, self.tophits, minmatches)
+            dev = self._dev_index
+            q, pending = dev.topk_dispatch(kmer_lists, self.tophits)
+            prefetch = self._prefetch_dispatch(units, pending)
+            import jax
+            topk_h, pref_h = jax.device_get(
+                ([h for _, h in pending], prefetch))
+            cand_lists = dev.topk_cut(
+                [(nq, f) for (nq, _), f in zip(pending, topk_h)],
+                minmatches)
+            prefetched = self._prefetch_table(units, pending, topk_h,
+                                              pref_h)
         else:
             cand_lists = self.index.candidates_for_query_batch(
                 kmer_lists, self.tophits, minmatches)
@@ -209,16 +235,27 @@ class ClusterEngine:
         while active:
             pair_list = []
             owners = []
+            pre_results: Dict[Tuple[int, int], AlignmentResult] = {}
+            any_request = False
             for w in active:
                 targets = units[w].walk.advance()
+                if targets:
+                    any_request = True
                 for t in targets:
-                    pair_list.append((units[w].qi.qsequence, t))
-                    owners.append((w, t))
-            if not pair_list:
+                    entry = prefetched.get(w) if prefetched else None
+                    if entry is not None and entry[0] == t:
+                        del prefetched[w]
+                        pre_results[(w, t)] = entry[1]
+                    else:
+                        pair_list.append((units[w].qi.qsequence, t))
+                        owners.append((w, t))
+            if not any_request:
                 break
-            results = self.ctx.align_pairs(pair_list)
+            results = self.ctx.align_pairs(pair_list) if pair_list else []
             per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
             for (w, t), res in zip(owners, results):
+                per_walk.setdefault(w, {})[t] = res
+            for (w, t), res in pre_results.items():
                 per_walk.setdefault(w, {})[t] = res
             nxt = []
             for w in active:
@@ -231,6 +268,92 @@ class ClusterEngine:
             st.accepts = st.walk.accepts
             st.rejects = st.walk.rejects
         return per_query
+
+    # -- top-1 prefetch over the growing index --------------------------
+
+    PREFETCH_MAXLEN = 4096
+
+    def _prefetch_dispatch(self, units, pending):
+        """Speculatively align each round query against its top-1 centroid
+        candidate, chained device-to-device off the growing index's top-k
+        output (same trick as core/search.py's search prefetch)."""
+        import os
+        dev = self._dev_index
+        if (dev.codes is None or self.ctx.aligner is None
+                or self.ctx.scheme.force_scalar_fallback or not pending
+                or os.environ.get("VSEARCH_TPU_CLUSTER_PREFETCH",
+                                  "1") == "0"):
+            return None
+        handles = []
+        lo = 0
+        for cnt, (vals, idx) in pending:
+            qseqs = [units[lo + r].qi.qsequence for r in range(cnt)]
+            lo += cnt
+            maxq = max((len(s) for s in qseqs), default=0)
+            if maxq == 0 or maxq > self.PREFETCH_MAXLEN:
+                handles.append(None)
+                continue
+            handles.append(self.ctx.aligner.dispatch_indexed(
+                qseqs, idx.shape[0], idx[:, 0], dev.codes, dev.tlen_dev,
+                dev.codes_width))
+        return handles
+
+    def _prefetch_table(self, units, pending, topk_h, pref_h):
+        """walk index -> (seqno, AlignmentResult) for fetched prefetch rows
+        that are valid and SIMD-engine eligible; overflow or ineligible
+        rows are simply omitted (the walk aligns them normally — exact)."""
+        from ..ops.nw import fits_simd
+        if pref_h is None:
+            return {}
+        dev = self._dev_index
+        from .. import native
+        table: Dict[int, Tuple[int, AlignmentResult]] = {}
+        lo = 0
+        for ((cnt, _), pref, (topv, topi)) in zip(pending, pref_h,
+                                                  topk_h):
+            if pref is None:
+                lo += cnt
+                continue
+            score, overflow, ops = pref
+            topv = np.asarray(topv)
+            topi = np.asarray(topi)
+            bw, bcols, bq, bt, bseq = [], [], [], [], []
+            for r in range(cnt):
+                if topv.shape[1] == 0 or topv[r, 0] < 0:
+                    continue
+                p = int(topi[r, 0])
+                if p >= dev.n:
+                    continue
+                if overflow[r]:
+                    continue
+                seqno = int(dev.seqnos[p])
+                w = lo + r
+                qseq = units[w].qi.qsequence
+                tseq = self.db.getsequence(seqno)
+                if (not fits_simd(len(qseq), len(tseq)) or len(qseq) == 0
+                        or len(tseq) == 0 or len(tseq) > dev.codes_width):
+                    continue
+                bw.append(w)
+                bcols.append(r)
+                bq.append(qseq)
+                bt.append(tseq)
+                bseq.append(seqno)
+            if bw:
+                res = native.assemble_batch(
+                    np.asarray(ops), bcols, bq, bt,
+                    self.ctx.scheme.n_mismatch)
+                if res is not None:
+                    for w, (cigar, aligned, matches, mism, gaps), r, sq \
+                            in zip(bw, res, bcols, bseq):
+                        table[w] = (sq, AlignmentResult(
+                            int(score[r]), cigar, aligned, matches, mism,
+                            gaps))
+                else:
+                    for w, r, q_, t_, sq in zip(bw, bcols, bq, bt, bseq):
+                        table[w] = (sq, self.ctx.aligner.assemble_one(
+                            int(score[r]), np.asarray(ops)[:, r], q_, t_))
+            lo += cnt
+        return table
 
     # -- same-round repair (evaluate_extra_hits) ------------------------
 

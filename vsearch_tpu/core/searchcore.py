@@ -225,9 +225,14 @@ def align_trim(hit: Hit, params: Parameters) -> None:
     hit.trim_t_right = 0
 
     cigar = hit.nwalignment
-    ops = _CIGAR_RE.findall(cigar)
-    if ops:
-        count_str, op = ops[0]
+    if cigar:
+        # only the first and last runs matter: parse them directly
+        # instead of regex-scanning the whole string (hot on every hit)
+        n = len(cigar)
+        i = 0
+        while cigar[i].isdigit():
+            i += 1
+        count_str, op = cigar[:i], cigar[i]
         run = int(count_str) if count_str else 1
         if op != "M":
             hit.trim_aln_left = len(count_str) + 1
@@ -235,7 +240,11 @@ def align_trim(hit: Hit, params: Parameters) -> None:
                 hit.trim_q_left = run
             else:
                 hit.trim_t_left = run
-        count_str, op = ops[-1]
+        j = n - 1
+        k = j - 1
+        while k >= 0 and cigar[k].isdigit():
+            k -= 1
+        count_str, op = cigar[k + 1:j], cigar[j]
         run = int(count_str) if count_str else 1
         if op != "M":
             hit.trim_aln_right = len(count_str) + 1

@@ -49,10 +49,25 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=8)
 def _scatter_fn():
     @functools.partial(jax.jit, donate_argnums=0)
-    def scatter(bits, rows, cols, vals):
-        # fresh positions: the targeted bits are all zero, and every
-        # (kmer, position) pair is unique, so scatter-add == scatter-or
+    def scatter(bits, packed):
+        # packed (2, nk) int32: row 0 = kmer ids, row 1 = positions —
+        # ONE host->device upload per round (each upload is a full
+        # tunnel round-trip); word column and bit decode on device.
+        # Fresh positions: the targeted bits are all zero and every
+        # (kmer, position) pair unique, so scatter-add == scatter-or.
+        rows = packed[0]
+        p = packed[1]
+        cols = jax.lax.shift_right_logical(p, 5)
+        vals = (jnp.uint32(1) << (p.astype(jnp.uint32) & jnp.uint32(31)))
         return bits.at[rows, cols].add(vals)
+    return scatter
+
+
+@functools.lru_cache(maxsize=8)
+def _scatter_codes_fn():
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scatter(codes, tlen, pos, newcodes, newlens):
+        return codes.at[pos].set(newcodes), tlen.at[pos].set(newlens)
     return scatter
 
 
@@ -114,6 +129,11 @@ class GrowingDeviceKmerIndex:
         self._order = np.zeros(0, dtype=np.int64)
         self._rank_dev = None          # uploaded lazily before a topk
         self._rank_dirty = True
+        # device-resident padded sequence codes (attach_codes): enables
+        # the top-1 prefetch alignment chained off the top-k output
+        self.codes = None              # (cap, width) int8 device
+        self.tlen_dev = None           # (cap,) int32 device
+        self.codes_width = 0
 
     # -- growth ----------------------------------------------------------
 
@@ -124,16 +144,12 @@ class GrowingDeviceKmerIndex:
         if self.n + len(entries) > self.cap:
             return False
         rows_all = []
-        cols_all = []
-        vals_all = []
+        pos_all = []
         for kmers, length, seqno in entries:
             p = self.n
             if kmers.size:
                 rows_all.append(kmers.astype(np.int32))
-                cols_all.append(np.full(kmers.size, p >> 5, dtype=np.int32))
-                vals_all.append(np.full(kmers.size,
-                                        np.uint32(1) << np.uint32(p & 31),
-                                        dtype=np.uint32))
+                pos_all.append(np.full(kmers.size, p, dtype=np.int32))
             self.lengths[p] = length
             self.seqnos[p] = seqno
             # incremental sorted-order insert (length asc, seqno asc);
@@ -146,12 +162,46 @@ class GrowingDeviceKmerIndex:
             self._order = np.insert(self._order, at, p)
             self.n += 1
         if rows_all:
-            self.bits = _scatter_fn()(
-                self.bits, jnp.asarray(np.concatenate(rows_all)),
-                jnp.asarray(np.concatenate(cols_all)),
-                jnp.asarray(np.concatenate(vals_all)))
+            packed = np.stack([np.concatenate(rows_all),
+                               np.concatenate(pos_all)])
+            self.bits = _scatter_fn()(self.bits, jnp.asarray(packed))
+        if self.codes is not None and entries:
+            self._append_codes(entries, self.n - len(entries))
         self._rank_dirty = True
         return True
+
+    def attach_codes(self, width: int, seq_of) -> None:
+        """Allocate the (cap, width) device code matrix and backfill the
+        occupied positions.  seq_of: callable seqno -> sequence bytes
+        (kept for appends)."""
+        from ..utils.maps import CHRMAP_4BIT
+        self.codes_width = width
+        self._seq_of = seq_of
+        codes = np.zeros((self.cap, width), dtype=np.int8)
+        tlen = np.zeros(self.cap, dtype=np.int32)
+        for p in range(self.n):
+            s = seq_of(int(self.seqnos[p]))
+            ln = min(len(s), width)
+            codes[p, :ln] = CHRMAP_4BIT[
+                np.frombuffer(s[:ln], dtype=np.uint8)].astype(np.int8)
+            tlen[p] = ln
+        self.codes = jax.device_put(codes)
+        self.tlen_dev = jax.device_put(tlen)
+
+    def _append_codes(self, entries, p0: int) -> None:
+        from ..utils.maps import CHRMAP_4BIT
+        nc = np.zeros((len(entries), self.codes_width), dtype=np.int8)
+        nl = np.zeros(len(entries), dtype=np.int32)
+        for k, (_, _, seqno) in enumerate(entries):
+            s = self._seq_of(seqno)
+            ln = min(len(s), self.codes_width)
+            nc[k, :ln] = CHRMAP_4BIT[
+                np.frombuffer(s[:ln], dtype=np.uint8)].astype(np.int8)
+            nl[k] = ln
+        pos = np.arange(p0, p0 + len(entries), dtype=np.int32)
+        self.codes, self.tlen_dev = _scatter_codes_fn()(
+            self.codes, self.tlen_dev, jnp.asarray(pos), jnp.asarray(nc),
+            jnp.asarray(nl))
 
     @classmethod
     def build(cls, wordlength: int, kmer_lists: List[np.ndarray],
@@ -186,10 +236,12 @@ class GrowingDeviceKmerIndex:
     # -- scoring ---------------------------------------------------------
 
     def _ranks(self):
+        # numpy result: the upload rides the next kernel dispatch instead
+        # of paying its own device_put round-trip on the tunneled link
         if self._rank_dirty or self._rank_dev is None:
             rank = np.full(self.words * 32, RANK_MAX, dtype=np.int32)
             rank[self._order] = np.arange(self.n, dtype=np.int32)
-            self._rank_dev = jax.device_put(rank)
+            self._rank_dev = rank
             self._rank_dirty = False
         return self._rank_dev
 
@@ -198,14 +250,14 @@ class GrowingDeviceKmerIndex:
                 and max((kl.size for kl in kmer_lists), default=0)
                 <= MAX_COUNT)
 
-    def topk_batch(self, kmer_lists: List[np.ndarray], tophits: int,
-                   minmatches_list: Sequence[int]
-                   ) -> List[List[Tuple[int, int]]]:
-        """Per-query (seqno, count) candidates in reference heap order."""
+    def topk_dispatch(self, kmer_lists: List[np.ndarray], tophits: int):
+        """Asynchronously launch the ranked top-k; per-chunk (count, pos)
+        device handles let the cluster engine chain the top-1 prefetch
+        alignment device-to-device before fetching anything."""
         q = len(kmer_lists)
         k = min(tophits, self.n)
         if q == 0 or self.n == 0 or k == 0:
-            return [[] for _ in range(q)]
+            return (q, [])
         rank = self._ranks()
         CHUNK = 512
         maxk = max((kl.size for kl in kmer_lists), default=1)
@@ -214,7 +266,8 @@ class GrowingDeviceKmerIndex:
         pending = []
         for lo in range(0, q, CHUNK):
             chunk = kmer_lists[lo:lo + CHUNK]
-            qp = 128 if len(chunk) <= 128 else CHUNK
+            qp = 128 if len(chunk) <= 128 else (
+                256 if len(chunk) <= 256 else CHUNK)
             kcounts = np.zeros(qp, dtype=np.int32)
             ids = np.zeros((qp, maxk), dtype=np.uint16 if u16 else np.int32)
             for qi, kmers in enumerate(chunk):
@@ -225,10 +278,16 @@ class GrowingDeviceKmerIndex:
                                           jnp.asarray(kcounts),
                                           self.bits, rank)
             pending.append((len(chunk), (v, i)))
-        fetched = jax.device_get([h for _, h in pending])
+        return (q, pending)
+
+    def topk_cut(self, fetched_pending,
+                 minmatches_list: Sequence[int]
+                 ) -> List[List[Tuple[int, int]]]:
+        """Host cut of already-fetched chunk results into per-query
+        (seqno, count) lists in reference heap order."""
         out: List[List[Tuple[int, int]]] = []
         qi_global = 0
-        for (nq, _), (vals, idx) in zip(pending, fetched):
+        for nq, (vals, idx) in fetched_pending:
             vals = np.asarray(vals)
             idx = np.asarray(idx)
             for r in range(nq):
@@ -241,3 +300,15 @@ class GrowingDeviceKmerIndex:
                 out.append(row)
                 qi_global += 1
         return out
+
+    def topk_batch(self, kmer_lists: List[np.ndarray], tophits: int,
+                   minmatches_list: Sequence[int]
+                   ) -> List[List[Tuple[int, int]]]:
+        """Per-query (seqno, count) candidates in reference heap order."""
+        q, pending = self.topk_dispatch(kmer_lists, tophits)
+        if not pending:
+            return [[] for _ in range(q)]
+        fetched = jax.device_get([h for _, h in pending])
+        return self.topk_cut(
+            [(nq, f) for (nq, _), f in zip(pending, fetched)],
+            minmatches_list)
