@@ -278,9 +278,15 @@ class ClusterEngine:
         candidate, chained device-to-device off the growing index's top-k
         output (same trick as core/search.py's search prefetch)."""
         import os
+        from ..parallel.mesh import active_mesh
         dev = self._dev_index
+        # the growing index lives on one device; under a mesh the
+        # gather-align kernel shards over devices and would mis-place
+        # these arrays — skip the speculation there (alignment rounds
+        # still run the pair-sharded kernel)
         if (dev.codes is None or self.ctx.aligner is None
                 or self.ctx.scheme.force_scalar_fallback or not pending
+                or active_mesh() is not None
                 or os.environ.get("VSEARCH_TPU_CLUSTER_PREFETCH",
                                   "1") == "0"):
             return None
