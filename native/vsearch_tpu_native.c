@@ -77,8 +77,11 @@ static int dust_wo(int len, const unsigned char *s, int *beg, int *end) {
             int c = counts[w];
             if (c) {
                 sum += c;
-                int v = 10 * sum / j;
-                if (v > bestv) { bestv = v; besti = i; bestj = j; }
+                /* v = 10*sum/j (floor); v > bestv <=> 10*sum >= (bestv+1)*j
+                 * — same first-(i,j) tie behavior, no division in the loop */
+                if (10 * sum >= (bestv + 1) * j) {
+                    bestv = 10 * sum / j; besti = i; bestj = j;
+                }
             }
             counts[w]++;
         }
@@ -157,6 +160,41 @@ int vstpu_unique_kmers(const unsigned char *seq, int len, int wordlength,
         }
     }
     return unique;
+}
+
+/* Batch unique k-mers: sequences concatenated in data with offsets[n+1];
+ * per-sequence unique k-mer lists written contiguously into out with
+ * out_off[n+1] offsets.  out must hold offsets[n] entries (a sequence has
+ * at most len k-mers).  OpenMP with per-thread dedup-bitmap scratch;
+ * results first land at each sequence's input offset (disjoint slots),
+ * then a serial pass compacts them down (out_off[i] <= offsets[i] always,
+ * so the moves never overlap a later block). */
+void vstpu_unique_kmers_batch(const unsigned char *data,
+                              const int64_t *offsets, int64_t n,
+                              int wordlength, int seqmask,
+                              uint32_t *out, int64_t *out_off) {
+    init_maps();
+    uint64_t size = 1ull << (2 * wordlength);
+    #pragma omp parallel
+    {
+        uint64_t *bitmap = (uint64_t *)malloc((size_t)(size / 8));
+        #pragma omp for schedule(dynamic, 64)
+        for (int64_t i = 0; i < n; i++) {
+            int len = (int)(offsets[i + 1] - offsets[i]);
+            out_off[i + 1] = vstpu_unique_kmers(
+                data + offsets[i], len, wordlength, seqmask,
+                out + offsets[i], bitmap);
+        }
+        free(bitmap);
+    }
+    out_off[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t cnt = out_off[i + 1];
+        if (out_off[i] != offsets[i] && cnt > 0)
+            memmove(out + out_off[i], out + offsets[i],
+                    (size_t)cnt * sizeof(uint32_t));
+        out_off[i + 1] = out_off[i] + cnt;
+    }
 }
 
 /* ---- backtrack ops -> cigar + statistics ----
@@ -335,6 +373,36 @@ int64_t vstpu_postings_topk(void *hp, const uint32_t *qkmers, int64_t nk,
                             int64_t tophits, int64_t minmatches,
                             int64_t *out_seqno, int64_t *out_count);
 
+/* Bulk add: n entries with concatenated k-mer lists (off[n+1] offsets),
+ * lengths/seqnos per entry.  One call replaces n ctypes round-trips;
+ * per-kmer lists are pre-reserved to exact size (no doubling churn). */
+void vstpu_postings_add_batch(void *hp, const uint32_t *kmers,
+                              const int64_t *off, int64_t n,
+                              const int64_t *lengths,
+                              const int64_t *seqnos) {
+    postings_t *h = (postings_t *)hp;
+    int64_t total = n ? off[n] - off[0] : 0;
+    const uint32_t *base = kmers + (n ? off[0] : 0);
+    int32_t *occ = (int32_t *)calloc((size_t)h->hashsize, sizeof(int32_t));
+    for (int64_t i = 0; i < total; i++) occ[base[i]]++;
+    for (int64_t i = 0; i < total; i++) {
+        uint32_t k = base[i];
+        if (occ[k]) {
+            int64_t need = h->sizes[k] + occ[k];
+            if (need > h->caps[k]) {
+                h->lists[k] = (int32_t *)realloc(
+                    h->lists[k], (size_t)need * sizeof(int32_t));
+                h->caps[k] = need;
+            }
+            occ[k] = 0;
+        }
+    }
+    free(occ);
+    for (int64_t i = 0; i < n; i++)
+        vstpu_postings_add(hp, kmers + off[i], off[i + 1] - off[i],
+                           lengths[i], seqnos[i]);
+}
+
 /* batched top-k over many queries (OpenMP, per-thread counter scratch).
  * qkmers: concatenated query k-mer lists with qoff[nq+1] offsets;
  * minmatches per query; outputs (nq, tophits) + per-query counts. */
@@ -360,6 +428,46 @@ void vstpu_postings_topk_batch(void *hp, const uint32_t *qkmers,
                 out_seqno + qi * tophits, out_count + qi * tophits);
         }
         free(local.counter); free(local.touched);
+    }
+}
+
+/* Batched counts: nq probe k-mer lists (concatenated, qoff[nq+1]) against
+ * the postings; per probe the touched positions + counts land at
+ * out_pos/out_cnt + qi*cap (cap >= npos), out_n[qi] = touched count.
+ * OpenMP with per-thread counter scratch. */
+void vstpu_postings_counts_batch(void *hp, const uint32_t *qkmers,
+                                 const int64_t *qoff, int64_t nq,
+                                 int64_t cap, int32_t *out_pos,
+                                 int32_t *out_cnt, int64_t *out_n) {
+    postings_t *h = (postings_t *)hp;
+    #pragma omp parallel
+    {
+        int32_t *counter = (int32_t *)calloc((size_t)h->pos_cap,
+                                             sizeof(int32_t));
+        #pragma omp for schedule(dynamic, 16)
+        for (int64_t qi = 0; qi < nq; qi++) {
+            const uint32_t *qk = qkmers + qoff[qi];
+            int64_t nk = qoff[qi + 1] - qoff[qi];
+            int32_t *opos = out_pos + qi * cap;
+            int32_t *ocnt = out_cnt + qi * cap;
+            int64_t ntouched = 0;
+            for (int64_t i = 0; i < nk; i++) {
+                uint32_t k = qk[i];
+                const int32_t *lst = h->lists[k];
+                int64_t sz = h->sizes[k];
+                for (int64_t j = 0; j < sz; j++) {
+                    int32_t p = lst[j];
+                    if (counter[p]++ == 0) opos[ntouched++] = p;
+                    if (counter[p] > 32767) counter[p] = 32767;
+                }
+            }
+            for (int64_t t = 0; t < ntouched; t++) {
+                ocnt[t] = counter[opos[t]];
+                counter[opos[t]] = 0;
+            }
+            out_n[qi] = ntouched;
+        }
+        free(counter);
     }
 }
 
@@ -404,14 +512,28 @@ int64_t vstpu_postings_topk(void *hp, const uint32_t *qkmers, int64_t nk,
                             int64_t *out_seqno, int64_t *out_count) {
     postings_t *h = (postings_t *)hp;
     int64_t ntouched = 0;
-    for (int64_t i = 0; i < nk; i++) {
-        uint32_t k = qkmers[i];
-        const int32_t *lst = h->lists[k];
-        int64_t sz = h->sizes[k];
-        for (int64_t j = 0; j < sz; j++) {
-            int32_t p = lst[j];
-            if (h->counter[p]++ == 0) h->touched[ntouched++] = p;
-            if (h->counter[p] > 32767) h->counter[p] = 32767;
+    if (nk <= 32767) {
+        /* counts are bounded by the unique probe-kmer count — the 32767
+         * saturation (searchcore.cpp:311) is unreachable, skip the check */
+        for (int64_t i = 0; i < nk; i++) {
+            uint32_t k = qkmers[i];
+            const int32_t *lst = h->lists[k];
+            int64_t sz = h->sizes[k];
+            for (int64_t j = 0; j < sz; j++) {
+                int32_t p = lst[j];
+                if (h->counter[p]++ == 0) h->touched[ntouched++] = p;
+            }
+        }
+    } else {
+        for (int64_t i = 0; i < nk; i++) {
+            uint32_t k = qkmers[i];
+            const int32_t *lst = h->lists[k];
+            int64_t sz = h->sizes[k];
+            for (int64_t j = 0; j < sz; j++) {
+                int32_t p = lst[j];
+                if (h->counter[p]++ == 0) h->touched[ntouched++] = p;
+                if (h->counter[p] > 32767) h->counter[p] = 32767;
+            }
         }
     }
     /* heap of (pos, count), capacity tophits, worst at root */

@@ -226,10 +226,8 @@ def chimera_command(params: Parameters, command: str) -> None:
                  "chimera_ab": 0, "nonchimera_ab": 0, "borderline_ab": 0,
                  "total_ab": 0}
 
-        def handle(query_head: bytes, query_seq: bytes, query_size: int,
-                   query_no: int, denovo_seqno: Optional[int]) -> None:
-            res = engine.process_query(query_head, query_seq, query_size,
-                                       query_no)
+        def handle(res: ChimeraResult, query_head: bytes, query_seq: bytes,
+                   query_size: int) -> None:
             stats["total"] += 1
             stats["total_ab"] += query_size
 
@@ -288,9 +286,6 @@ def chimera_command(params: Parameters, command: str) -> None:
                         query_size, stats["nonchimera"],
                         score_name=score_name, score=res.best_h)
 
-            if res.status < Status.suspicious and not is_ref:
-                index.add_sequence(denovo_seqno, db, params.opt_qmask)
-
         # log-only parameter block (chimera.cpp:2562-2591)
         fp_log = getattr(params, "fp_log", None)
         if fp_log is not None:
@@ -310,23 +305,54 @@ def chimera_command(params: Parameters, command: str) -> None:
                 block += "%8d  maxp\n" % 2
             fp_log.write((block + "\n").encode())
 
+        import os as _os
+        round_w = int(_os.environ.get("VSEARCH_TPU_CHIMERA_ROUND", "128"))
         from ..utils.progress import Progress
         with Progress("Detecting chimeras",
                       db.nucleotidecount if not is_ref else 1,
                       params) as det_prog:
             if is_ref:
+                # static reference set: rounds are pure batching
+                batch = []
+                def flush():
+                    if not batch:
+                        return
+                    rqs, _ = engine.search_round(batch)
+                    for rq in rqs:
+                        res = engine.resolve(rq, 0, None)
+                        handle(res, rq.head, rq.seq, rq.size)
+                        det_prog.update()
+                    del batch[:]
                 for rec in queries:
-                    seqlen = len(rec.sequence)
-                    handle(rec.header, rec.sequence, rec.abundance,
-                           rec.seqno, None)
-                    det_prog.update()
+                    batch.append((rec.header, rec.sequence, rec.abundance,
+                                  rec.seqno))
+                    if len(batch) >= round_w:
+                        flush()
+                flush()
             else:
+                # denovo: speculative rounds against the frozen reference
+                # set + exact serial repair (core/chimera.py search_round)
                 nt_done = 0
-                for seqno in range(db.seqcount):
-                    handle(db.getheader(seqno), db.getsequence(seqno),
-                           db.getabundance(seqno), seqno, seqno)
-                    nt_done += db.getsequencelen(seqno)
-                    det_prog.update(nt_done)
+                seqno = 0
+                while seqno < db.seqcount:
+                    hi = min(seqno + round_w, db.seqcount)
+                    batch = [(db.getheader(s), db.getsequence(s),
+                              db.getabundance(s), s)
+                             for s in range(seqno, hi)]
+                    rqs, tracker = engine.search_round(batch)
+                    for qidx, rq in enumerate(rqs):
+                        res = engine.resolve(rq, qidx, tracker)
+                        handle(res, rq.head, rq.seq, rq.size)
+                        if res.status < Status.suspicious:
+                            kmers = rq.full_kmers.copy()
+                            index.add_sequence_with_kmers(
+                                rq.qno, db.getsequencelen(rq.qno), kmers)
+                            tracker.add_extra(rq.qno, kmers,
+                                              db.getsequencelen(rq.qno),
+                                              qidx)
+                        nt_done += len(rq.seq)
+                        det_prog.update(nt_done)
+                    seqno = hi
 
         if not params.opt_quiet:
             _report_summary(stats, is_long)

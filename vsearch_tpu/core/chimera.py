@@ -4,9 +4,20 @@ Mirrors reference src/core/chimera.cpp: query split into parts, per-part
 k-mer search collecting candidate parents, full-query alignment against all
 candidates (device-batched here), window-smoothed two-parent selection,
 3-way column model, vote-based h-score and the uchime/uchime2/uchime3
-classification rules.  The denovo variants grow the reference set with each
-accepted non-chimera, so queries run in abundance order (serial), with the
-per-query candidate alignments batched on device.
+classification rules.
+
+Round-batched TPU-first design (the clustering engine's speculative-round
+pattern, core/cluster.py): instead of the reference's one-thread-per-query
+claim loop (chimera.cpp:2405-2419, :2226-2243), W queries are processed per
+round against the REFERENCE SET FROZEN AT ROUND START — all part-candidate
+searches as one batched top-k, all accept/reject alignment waves merged
+across queries, and all full-query candidate alignments as one batch.
+Queries are then resolved serially in abundance order with an EXACT repair:
+non-chimeras accepted earlier in the same round are merged into each later
+part's candidate heap by the reference min-heap total order (count desc,
+length asc, seqno asc — minheap.cpp:111-146) and the walk is replayed with
+the cached alignments, reproducing the reference's serial (--threads 1)
+output byte-for-byte.
 """
 
 from __future__ import annotations
@@ -24,7 +35,8 @@ from ..index import KmerIndex
 from ..ops import kmer as kmer_ops
 from ..ops.nw import AlignmentResult
 from ..utils.maps import CHRMAP_4BIT, CHRMAP_UPCASE, AMBIGUOUS_4BIT
-from .searchcore import QueryInfo, QueryWalk, join_hits
+from .searchcore import (Hit, QueryInfo, QueryWalk, join_hits,
+                         replay_onequery)
 from .search import SearchContext
 
 MAXPARTS = 100
@@ -129,20 +141,20 @@ class ChimeraEngine:
             "VSEARCH_TPU_CHIMERA_DEVICE_MIN", "16384"))
         self._dev_index = None
 
-    def _part_candidates(self, kmers_list, qis, minmatches_list):
+    def _part_candidates(self, kmers_list, samplecounts, minmatches_list,
+                         raw=None):
         """Candidate parents for every query part, batched on device when
         an index tier is available: uchime_ref rides the static
         DeviceKmerIndex (dense MXU path) built by SearchContext; denovo
         modes use the growing scatter-append index (ops/score_grow.py)
         past DEVICE_MIN accepted sequences."""
         if self.ctx.device_index is not None:
-            return self.ctx._candidates_batch(
-                kmers_list, [qi.kmersamplecount for qi in qis])
+            return self.ctx._candidates_batch(kmers_list, samplecounts)
         dev = self._growing_device()
         if dev is not None and dev.supports(kmers_list):
             return dev.topk_batch(kmers_list, self.tophits, minmatches_list)
         return self.index.candidates_for_query_batch(
-            kmers_list, self.tophits, minmatches_list)
+            kmers_list, self.tophits, minmatches_list, raw=raw)
 
     def _growing_device(self):
         """Lazy device mirror of the growing denovo index, self-synced to
@@ -191,95 +203,245 @@ class ChimeraEngine:
             return min(max(parts, 2), MAXPARTS)
         return 4
 
-    # -- per-query pipeline ---------------------------------------------
+    # -- round-batched pipeline -----------------------------------------
 
-    def find_candidates(self, query_head: bytes, query_seq: bytes,
-                        query_size: int, query_no: int) -> List[int]:
-        """Per-part searches collecting candidate parents
-        (chimera_process_query, :2010-2064)."""
-        detection = self.detection
+    def partition(self, query_seq: bytes) -> List[bytes]:
+        """partition_query (:1957-1982)."""
         parts = self.parts_for(len(query_seq))
-        cand_list: List[int] = []
         if len(query_seq) < parts:
-            return cand_list
-        allhits = []
-        # partition_query (:1957-1982); the per-part accept/reject walks
-        # are independent, so their alignment waves advance in lockstep
-        # and each wave aligns as ONE batch (parts x MAXDELAYED pairs)
+            return []
+        out = []
         rest = len(query_seq)
         cursor = 0
-        part_seqs = []
-        qis = []
-        kmers_list = []
-        minmatches_list = []
         for i in range(parts):
             length = (rest + (parts - i - 1)) // (parts - i)
-            part_seq = query_seq[cursor:cursor + length]
+            out.append(query_seq[cursor:cursor + length])
             rest -= length
             cursor += length
+        return out
 
-            qi = QueryInfo(query_head=query_head, qsequence=part_seq,
-                           qseqlen=len(part_seq), qsize=query_size,
-                           strand=0, query_no=query_no)
-            kmers = kmer_ops.unique_kmer_set(part_seq, self.index.wordlength,
-                                             detection.opt_qmask)
-            qi.kmersamplecount = int(kmers.size)
-            mwm = detection.opt_minwordmatches
-            mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
-            minmatches_list.append(min(mwm_u, qi.kmersamplecount))
-            part_seqs.append(part_seq)
-            qis.append(qi)
-            kmers_list.append(kmers)
-        cand_lists = self._part_candidates(kmers_list, qis, minmatches_list)
-        walks = [QueryWalk(detection, qi, self.db, candidates)
-                 for qi, candidates in zip(qis, cand_lists)]
+    def search_round(self, queries: List[Tuple[bytes, bytes, int, int]],
+                     with_tracker: bool = True
+                     ) -> Tuple[List["_RoundQuery"],
+                                Optional["_ExtrasTracker"]]:
+        """Speculative phase for a round of (head, seq, size, seqno)
+        queries against the reference set frozen at round start.
 
-        active = [w for w in range(parts) if not walks[w].done]
+        Batches, across the whole round: part k-mer extraction (one native
+        call), part-candidate top-k (one index call — static device index,
+        growing device index, or host postings), the accept/reject
+        alignment waves (merged lockstep), and the full-query candidate
+        alignments (one batch)."""
+        detection = self.detection
+        denovo = self.params.opt_uchime_ref is None
+        rqs: List[_RoundQuery] = []
+        part_seqs: List[bytes] = []
+        part_owner: List[int] = []        # global part -> query idx in round
+        for head, seq, size, qno in queries:
+            rq = _RoundQuery(head=head, seq=seq, size=size, qno=qno)
+            rq.parts = self.partition(seq)
+            rq.part_lo = len(part_seqs)
+            part_seqs.extend(rq.parts)
+            part_owner.extend([len(rqs)] * len(rq.parts))
+            rqs.append(rq)
+
+        # one threaded extraction for all parts — plus, in denovo mode, the
+        # full-query k-mer sets the index/repair tracker will need for the
+        # queries accepted as non-chimeras.  Everything stays in the
+        # concatenated (buf, offsets) wire format so the postings bulk
+        # calls below are zero-copy.
+        nparts_total = len(part_seqs)
+        if denovo:
+            kbuf, koff = kmer_ops.unique_kmer_sets_batch_raw(
+                part_seqs + [rq.seq for rq in rqs],
+                self.index.wordlength, detection.opt_qmask)
+            for qidx, rq in enumerate(rqs):
+                lo, hi = koff[nparts_total + qidx], koff[nparts_total
+                                                         + qidx + 1]
+                rq.full_kmers = kbuf[lo:hi]
+        else:
+            kbuf, koff = kmer_ops.unique_kmer_sets_batch_raw(
+                part_seqs, self.index.wordlength, detection.opt_qmask)
+        part_off = koff[:nparts_total + 1]
+        kmers_list = [kbuf[part_off[i]:part_off[i + 1]]
+                      for i in range(nparts_total)]
+        mwm = detection.opt_minwordmatches
+        mwm_u = mwm & 0xFFFFFFFF if mwm < 0 else mwm
+        ksizes = np.diff(part_off)
+        sizes = ksizes.tolist()
+        minmatches = np.minimum(mwm_u, ksizes).tolist()
+
+        cand_lists = self._part_candidates(kmers_list, sizes, minmatches,
+                                           raw=(kbuf, part_off))
+
+        # per-part QueryInfo, built lazily (only walked/repaired parts)
+        self._qi_cache: Dict[int, QueryInfo] = {}
+        self._round_parts = (part_seqs, part_owner, sizes)
+        self._round_state = (rqs, minmatches, cand_lists)
+
+        # lockstep accept/reject alignment waves over every non-empty walk
+        self._part_align_cache: Dict[Tuple[int, int], AlignmentResult] = {}
+        cache = self._part_align_cache
+        walks: Dict[int, QueryWalk] = {
+            gp: QueryWalk(detection, self._qi(gp), self.db, cands)
+            for gp, cands in enumerate(cand_lists) if cands}
+        active = [gp for gp, w in walks.items() if not w.done]
         while active:
             pair_list = []
             owners = []
-            for w in active:
-                for t in walks[w].advance():
-                    pair_list.append((part_seqs[w], t))
-                    owners.append((w, t))
+            for gp in active:
+                for t in walks[gp].advance():
+                    pair_list.append((part_seqs[gp], t))
+                    owners.append((gp, t))
             if not pair_list:
                 break
             results = self.ctx.align_pairs(pair_list)
             per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
-            for (w, t), res in zip(owners, results):
-                per_walk.setdefault(w, {})[t] = res
+            for (gp, t), res in zip(owners, results):
+                per_walk.setdefault(gp, {})[t] = res
+                cache[(gp, t)] = res
             nxt = []
-            for w in active:
-                if w in per_walk:
-                    walks[w].supply(per_walk[w])
-                if not walks[w].done:
-                    nxt.append(w)
+            for gp in active:
+                if gp in per_walk:
+                    walks[gp].supply(per_walk[gp])
+                if not walks[gp].done:
+                    nxt.append(gp)
             active = nxt
 
-        for walk in walks:
-            hits = join_hits(detection, walk.hits, None)
-            for hit in hits:
+        # per query: collect speculative candidate parents + one full-query
+        # alignment batch for the whole round
+        pairs = []
+        owners2 = []
+        for qidx, rq in enumerate(rqs):
+            part_hits = [walks[rq.part_lo + lp].hits
+                         if (rq.part_lo + lp) in walks else []
+                         for lp in range(len(rq.parts))]
+            rq.cand_list = self._collect_candidates(part_hits)
+            for t in rq.cand_list:
+                pairs.append((rq.seq, t))
+                owners2.append(qidx)
+        if pairs:
+            results = self.ctx.align_pairs(pairs)
+            for qidx, (pair, res) in zip(owners2, zip(pairs, results)):
+                rqs[qidx].alignments[pair[1]] = res
+
+        tracker = _ExtrasTracker(self.index.hashsize, kmers_list,
+                                 part_owner, minmatches,
+                                 [rq.full_kmers for rq in rqs],
+                                 raw_parts=(kbuf, part_off),
+                                 raw_full=(kbuf, koff[nparts_total:])) \
+            if (denovo and with_tracker) else None
+        return rqs, tracker
+
+    def _qi(self, gp: int) -> QueryInfo:
+        """Per-part QueryInfo, built on first use (walk or repair)."""
+        qi = self._qi_cache.get(gp)
+        if qi is None:
+            part_seqs, part_owner, sizes = self._round_parts
+            rq = self._round_state[0][part_owner[gp]]
+            pseq = part_seqs[gp]
+            qi = QueryInfo(query_head=rq.head, qsequence=pseq,
+                           qseqlen=len(pseq), qsize=rq.size,
+                           strand=0, query_no=rq.qno)
+            qi.kmersamplecount = sizes[gp]
+            self._qi_cache[gp] = qi
+        return qi
+
+    def _collect_candidates(self, part_hits: List[List[Hit]]) -> List[int]:
+        """Accepted per-part hits -> unique candidate parent list
+        (chimera_process_query, :2018-2071)."""
+        detection = self.detection
+        allhits = []
+        for hits in part_hits:
+            for hit in join_hits(detection, hits, None):
                 if hit.accepted and len(allhits) < MAXCANDIDATES:
                     allhits.append(hit)
+        cand_list: List[int] = []
         for hit in allhits:
             if hit.target not in cand_list:
                 cand_list.append(hit.target)
         return cand_list
 
-    def align_candidates(self, query_seq: bytes,
-                         cand_list: List[int]) -> List[AlignmentResult]:
-        return self.ctx.align_pairs([(query_seq, t) for t in cand_list])
+    def resolve(self, rq: "_RoundQuery", qidx: int,
+                tracker: Optional["_ExtrasTracker"]) -> ChimeraResult:
+        """Serial resolution of one round query: repair the speculative
+        result for reference sequences accepted earlier in the same round
+        (exact --threads 1 replay), then evaluate parents."""
+        _, minmatches, cand_lists = self._round_state
+        cand_list = rq.cand_list
+        if tracker is not None and rq.parts and tracker.any_pending():
+            dirty = False
+            merged_hits: List[Optional[List[Hit]]] = []
+            for lp in range(len(rq.parts)):
+                gp = rq.part_lo + lp
+                extras = tracker.get(gp, qidx)
+                eligible = [(s, c, ln) for (s, c, ln) in extras
+                            if c >= minmatches[gp]] if extras else ()
+                if not eligible:
+                    merged_hits.append(None)
+                    continue
+                dirty = True
+                merged = [(s, c, ln) for (s, c) in cand_lists[gp]
+                          for ln in (self.db.getsequencelen(s),)]
+                merged.extend(eligible)
+                merged.sort(key=lambda e: (-e[1], e[2], e[0]))
+                merged = [(s, c) for (s, c, _) in merged[:self.tophits]]
+                cache = self._part_align_cache
+                pseq = rq.parts[lp]
 
-    def process_query(self, query_head: bytes, query_seq: bytes,
-                      query_size: int, query_no: int) -> ChimeraResult:
-        """chimera_process_query (:2003-2170)."""
-        cand_list = self.find_candidates(query_head, query_seq, query_size,
-                                         query_no)
+                def get_alignment(t, gp=gp, pseq=pseq):
+                    res = cache.get((gp, t))
+                    if res is None:
+                        res = self.ctx.align_pairs([(pseq, t)])[0]
+                        cache[(gp, t)] = res
+                    return res
+
+                merged_hits.append(replay_onequery(
+                    self.detection, self._qi(gp), self.db, merged,
+                    get_alignment))
+            if dirty:
+                part_hits = []
+                for lp in range(len(rq.parts)):
+                    if merged_hits[lp] is not None:
+                        part_hits.append(merged_hits[lp])
+                    else:
+                        gp = rq.part_lo + lp
+                        part_hits.append(
+                            self._spec_hits(gp, cand_lists[gp]))
+                cand_list = self._collect_candidates(part_hits)
+
         if not cand_list:
             return ChimeraResult(Status.no_parents)
-        alignments = self.align_candidates(query_seq, cand_list)
-        cigars = [a.cigar for a in alignments]
+        missing = [t for t in cand_list if t not in rq.alignments]
+        if missing:
+            for t, res in zip(missing, self.ctx.align_pairs(
+                    [(rq.seq, t) for t in missing])):
+                rq.alignments[t] = res
+        return self._finish(rq.seq, cand_list,
+                            [rq.alignments[t] for t in cand_list])
 
+    def _spec_hits(self, gp: int, cands) -> List[Hit]:
+        """Speculative walk hits for one part (re-derived when the round
+        walk objects are gone; the alignment cache makes this host-only)."""
+        if not cands:
+            return []
+        qi = self._qi(gp)
+        cache = self._part_align_cache
+
+        def get_alignment(t, gp=gp):
+            res = cache.get((gp, t))
+            if res is None:
+                res = self.ctx.align_pairs([(qi.qsequence, t)])[0]
+                cache[(gp, t)] = res
+            return res
+
+        return replay_onequery(self.detection, qi, self.db, cands,
+                               get_alignment)
+
+    def _finish(self, query_seq: bytes, cand_list: List[int],
+                alignments: List[AlignmentResult]) -> ChimeraResult:
+        """Parent selection + evaluation (chimera_process_query :2074-2170)."""
+        cigars = [a.cigar for a in alignments]
         if self.params.opt_chimeras_denovo is not None:
             parents = find_best_parents_long(self.params, query_seq,
                                              cand_list, cigars, self.db)
@@ -287,12 +449,131 @@ class ChimeraEngine:
                 return ChimeraLongResult(Status.no_parents, [], [])
             return eval_parents_long(query_seq, cand_list, cigars, parents,
                                      self.db)
-
         best = find_best_parents(query_seq, cand_list, cigars, self.db)
         if best is None:
             return ChimeraResult(Status.no_parents)
         return eval_parents(self.params, query_seq, cand_list, cigars,
                             best, self.db)
+
+    def process_query(self, query_head: bytes, query_seq: bytes,
+                      query_size: int, query_no: int) -> ChimeraResult:
+        """Single-query convenience (library chimera_detect_single path,
+        chimera.cpp:2776-3095): a one-query round."""
+        rqs, _ = self.search_round(
+            [(query_head, query_seq, query_size, query_no)],
+            with_tracker=False)
+        return self.resolve(rqs[0], 0, None)
+
+
+@dataclasses.dataclass
+class _RoundQuery:
+    """One query's speculative state within a processing round."""
+    head: bytes
+    seq: bytes
+    size: int
+    qno: int
+    parts: List[bytes] = dataclasses.field(default_factory=list)
+    part_lo: int = 0
+    cand_list: List[int] = dataclasses.field(default_factory=list)
+    alignments: Dict[int, "AlignmentResult"] = dataclasses.field(
+        default_factory=dict)
+    full_kmers: Optional[np.ndarray] = None   # denovo: for index growth
+
+
+class _ExtrasTracker:
+    """Same-round repair index: maps each accepted non-chimera (an "extra")
+    to the later round parts that share k-mers with it.
+
+    Native path: a postings index over the round's part k-mer sets probed
+    once per extra (counts = |part kmers ∩ extra kmers|, exactly the
+    reference's shared-unique-kmer count, searchcore.cpp:260-340).  Fallback:
+    sorted-array intersection per (part, extra) on demand."""
+
+    def __init__(self, hashsize: int, part_kmers: List[np.ndarray],
+                 part_owner: List[int], part_minmatches: List[int],
+                 full_kmers: List[Optional[np.ndarray]],
+                 raw_parts=None, raw_full=None) -> None:
+        self.part_kmers = part_kmers
+        self.owner = part_owner
+        self.pending: Dict[int, List[Tuple[int, int, int]]] = {}
+        self.extras: List[Tuple[int, np.ndarray, int]] = []
+        self.probes = None
+        from .. import native
+        if (native.available() and part_kmers
+                and all(k is not None for k in full_kmers)):
+            try:
+                p = native.Postings(hashsize)
+                if raw_parts is not None:
+                    p.add_batch_raw(raw_parts[0], raw_parts[1],
+                                    [0] * len(part_kmers),
+                                    list(range(len(part_kmers))))
+                else:
+                    p.add_batch(part_kmers, [0] * len(part_kmers),
+                                list(range(len(part_kmers))))
+                # probe every round query against the part postings NOW
+                # (shared counts don't depend on acceptance); add_extra
+                # just filters its precomputed row.  Sub-minmatches rows
+                # are dropped here — they can never enter a candidate heap
+                # (searchcore.cpp:320-337)
+                if raw_full is not None:
+                    pos, cnt, n = p.counts_batch_raw(raw_full[0],
+                                                     raw_full[1])
+                else:
+                    pos, cnt, n = p.counts_batch(full_kmers)
+                owner_arr = np.asarray(part_owner, dtype=np.int64)
+                minm_arr = np.asarray(part_minmatches, dtype=np.int64)
+                probes = []
+                for qi in range(len(full_kmers)):
+                    rp = pos[qi, :n[qi]]
+                    rc = cnt[qi, :n[qi]]
+                    keep = rc >= minm_arr[rp]
+                    probes.append((rp[keep].copy(), rc[keep].copy(),
+                                   owner_arr[rp[keep]]))
+                self.probes = probes
+            except Exception:
+                self.probes = None
+        self._sorted_parts: Dict[int, np.ndarray] = {}
+
+    def add_extra(self, seqno: int, kmers: np.ndarray, length: int,
+                  qidx: int) -> None:
+        """Record a non-chimera accepted by round query qidx."""
+        if self.probes is not None:
+            rp, rc, rown = self.probes[qidx]
+            keep = rown > qidx
+            for gp, c in zip(rp[keep].tolist(), rc[keep].tolist()):
+                self.pending.setdefault(gp, []).append((seqno, c, length))
+        else:
+            self.extras.append((seqno, np.sort(kmers), length))
+
+    def any_pending(self) -> bool:
+        """Cheap pre-check: can ANY recorded extra affect a later part?"""
+        if self.probes is not None:
+            return bool(self.pending)
+        return bool(self.extras)
+
+    def get(self, gp: int, qidx: int) -> List[Tuple[int, int, int]]:
+        """Extras touching round part gp: [(seqno, shared_count, length)].
+        All recorded extras precede query qidx by construction (serial
+        resolution order)."""
+        if self.probes is not None:
+            return self.pending.get(gp, [])
+        if not self.extras:
+            return []
+        pk = self._sorted_parts.get(gp)
+        if pk is None:
+            pk = np.sort(self.part_kmers[gp])
+            self._sorted_parts[gp] = pk
+        out = []
+        for seqno, ek, length in self.extras:
+            if pk.size and ek.size:
+                ss = np.searchsorted(pk, ek)
+                valid = ss < pk.size
+                c = int(np.count_nonzero(pk[ss[valid]] == ek[valid]))
+            else:
+                c = 0
+            if c > 0:
+                out.append((seqno, c, length))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -341,45 +622,45 @@ def find_best_parents(query_seq: bytes, cand_list: List[int],
     match = match.copy()
 
     best_parent_cand = [-1, -1]
-    cand_selected = [False] * n
+    unsel = np.ones(n, dtype=bool)
     smooth = np.zeros((n, qlen), dtype=np.int32)
     maxsmooth = np.zeros(qlen, dtype=np.int32)
 
     for f in range(2):
         if f > 0:
+            # zero every match window ending where the selected parent ties
+            # the column max (delta-encoded union of [hit-W+1, hit] spans)
             prev = best_parent_cand[f - 1]
-            for qpos in range(WINDOW - 1, qlen):
-                if smooth[prev, qpos] == maxsmooth[qpos]:
-                    match[:, qpos + 1 - WINDOW:qpos + 1] = 0
+            hit = smooth[prev, WINDOW - 1:] == maxsmooth[WINDOW - 1:]
+            hitpos = np.nonzero(hit)[0] + WINDOW - 1
+            if hitpos.size:
+                delta = np.zeros(qlen + 1, dtype=np.int32)
+                np.add.at(delta, hitpos + 1 - WINDOW, 1)
+                np.add.at(delta, hitpos + 1, -1)
+                match[:, np.cumsum(delta[:-1]) > 0] = 0
 
+        # windowed sums for all unselected candidates at once
         maxsmooth[:] = 0
-        # windowed sums per candidate (cumsum), only for unselected
-        for i in range(n):
-            if cand_selected[i]:
-                continue
-            c = np.cumsum(match[i])
+        rows = match[unsel]
+        if rows.shape[0]:
+            c = np.cumsum(rows, axis=1)
             s = c.copy()
-            s[WINDOW:] = c[WINDOW:] - c[:-WINDOW]
-            smooth[i, WINDOW - 1:] = s[WINDOW - 1:]
-            np.maximum(maxsmooth[WINDOW - 1:], smooth[i, WINDOW - 1:],
-                       out=maxsmooth[WINDOW - 1:])
+            s[:, WINDOW:] = c[:, WINDOW:] - c[:, :-WINDOW]
+            smooth[unsel, WINDOW - 1:] = s[:, WINDOW - 1:]
+            maxsmooth[WINDOW - 1:] = s[:, WINDOW - 1:].max(axis=0)
 
         wins = np.zeros(n, dtype=np.int64)
         active = maxsmooth[WINDOW - 1:] != 0
-        for i in range(n):
-            if cand_selected[i]:
-                continue
-            wins[i] = int(np.count_nonzero(
-                active & (smooth[i, WINDOW - 1:] == maxsmooth[WINDOW - 1:])))
+        wins[unsel] = (active
+                       & (smooth[unsel][:, WINDOW - 1:]
+                          == maxsmooth[WINDOW - 1:])).sum(axis=1)
 
-        maxwins = 0
-        for i in range(n):
-            if wins[i] > maxwins:
-                maxwins = int(wins[i])
-                best_parent_cand[f] = i
-        if best_parent_cand[f] < 0:
+        # first index with wins > 0 maximal (strict-improvement scan)
+        if wins.max(initial=0) > 0:
+            best_parent_cand[f] = int(np.argmax(wins))
+            unsel[best_parent_cand[f]] = False
+        else:
             break
-        cand_selected[best_parent_cand[f]] = True
 
     if best_parent_cand[0] >= 0 and best_parent_cand[1] >= 0:
         return best_parent_cand[0], best_parent_cand[1]

@@ -56,12 +56,29 @@ class KmerIndex:
         """reference: dbindex.cpp:121-148 (unique kmers of one sequence)."""
         kmers = kmer_ops.unique_kmer_set(db.getsequence(seqno),
                                          self.wordlength, seqmask)
+        self.add_sequence_with_kmers(seqno, db.getsequencelen(seqno), kmers)
+
+    def add_sequence_with_kmers(self, seqno: int, length: int,
+                                kmers: np.ndarray) -> None:
+        """add_sequence with a precomputed unique-kmer set (batch-extracted
+        by the round engines — one threaded native call per round).
+
+        The native postings mirror is synced lazily in one bulk call at
+        the next query (_native_sync), not per append."""
         self.mapping.append(seqno)
-        self.lengths.append(db.getsequencelen(seqno))
+        self.lengths.append(length)
         self._kmer_lists.append(kmers)
         self._csr_dirty = True
-        if self._native is not None:
-            self._native.add(kmers, db.getsequencelen(seqno), seqno)
+
+    def _native_sync(self) -> None:
+        """Bring the native postings mirror up to date with add order."""
+        if self._native is None:
+            return
+        upto = self._native.npos
+        if upto < self.count:
+            self._native.add_batch(self._kmer_lists[upto:],
+                                   self.lengths[upto:],
+                                   self.mapping[upto:])
 
     def candidates_for_query(self, query_kmers: np.ndarray, tophits: int,
                              minmatches: int) -> List:
@@ -74,23 +91,32 @@ class KmerIndex:
                 from . import native
                 p = native.Postings(self.hashsize)
                 # UDB bulk loads populate only the CSR; invert it first
-                for pos, kmers in enumerate(self.kmer_lists_by_position()):
-                    p.add(kmers, self.lengths[pos], self.mapping[pos])
+                p.add_batch(self.kmer_lists_by_position(), self.lengths,
+                            self.mapping)
                 self._native = p
             except Exception:
                 self._native_ok = False
         if self._native is not None:
+            self._native_sync()
             return self._native.topk(query_kmers, tophits, minmatches)
         return self.topscores(self.counts_for_query(query_kmers), tophits,
                               minmatches)
 
     def candidates_for_query_batch(self, kmer_lists, tophits: int,
-                                   minmatches_list) -> List[List]:
-        """Threaded candidates_for_query over many queries."""
+                                   minmatches_list, raw=None) -> List[List]:
+        """Threaded candidates_for_query over many queries.
+
+        ``raw``: optional (buf, offsets[n+1]) concatenated layout of
+        ``kmer_lists`` (unique_kmer_sets_batch_raw wire format) — skips
+        re-concatenation on the native path."""
         if self.count == 0 or tophits <= 0:
             return [[] for _ in kmer_lists]
         self.candidates_for_query(np.zeros(0, dtype=np.uint32), 1, 1)
         if self._native is not None:
+            self._native_sync()
+            if raw is not None:
+                return self._native.topk_batch_raw(
+                    raw[0], raw[1], tophits, minmatches_list)
             return self._native.topk_batch(kmer_lists, tophits,
                                            minmatches_list)
         return [self.candidates_for_query(k, tophits, mm)

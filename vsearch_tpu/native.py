@@ -110,6 +110,18 @@ def dust_batch(seqs, hardmask: bool):
 _kmer_scratch = {}
 
 
+def _concat_kmer_lists(kmer_lists):
+    """Concatenate per-item uint32 k-mer lists into (buf, offsets[n+1])."""
+    n = len(kmer_lists)
+    concat = np.concatenate(
+        [np.ascontiguousarray(k, dtype=np.uint32) for k in kmer_lists]) \
+        if n else np.zeros(0, dtype=np.uint32)
+    off = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([k.size for k in kmer_lists], out=off[1:])
+    return np.ascontiguousarray(concat, dtype=np.uint32), off
+
+
 def unique_kmers(seq: bytes, wordlength: int,
                  mask_lowercase: bool) -> Optional[np.ndarray]:
     lib = _load()
@@ -125,6 +137,33 @@ def unique_kmers(seq: bytes, wordlength: int,
                                int(mask_lowercase),
                                out.ctypes.data, bitmap.ctypes.data)
     return out[:n].copy()
+
+
+def unique_kmers_batch(seqs, wordlength: int, mask_lowercase: bool):
+    """Threaded unique-kmer extraction over many sequences.
+
+    Returns (kmers, offsets): concatenated uint32 k-mer lists with
+    int64 offsets[n+1], or None when the native library is unavailable.
+    Slice ``kmers[offsets[i]:offsets[i+1]]`` for sequence i."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_kmer_batch_ready"):
+        ct = ctypes
+        lib.vstpu_unique_kmers_batch.argtypes = [
+            ct.c_char_p, ct.c_void_p, ct.c_int64, ct.c_int, ct.c_int,
+            ct.c_void_p, ct.c_void_p]
+        lib._kmer_batch_ready = True
+    n = len(seqs)
+    data = b"".join(seqs)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=off[1:])
+    out = np.empty(max(len(data), 1), dtype=np.uint32)
+    oo = np.zeros(n + 1, dtype=np.int64)
+    lib.vstpu_unique_kmers_batch(data, off.ctypes.data, n, wordlength,
+                                 int(mask_lowercase), out.ctypes.data,
+                                 oo.ctypes.data)
+    return out, oo
 
 
 def pack_bits(all_kmers: np.ndarray, starts: np.ndarray, n_pos: int,
@@ -209,9 +248,49 @@ class Postings:
                                      length, seqno)
         self.npos += 1
 
+    def add_batch(self, kmer_lists, lengths, seqnos) -> None:
+        """Bulk add of many entries in one C call."""
+        n = len(kmer_lists)
+        if n == 0:
+            return
+        concat, off = _concat_kmer_lists(kmer_lists)
+        self.add_batch_raw(concat, off, lengths, seqnos)
+
+    def add_batch_raw(self, concat: np.ndarray, off: np.ndarray,
+                      lengths, seqnos) -> None:
+        """add_batch over an already-concatenated (buf, offsets) layout —
+        the wire format unique_kmers_batch produces (zero-copy path)."""
+        lib = self._lib
+        if not hasattr(lib, "_postings_addb_ready"):
+            ct = ctypes
+            lib.vstpu_postings_add_batch.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+                ct.c_void_p, ct.c_void_p]
+            lib._postings_addb_ready = True
+        n = len(off) - 1
+        if n == 0:
+            return
+        assert concat.dtype == np.uint32 and concat.flags.c_contiguous
+        assert off.dtype == np.int64 and off.flags.c_contiguous
+        ln = np.asarray(lengths, dtype=np.int64)
+        sq = np.asarray(seqnos, dtype=np.int64)
+        lib.vstpu_postings_add_batch(
+            self._h, concat.ctypes.data if concat.size else None,
+            off.ctypes.data, n, ln.ctypes.data, sq.ctypes.data)
+        self.npos += n
+
     def topk_batch(self, qkmer_lists, tophits: int, minmatches_list):
         """Threaded top-k over many queries; returns list of candidate
         lists in heap order."""
+        nq = len(qkmer_lists)
+        if nq == 0 or tophits <= 0:
+            return [[] for _ in range(nq)]
+        concat, qoff = _concat_kmer_lists(qkmer_lists)
+        return self.topk_batch_raw(concat, qoff, tophits, minmatches_list)
+
+    def topk_batch_raw(self, concat: np.ndarray, qoff: np.ndarray,
+                       tophits: int, minmatches_list):
+        """topk_batch over the concatenated (buf, offsets) wire format."""
         lib = self._lib
         if not hasattr(lib, "_topk_batch_ready"):
             ct = ctypes
@@ -220,14 +299,9 @@ class Postings:
                 ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p,
                 ct.c_void_p]
             lib._topk_batch_ready = True
-        nq = len(qkmer_lists)
+        nq = len(qoff) - 1
         if nq == 0 or tophits <= 0:
             return [[] for _ in range(nq)]
-        concat = np.concatenate([np.ascontiguousarray(k, dtype=np.uint32)
-                                 for k in qkmer_lists]) \
-            if nq else np.zeros(0, dtype=np.uint32)
-        qoff = np.zeros(nq + 1, dtype=np.int64)
-        np.cumsum([k.size for k in qkmer_lists], out=qoff[1:])
         mm = np.asarray(minmatches_list, dtype=np.int64)
         out_s = np.empty((nq, tophits), dtype=np.int64)
         out_c = np.empty((nq, tophits), dtype=np.int64)
@@ -241,7 +315,9 @@ class Postings:
                 for i in range(nq)]
 
     def counts(self, qkmers: np.ndarray):
-        """(positions, counts) int64 arrays of touched index positions."""
+        """(positions, counts) int64 arrays of touched index positions.
+
+        Views into per-handle scratch — consume before the next call."""
         lib = self._lib
         if not hasattr(lib, "_postings_counts_ready"):
             ct = ctypes
@@ -252,12 +328,56 @@ class Postings:
             lib._postings_counts_ready = True
         qkmers = np.ascontiguousarray(qkmers, dtype=np.uint32)
         cap = max(self.npos, 1)
-        out_p = np.empty(cap, dtype=np.int64)
-        out_c = np.empty(cap, dtype=np.int64)
+        scratch = getattr(self, "_counts_scratch", None)
+        if scratch is None or scratch[0].size < cap:
+            scratch = (np.empty(2 * cap, dtype=np.int64),
+                       np.empty(2 * cap, dtype=np.int64))
+            self._counts_scratch = scratch
+        out_p, out_c = scratch
         m = lib.vstpu_postings_counts(self._h, qkmers.ctypes.data,
                                       qkmers.size, out_p.ctypes.data,
                                       out_c.ctypes.data)
         return out_p[:m], out_c[:m]
+
+    def counts_batch(self, qkmer_lists):
+        """Batched counts: per probe list, touched (positions, counts).
+
+        Returns (out_pos, out_cnt, out_n): int32 (nq, cap) arrays + int64
+        lengths; row qi's first out_n[qi] entries are valid."""
+        lib = self._lib
+        if not hasattr(lib, "_counts_batch_ready"):
+            ct = ctypes
+            lib.vstpu_postings_counts_batch.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+                ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p]
+            lib._counts_batch_ready = True
+        nq = len(qkmer_lists)
+        cap = max(self.npos, 1)
+        if nq == 0:
+            z = np.zeros((0, cap), dtype=np.int32)
+            return z, z, np.zeros(0, dtype=np.int64)
+        concat, qoff = _concat_kmer_lists(qkmer_lists)
+        return self.counts_batch_raw(concat, qoff)
+
+    def counts_batch_raw(self, concat: np.ndarray, qoff: np.ndarray):
+        """counts_batch over the concatenated (buf, offsets) wire format."""
+        lib = self._lib
+        if not hasattr(lib, "_counts_batch_ready"):
+            ct = ctypes
+            lib.vstpu_postings_counts_batch.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+                ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p]
+            lib._counts_batch_ready = True
+        nq = len(qoff) - 1
+        cap = max(self.npos, 1)
+        out_pos = np.empty((nq, cap), dtype=np.int32)
+        out_cnt = np.empty((nq, cap), dtype=np.int32)
+        out_n = np.empty(nq, dtype=np.int64)
+        lib.vstpu_postings_counts_batch(
+            self._h, concat.ctypes.data if concat.size else None,
+            qoff.ctypes.data, nq, cap, out_pos.ctypes.data,
+            out_cnt.ctypes.data, out_n.ctypes.data)
+        return out_pos, out_cnt, out_n
 
     def topk(self, qkmers: np.ndarray, tophits: int, minmatches: int):
         if qkmers.dtype != np.uint32 or not qkmers.flags.c_contiguous:

@@ -66,3 +66,23 @@ def unique_kmer_set(seq: bytes, wordlength: int, seqmask: Masking) -> np.ndarray
     seq_u8 = np.frombuffer(seq, dtype=np.uint8)
     codes = kmer_codes(seq_u8, wordlength, seqmask)
     return np.unique(codes).astype(np.uint32)
+
+
+def unique_kmer_sets_batch(seqs, wordlength: int, seqmask: Masking):
+    """Unique k-mer sets for many sequences in one threaded native call.
+
+    Returns a list of uint32 arrays (views into one shared buffer — treat
+    as read-only and batch-scoped)."""
+    buf, off = unique_kmer_sets_batch_raw(seqs, wordlength, seqmask)
+    return [buf[off[i]:off[i + 1]] for i in range(len(seqs))]
+
+
+def unique_kmer_sets_batch_raw(seqs, wordlength: int, seqmask: Masking):
+    """Batched unique k-mer sets in the concatenated (buf, offsets[n+1])
+    wire format the native postings bulk calls consume zero-copy."""
+    from .. import native
+    r = native.unique_kmers_batch(seqs, wordlength, seqmask != Masking.none)
+    if r is not None:
+        return r
+    lists = [unique_kmer_set(s, wordlength, seqmask) for s in seqs]
+    return native._concat_kmer_lists(lists)

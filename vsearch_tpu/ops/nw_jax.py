@@ -589,27 +589,112 @@ class BatchAligner:
     # buckets are multiples of 128 (the row-scan kernel's lane width).
     PAIR_BUCKETS = (128, 256, 512, 1024)
 
-    # batches below this many DP cells run on the host C tier: a device
-    # dispatch costs a ~25-90 ms tunnel round-trip, the scalar C aligner
-    # does ~0.1 GCUPS/core — crossover is O(10M) cells
+    # floor below which batches always run on the host C tier; the live
+    # crossover adapts above it from measured device-call overhead and
+    # host cell rate (see align_pairs) — ~10M cells co-located, ~100M+
+    # through a high-latency tunnel
     NATIVE_CELLS_LIMIT = int(os.environ.get("VSEARCH_TPU_NATIVE_NW_CELLS",
                                             8_000_000))
+    DEVICE_RATE = 12e9          # cells/s the row-scan kernel sustains
+
+    # adaptive host/device routing state: EMA of the device call's fixed
+    # cost (dispatch+fetch latency — ~1 ms co-located, 40-120 ms through a
+    # tunnel) and of the host C tier's measured cell rate.  Process-wide
+    # (class attributes): latency and host speed are properties of the rig,
+    # not of one aligner instance, and a fresh instance per run must not
+    # relearn them through expensive mis-routed dispatches.  Persisted to
+    # ~/.cache/vsearch_tpu/autotune.json (keyed by backend) so new
+    # processes start from the rig's measured numbers instead of paying
+    # mis-routed dispatches (and their kernel compiles) to relearn.
+    _dev_overhead_ema = 8e-3     # seconds; pre-learning default
+    _native_rate_ema = 1.0e9     # cells/s; conservative start
+    _autotune_loaded = False
+    _autotune_saved_at = 0.0
+
+    @staticmethod
+    def _autotune_path():
+        return os.environ.get(
+            "VSEARCH_TPU_AUTOTUNE",
+            os.path.join(os.path.expanduser("~"), ".cache", "vsearch_tpu",
+                         "autotune.json"))
+
+    @classmethod
+    def _autotune_load(cls):
+        if cls._autotune_loaded:
+            return
+        cls._autotune_loaded = True
+        try:
+            import json
+            with open(cls._autotune_path()) as fh:
+                entry = json.load(fh).get(jax.default_backend())
+            if entry:
+                cls._dev_overhead_ema = float(entry["dev_overhead"])
+                cls._native_rate_ema = float(entry["native_rate"])
+        except Exception:
+            pass
+
+    @classmethod
+    def _autotune_save(cls):
+        import time as _time
+        now = _time.monotonic()
+        if now - cls._autotune_saved_at < 5.0:
+            return
+        cls._autotune_saved_at = now
+        try:
+            import json
+            path = cls._autotune_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except Exception:
+                data = {}
+            data[jax.default_backend()] = {
+                "dev_overhead": cls._dev_overhead_ema,
+                "native_rate": cls._native_rate_ema}
+            tmp = path + ".tmp.%d" % os.getpid()
+            with open(tmp, "w") as fh:
+                json.dump(data, fh)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+
+    def _native_cells_crossover(self) -> float:
+        """Batch size (DP cells) above which the device dispatch beats the
+        host C tier: solve cells/host_rate > overhead + cells/device_rate
+        with the measured EMAs."""
+        if "VSEARCH_TPU_NATIVE_NW_CELLS" in os.environ:
+            return self.NATIVE_CELLS_LIMIT
+        inv = 1.0 / self._native_rate_ema - 1.0 / self.DEVICE_RATE
+        if inv <= 0:
+            return self.NATIVE_CELLS_LIMIT
+        return max(self.NATIVE_CELLS_LIMIT, self._dev_overhead_ema / inv)
 
     def align_pairs(self, qseqs: Sequence[bytes],
                     tseqs: Sequence[bytes]) -> List[AlignmentResult]:
         B = len(qseqs)
         if B == 0:
             return []
+        self._autotune_load()
         cells = sum(len(q) * len(t) for q, t in zip(qseqs, tseqs))
         # CPU backend: the threaded C tier always beats the XLA CPU scan —
         # except under an active device mesh, where large batches take the
         # sharded device kernel so the multi-chip path is the one exercised
         from ..parallel.mesh import active_mesh
-        if cells <= self.NATIVE_CELLS_LIMIT or (
+        import time as _time
+        if cells <= self._native_cells_crossover() or (
                 jax.default_backend() == "cpu" and active_mesh() is None):
+            t0 = _time.perf_counter()
             native_res = self._align_pairs_native(qseqs, tseqs)
             if native_res is not None:
+                dt = _time.perf_counter() - t0
+                if cells >= 1_000_000 and dt > 0:
+                    BatchAligner._native_rate_ema = (
+                        0.7 * BatchAligner._native_rate_ema
+                        + 0.3 * cells / dt)
+                    self._autotune_save()
                 return native_res
+        t0 = _time.perf_counter()
         if B > self.PAIR_BUCKETS[-1]:
             # dispatch every chunk before fetching any, then fetch ALL
             # chunks in a single bundled device_get: on the tunneled TPU
@@ -623,9 +708,18 @@ class BatchAligner:
             out: List[AlignmentResult] = []
             for (qc, tc), handle in zip(chunks, fetched):
                 out.extend(self._collect(qc, tc, handle))
-            return out
-        handle = self._dispatch(qseqs, tseqs)
-        return self._collect(qseqs, tseqs, handle)
+        else:
+            handle = self._dispatch(qseqs, tseqs)
+            out = self._collect(qseqs, tseqs, handle)
+        # overhead = wall minus the compute the kernel itself accounts for;
+        # first calls include compiles — cap the sample so one compile
+        # doesn't poison the estimate
+        dt = _time.perf_counter() - t0
+        overhead = min(max(dt - cells / self.DEVICE_RATE, 1e-4), 0.5)
+        BatchAligner._dev_overhead_ema = (
+            0.7 * BatchAligner._dev_overhead_ema + 0.3 * overhead)
+        self._autotune_save()
+        return out
 
     def _align_pairs_native(self, qseqs: Sequence[bytes],
                             tseqs: Sequence[bytes]
