@@ -2,15 +2,25 @@
 
 reference: src/commands/allpairs_global.cpp — each query i aligned against
 every target i+1..n-1 (no k-mer index), accepted hits sorted by
-(id desc, target asc); forced single strand.  The triangular pair schedule
-feeds the batched device aligner directly.
+(id desc, target asc); forced single strand.
+
+TPU-native fast path (ops/allpairs_dev.py): sequence codes upload once,
+the triangular schedule streams as index-pair batches, per-pair alignment
+STATISTICS come back from the device (~10 ints/pair instead of the full
+backtrack), the accept/reject cascade runs vectorized on host, and only
+accepted hits are realigned for their CIGARs.  Falls back to the generic
+batched-aligner path off-TPU, under --acceptall (every pair is emitted,
+so per-pair CIGARs are needed anyway), or with infinite gap penalties.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from contextlib import ExitStack
 from typing import IO, List, Optional
+
+import numpy as np
 
 from ..params import Masking, Parameters
 from ..db import Database
@@ -21,10 +31,69 @@ from ..core.search import SearchContext
 from ..core.searchcore import (Hit, QueryInfo, align_trim,
                                fill_alignment_fields,
                                search_acceptable_aligned,
-                               search_acceptable_unaligned)
+                               search_acceptable_unaligned,
+                               unaligned_gate_active)
 
 
 from ..io.openfile import open_output_opt as _open  # noqa: E402
+
+
+def _accept_mask(eff: Parameters, stats: np.ndarray, qlens: np.ndarray,
+                 tlens: np.ndarray) -> np.ndarray:
+    """Vectorized search_acceptable_aligned (searchcore.cpp:664-737) over
+    device stats rows [aligned, matches, indels, gap_opens, first_op,
+    first_len, last_op, last_len]; float math is IEEE double in the same
+    expression order as the scalar path, so the mask is exact."""
+    aligned = stats[:, 0].astype(np.float64)
+    matches = stats[:, 1].astype(np.int64)
+    indels = stats[:, 2].astype(np.int64)
+    gap_opens = stats[:, 3].astype(np.int64)
+    first_op = stats[:, 4]
+    first_len = stats[:, 5].astype(np.int64)
+    last_op = stats[:, 6]
+    last_len = stats[:, 7].astype(np.int64)
+
+    nwalnlen = stats[:, 0].astype(np.int64)
+    mism = nwalnlen - matches - indels
+
+    tql = np.where(first_op == 2, first_len, 0)
+    ttl = np.where(first_op == 3, first_len, 0)
+    tqr = np.where(last_op == 2, last_len, 0)
+    ttr = np.where(last_op == 3, last_len, 0)
+    tqr = np.where(tql >= nwalnlen, 0, tqr)
+    ttr = np.where(ttl >= nwalnlen, 0, ttr)
+
+    int_alnlen = nwalnlen - tql - ttl - tqr - ttr
+    int_indels = indels - tql - ttl - tqr - ttr
+    int_gaps = (gap_opens - (tql + ttl > 0).astype(np.int64)
+                - (tqr + ttr > 0).astype(np.int64))
+
+    shortest = np.minimum(qlens, tlens).astype(np.float64)
+    longest = np.maximum(qlens, tlens).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        id0 = np.where(shortest > 0, 100.0 * matches / shortest, 0.0)
+        id1 = np.where(nwalnlen > 0, 100.0 * matches / aligned, 0.0)
+        id2 = np.where(int_alnlen > 0,
+                       100.0 * matches / int_alnlen.astype(np.float64), 0.0)
+        id3 = np.maximum(
+            0.0, 100.0 * (1.0 - (1.0 * (mism + gap_opens) / longest)))
+        mid_frac = 100.0 * matches / (matches + mism).astype(np.float64)
+    ids = [id0, id1, id2, id3, id1][eff.opt_iddef]
+
+    ok = ((ids >= 100.0 * eff.opt_weak_id)
+          & (mism <= eff.opt_maxsubs)
+          & (int_gaps <= eff.opt_maxgaps)
+          & (int_alnlen >= eff.opt_mincols)
+          & ((eff.opt_leftjust == 0) | (tql + ttl == 0))
+          & ((eff.opt_rightjust == 0) | (tqr + ttr == 0))
+          & (matches + mism >= eff.opt_query_cov * qlens)
+          & (matches + mism >= eff.opt_target_cov
+             * tlens.astype(np.float64))
+          & (ids <= 100.0 * eff.opt_maxid)
+          & (mid_frac >= eff.opt_mid)
+          & (mism + int_indels <= eff.opt_maxdiffs)
+          & (ids >= 100.0 * eff.opt_id))
+    return ok
 
 
 def allpairs_global(params: Parameters) -> None:
@@ -57,62 +126,10 @@ def allpairs_global(params: Parameters) -> None:
             params.opt_wordlength))
         eff = ctx.params
 
-        qmatches = 0
-        count_matched = 0
-        count_notmatched = 0
+        state = {"qmatches": 0, "matched": 0, "notmatched": 0}
         seqcount = db.seqcount
 
-        from ..utils.progress import Progress
-        align_progress = Progress(
-            "Aligning", max(0, seqcount * (seqcount - 1)) // 2, params)
-        # super-batched alignment: pair lists from consecutive queries are
-        # merged until the batch amortizes a device dispatch (or fills the
-        # native tier), then emitted strictly in query order
-        BATCH_PAIRS = 8192
-
-        def query_groups():
-            pending = []       # (qi, targets)
-            pairs = []
-            for query_no in range(seqcount):
-                align_progress.update(align_progress._counter
-                                      + (seqcount - query_no - 1))
-                qi = QueryInfo(query_head=db.getheader(query_no),
-                               qsequence=db.getsequence(query_no),
-                               qseqlen=db.getsequencelen(query_no),
-                               qsize=db.getabundance(query_no), strand=0,
-                               query_no=query_no)
-                from ..core.searchcore import unaligned_gate_active
-                if params.opt_acceptall or not unaligned_gate_active(eff):
-                    targets = list(range(query_no + 1, seqcount))
-                else:
-                    targets = [t for t in range(query_no + 1, seqcount)
-                               if search_acceptable_unaligned(eff, qi, db,
-                                                              t)]
-                pending.append((qi, targets))
-                pairs.extend((qi.qsequence, t) for t in targets)
-                if len(pairs) >= BATCH_PAIRS:
-                    yield pending, ctx.align_pairs(pairs)
-                    pending = []
-                    pairs = []
-            if pending:
-                yield pending, ctx.align_pairs(pairs)
-
-        for pending, aligned in query_groups():
-          cursor = 0
-          for qi, targets in pending:
-            finalhits: List[Hit] = []
-            if targets:
-                for t, res in zip(targets,
-                                  aligned[cursor:cursor + len(targets)]):
-                    hit = Hit(target=t, strand=0, count=0)
-                    fill_alignment_fields(hit, qi, db, res)
-                    align_trim(hit, eff)
-                    if params.opt_acceptall or \
-                            search_acceptable_aligned(eff, qi, db, hit):
-                        finalhits.append(hit)
-                cursor += len(targets)
-                finalhits.sort(key=lambda h: (-h.id, h.target))
-
+        def emit_query(qi: QueryInfo, finalhits: List[Hit]) -> None:
             toreport = min(params.opt_maxhits, len(finalhits))
             hits = finalhits
             query_head = qi.query_head
@@ -166,24 +183,208 @@ def allpairs_global(params: Parameters) -> None:
                                                 query_head, qseqlen, db)
 
             if hits:
-                qmatches += 1
-                count_matched += 1
+                state["qmatches"] += 1
+                state["matched"] += 1
                 if fp_matched is not None:
                     fastx_io.fasta_print_general(fp_matched, params, qseq,
                                                  query_head, qi.qsize,
-                                                 count_matched)
+                                                 state["matched"])
             else:
-                count_notmatched += 1
+                state["notmatched"] += 1
                 if fp_notmatched is not None:
-                    fastx_io.fasta_print_general(fp_notmatched, params, qseq,
-                                                 query_head, qi.qsize,
-                                                 count_notmatched)
+                    fastx_io.fasta_print_general(fp_notmatched, params,
+                                                 qseq, query_head, qi.qsize,
+                                                 state["notmatched"])
+
+        def make_qi(query_no: int) -> QueryInfo:
+            return QueryInfo(query_head=db.getheader(query_no),
+                             qsequence=db.getsequence(query_no),
+                             qseqlen=db.getsequencelen(query_no),
+                             qsize=db.getabundance(query_no), strand=0,
+                             query_no=query_no)
+
+        def build_hit(qi: QueryInfo, t: int, res) -> Optional[Hit]:
+            hit = Hit(target=t, strand=0, count=0)
+            fill_alignment_fields(hit, qi, db, res)
+            align_trim(hit, eff)
+            if params.opt_acceptall or \
+                    search_acceptable_aligned(eff, qi, db, hit):
+                return hit
+            return None
+
+        from ..utils.progress import Progress
+        align_progress = Progress(
+            "Aligning", max(0, seqcount * (seqcount - 1)) // 2, params)
+
+        import jax
+        maxlen = max((db.getsequencelen(i) for i in range(seqcount)),
+                     default=0)
+        use_fast = (
+            ctx.aligner is not None
+            and jax.default_backend() == "tpu"
+            and not params.opt_acceptall
+            and not eff.opt_gap_penalty_has_infinite
+            and seqcount >= 16
+            and 0 < maxlen <= 2048
+            and min(db.getsequencelen(i) for i in range(seqcount)) > 0
+            and os.environ.get("VSEARCH_TPU_ALLPAIRS_DEV", "1") != "0")
+
+        if use_fast:
+            _allpairs_fast(params, eff, db, ctx, align_progress, make_qi,
+                           build_hit, emit_query)
+        else:
+            _allpairs_generic(params, eff, db, ctx, align_progress,
+                              make_qi, build_hit, emit_query)
 
         align_progress.done()
         # reference: allpairs_global.cpp:656-677 — "Matching query
         # sequences" (no "unique"); the log copy gets an extra blank line
         from ..utils.progress import message
-        msg = "Matching query sequences: %d of %d" % (qmatches, seqcount)
+        msg = "Matching query sequences: %d of %d" % (state["qmatches"],
+                                                      seqcount)
         if seqcount > 0:
-            msg += " (%.2f%%)" % (100.0 * qmatches / seqcount)
+            msg += " (%.2f%%)" % (100.0 * state["qmatches"] / seqcount)
         message(params, msg)
+
+
+def _targets_for(params, eff, db, qi, seqcount):
+    if params.opt_acceptall or not unaligned_gate_active(eff):
+        return list(range(qi.query_no + 1, seqcount))
+    return [t for t in range(qi.query_no + 1, seqcount)
+            if search_acceptable_unaligned(eff, qi, db, t)]
+
+
+def _allpairs_generic(params, eff, db, ctx, align_progress, make_qi,
+                      build_hit, emit_query) -> None:
+    """Generic batched-aligner path (host C tier / non-TPU backends)."""
+    seqcount = db.seqcount
+    BATCH_PAIRS = 8192
+
+    def query_groups():
+        pending = []       # (qi, targets)
+        pairs = []
+        for query_no in range(seqcount):
+            align_progress.update(align_progress._counter
+                                  + (seqcount - query_no - 1))
+            qi = make_qi(query_no)
+            targets = _targets_for(params, eff, db, qi, seqcount)
+            pending.append((qi, targets))
+            pairs.extend((qi.qsequence, t) for t in targets)
+            if len(pairs) >= BATCH_PAIRS:
+                yield pending, ctx.align_pairs(pairs)
+                pending = []
+                pairs = []
+        if pending:
+            yield pending, ctx.align_pairs(pairs)
+
+    for pending, aligned in query_groups():
+        cursor = 0
+        for qi, targets in pending:
+            finalhits = []
+            if targets:
+                for t, res in zip(targets,
+                                  aligned[cursor:cursor + len(targets)]):
+                    hit = build_hit(qi, t, res)
+                    if hit is not None:
+                        finalhits.append(hit)
+                cursor += len(targets)
+                finalhits.sort(key=lambda h: (-h.id, h.target))
+            emit_query(qi, finalhits)
+
+
+def _allpairs_fast(params, eff, db, ctx, align_progress, make_qi,
+                   build_hit, emit_query) -> None:
+    """Device stats pipeline: dispatch the whole triangle, one bundled
+    fetch, vectorized accept, realign only accepted/overflow pairs."""
+    import jax
+    from ..ops.allpairs_dev import AllPairsDevice
+    seqcount = db.seqcount
+    seqs = [db.getsequence(i) for i in range(seqcount)]
+    dev = AllPairsDevice(ctx.scheme, seqs)
+    lens = np.fromiter((db.getsequencelen(i) for i in range(seqcount)),
+                       dtype=np.int64, count=seqcount)
+
+    gate = unaligned_gate_active(eff)
+    qis = {}
+
+    # schedule the full triangle as index-pair batches, dispatching each
+    # as soon as it fills; nothing is fetched until every batch is queued
+    handles = []
+    metas = []          # (qpos np.ndarray, tpos np.ndarray)
+    qbuf: List[int] = []
+    tbuf: List[int] = []
+
+    def flush():
+        if not qbuf:
+            return
+        qpos = np.asarray(qbuf, dtype=np.int32)
+        tpos = np.asarray(tbuf, dtype=np.int32)
+        handles.append(dev.dispatch(qpos, tpos))
+        metas.append((qpos, tpos))
+        del qbuf[:], tbuf[:]
+
+    for q in range(seqcount):
+        align_progress.update(align_progress._counter
+                              + (seqcount - q - 1))
+        if gate:
+            qi = qis.setdefault(q, make_qi(q))
+            targets = _targets_for(params, eff, db, qi, seqcount)
+        else:
+            targets = range(q + 1, seqcount)
+        for t in targets:
+            qbuf.append(q)
+            tbuf.append(t)
+            if len(qbuf) == dev.PAIR_BATCH:
+                flush()
+    flush()
+
+    fetched = jax.device_get(handles)
+
+    # vectorized acceptance over all batches
+    accepted = {}        # query_no -> list of target
+    slow: List = []      # (q, t) pairs needing the exact scalar path
+    for (qpos, tpos), (score, overflow, stats) in zip(metas, fetched):
+        n = len(qpos)
+        score = np.asarray(score)[:n]
+        overflow = np.asarray(overflow)[:n]
+        stats = np.asarray(stats)[:n]
+        ok = _accept_mask(eff, stats, lens[qpos], lens[tpos])
+        for q, t in zip(qpos[overflow].tolist(), tpos[overflow].tolist()):
+            slow.append((q, t))
+        ok &= ~overflow
+        for q, t in zip(qpos[ok].tolist(), tpos[ok].tolist()):
+            accepted.setdefault(q, []).append(t)
+
+    # overflow pairs: exact scalar path decides (sentinel -> linmem)
+    if slow:
+        res = ctx.align_pairs([(seqs[q], t) for q, t in slow])
+        for (q, t), r in zip(slow, res):
+            qi = qis.setdefault(q, make_qi(q))
+            hit = build_hit(qi, t, r)
+            if hit is not None:
+                accepted.setdefault(q, []).append(t)
+                qi._slow_results = getattr(qi, "_slow_results", {})
+                qi._slow_results[t] = r
+
+    # realign accepted pairs for CIGARs (rare), then emit in query order
+    realign = [(q, t) for q in sorted(accepted) for t in accepted[q]]
+    results_map = {}
+    pending = [(q, t) for q, t in realign
+               if not hasattr(qis.get(q), "_slow_results")
+               or t not in qis[q]._slow_results]
+    if pending:
+        res = ctx.align_pairs([(seqs[q], t) for q, t in pending])
+        for (q, t), r in zip(pending, res):
+            results_map[(q, t)] = r
+    for q in range(seqcount):
+        qi = qis.get(q) or make_qi(q)
+        finalhits = []
+        for t in accepted.get(q, ()):  # targets in ascending order
+            slow_map = getattr(qi, "_slow_results", None)
+            r = slow_map[t] if (slow_map and t in slow_map) \
+                else results_map[(q, t)]
+            hit = build_hit(qi, t, r)
+            if hit is not None:
+                finalhits.append(hit)
+        finalhits.sort(key=lambda h: (-h.id, h.target))
+        emit_query(qi, finalhits)

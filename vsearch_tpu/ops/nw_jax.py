@@ -109,7 +109,8 @@ def _pallas_tile(Bp: int, M: int) -> int:
 
 
 @functools.lru_cache(maxsize=128)
-def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
+def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0,
+                   raw: bool = False):
     """Compile the forward DP + backtrack for a (scheme, M, N) geometry.
 
     When Bp > 0 and a TPU backend is available, the forward sweep uses the
@@ -414,7 +415,10 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0):
 
     if Bp == -1:  # profiling hook: split forward/backtrack timings
         return jax.jit(forward), jax.jit(backtrack)
-    if Bp == -2:  # raw (unjitted) full kernel for shard_map wrapping
+    if Bp == -2 or raw:
+        # raw (unjitted) full kernel for composition: shard_map wrapping
+        # (Bp=-2, XLA forward) or fusing extra device stages after the
+        # backtrack (raw=True keeps the Bp>0 Pallas forward selection)
         return full
     jitted = jax.jit(full)
     try:

@@ -80,13 +80,20 @@ def overflow_possible(scheme_key: tuple, M: int, N: int) -> bool:
 
 
 def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
-                   interpret: bool = False):
+                   interpret: bool = False, with_matches: bool = False):
     """Forward DP for geometry (M query rows, N target cols, TB pairs).
 
     Returns a jitted fn (q4 (B, M) int8, qlen (B,), t4 (B, N) int8,
     tlen (B,)) -> (score (B,) i32, overflow (B,) bool, dirs (M, N, B) u8)
     with B == TB (TB a multiple of 128; N, M multiples of 8 with M a
-    multiple of KROWS)."""
+    multiple of KROWS).
+
+    with_matches=True additionally takes the RAW query code plane rqT
+    (M, TB) int8 (unremapped 4-bit codes) and emits a second
+    (M, N, B) u8 plane holding the IUPAC match count within the current
+    diagonal run chunk — in lockstep with the run-length nibble, so a
+    stats backtrack (ops/allpairs_dev.py) can count matches/mismatches
+    per consumed run without re-reading sequence data."""
     (match, mismatch, go_q_l, go_t_l, go_q_i, go_t_i, go_q_r, go_t_r,
      ge_q_l, ge_t_l, ge_q_i, ge_t_i, ge_q_r, ge_t_r, n_mismatch) = scheme_key
     QR_q_i = go_q_i + ge_q_i
@@ -105,12 +112,21 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
     q_classes_equal = (QR_q_i == QR_q_r and ge_q_i == ge_q_r)
     nblk = M // KROWS
 
-    def kernel(qm8_ref, am8_ref, qlen_ref, t4_ref, tlen_ref,
-               score_ref, over_ref, dirs_hbm, qm_ref, am_ref, stage, sems):
+    def kernel(*refs):
+        if with_matches:
+            (qm8_ref, am8_ref, rq8_ref, qlen_ref, t4_ref, tlen_ref,
+             score_ref, over_ref, dirs_hbm, mr_hbm,
+             qm_ref, am_ref, rq_ref, stage, mstage, sems, msems) = refs
+        else:
+            (qm8_ref, am8_ref, qlen_ref, t4_ref, tlen_ref,
+             score_ref, over_ref, dirs_hbm,
+             qm_ref, am_ref, stage, sems) = refs
         # widen the int8 wire rows once (dynamic sublane slices require a
         # 32-bit element type on this Mosaic toolchain)
         qm_ref[:] = qm8_ref[:].astype(jnp.int32)
         am_ref[:] = am8_ref[:].astype(jnp.int32)
+        if with_matches:
+            rq_ref[:] = rq8_ref[:].astype(jnp.int32)
         jidx = jax.lax.broadcasted_iota(jnp.int32, (Np, TB), 0)
         j0 = jidx == 0
         t4c = t4_ref[:].astype(jnp.int32)
@@ -138,7 +154,7 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
             # k (row-in-block) is a STATIC python int and the DMA control
             # flow lives at block level: the unrolled block body carries no
             # per-row conditionals, so Mosaic can pipeline it freely
-            H, F, RL, score_acc, hmin, hmax = carry
+            H, F, RL, MR, score_acc, hmin, hmax = carry
             qm_row = qm_ref[pl.ds(i, 1), :]        # (1, TB) int32
             am_row = am_ref[pl.ds(i, 1), :]
             V = jnp.where(t4c == qm_row, match, am_row)
@@ -194,17 +210,36 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                       | jnp.where(dleft, DIR_LEFT, 0)
                       | jnp.where(dextu, DIR_EXTUP, 0)
                       | jnp.where(dextl, DIR_EXTLEFT, 0))
-            # M-run length (capped 15) fused into the high nibble: the
-            # number of consecutive diagonal (no-LEFT/no-UP) cells ending
-            # here lets the RLE backtrack skip whole match runs per gather
+            # M-run length fused into the high nibble: the number of
+            # consecutive diagonal (no-LEFT/no-UP) cells ending here lets
+            # the RLE backtrack skip whole match runs per gather.  Runs
+            # restart after 15 (1..15, 1..15, ...) so each recorded value
+            # names an exact chunk — the match-count plane below stays in
+            # lockstep with the chunk the backtrack will consume.
+            MR_next = MR
             if os.environ.get("VSEARCH_TPU_NW_NORL", "0") == "1":
                 RL_next = RL
             else:
                 leftup = (dirs32 & (DIR_UP | DIR_LEFT)) != 0
                 RLs = jnp.concatenate(
                     (jnp.zeros((1, TB), jnp.int32), RL[:Np - 1]), axis=0)
-                RL_next = jnp.where(leftup, 0, jnp.minimum(RLs + 1, 15))
+                RL_next = jnp.where(leftup, 0,
+                                    jnp.where(RLs >= 15, 1, RLs + 1))
                 dirs32 = dirs32 | (RL_next << 4)
+                if with_matches:
+                    rq_row = rq_ref[pl.ds(i, 1), :]        # (1, TB) int32
+                    is_m = ((rq_row & t4c) != 0)
+                    if n_mismatch:
+                        is_m = is_m & jnp.logical_not(
+                            t_is_n | (rq_row == 15))
+                    is_m = is_m.astype(jnp.int32)
+                    MRs = jnp.concatenate(
+                        (jnp.zeros((1, TB), jnp.int32), MR[:Np - 1]),
+                        axis=0)
+                    MR_next = jnp.where(
+                        leftup, 0,
+                        jnp.where(RLs >= 15, is_m, MRs + is_m))
+                    mstage[slot, k] = MR_next.astype(jnp.uint8)
             stage[slot, k] = dirs32.astype(jnp.uint8)
 
             # final-cell score: row qlen-1, column tlen-1
@@ -215,7 +250,7 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                 hv = jnp.where(valid, h, 0)
                 hmin = jnp.minimum(hmin, hv)
                 hmax = jnp.maximum(hmax, hv)
-            return (h, F_next, RL_next, score_acc, hmin, hmax)
+            return (h, F_next, RL_next, MR_next, score_acc, hmin, hmax)
 
         # NOTE: a dynamic (traced) row bound of ceil(max(qlen)/KROWS)*KROWS
         # was measured 48% SLOWER than the static bound — the traced trip
@@ -231,6 +266,11 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                     stage.at[slot],
                     dirs_hbm.at[pl.ds((blk - 2) * KROWS, KROWS)],
                     sems.at[slot]).wait()
+                if with_matches:
+                    pltpu.make_async_copy(
+                        mstage.at[slot],
+                        mr_hbm.at[pl.ds((blk - 2) * KROWS, KROWS)],
+                        msems.at[slot]).wait()
 
             i0 = blk * KROWS
             for k in range(KROWS):
@@ -240,10 +280,15 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                 stage.at[slot],
                 dirs_hbm.at[pl.ds(blk * KROWS, KROWS)],
                 sems.at[slot]).start()
+            if with_matches:
+                pltpu.make_async_copy(
+                    mstage.at[slot],
+                    mr_hbm.at[pl.ds(blk * KROWS, KROWS)],
+                    msems.at[slot]).start()
             return carry
 
-        H, F, RL, score_acc, hmin, hmax = jax.lax.fori_loop(
-            0, nblk, blk_body, (H0, F0, zero, zero, zero, zero))
+        H, F, RL, MR, score_acc, hmin, hmax = jax.lax.fori_loop(
+            0, nblk, blk_body, (H0, F0, zero, zero, zero, zero, zero))
 
         # drain outstanding staging DMAs (the last one or two started)
         pltpu.make_async_copy(
@@ -255,6 +300,16 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                 stage.at[(nblk - 2) % 2],
                 dirs_hbm.at[pl.ds((nblk - 2) * KROWS, KROWS)],
                 sems.at[(nblk - 2) % 2]).wait()
+        if with_matches:
+            pltpu.make_async_copy(
+                mstage.at[(nblk - 1) % 2],
+                mr_hbm.at[pl.ds((nblk - 1) * KROWS, KROWS)],
+                msems.at[(nblk - 1) % 2]).wait()
+            if nblk >= 2:
+                pltpu.make_async_copy(
+                    mstage.at[(nblk - 2) % 2],
+                    mr_hbm.at[pl.ds((nblk - 2) * KROWS, KROWS)],
+                    msems.at[(nblk - 2) % 2]).wait()
 
         score_ref[:] = jnp.sum(score_acc, axis=0, keepdims=True)
         if track:
@@ -265,35 +320,62 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
         else:
             over_ref[:] = jnp.zeros((1, TB), jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # qm (M, TB) i8
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # am (M, TB) i8
+    ]
+    if with_matches:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # rq i8
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # qlen (1, TB) i32
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # t4 (Np, TB) i8
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # tlen (1, TB) i32
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # score (1, TB)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # overflow (1, TB)
+        pl.BlockSpec(memory_space=pl.ANY),       # dirs (M, Np, TB) HBM
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, TB), jnp.int32),
+        jax.ShapeDtypeStruct((1, TB), jnp.int32),
+        jax.ShapeDtypeStruct((M, Np, TB), jnp.uint8),
+    ]
+    if with_matches:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mr HBM
+        out_shape.append(jax.ShapeDtypeStruct((M, Np, TB), jnp.uint8))
+    scratch_shapes = [
+        pltpu.VMEM((M, TB), jnp.int32),          # widened qm
+        pltpu.VMEM((M, TB), jnp.int32),          # widened am
+    ]
+    if with_matches:
+        scratch_shapes.append(pltpu.VMEM((M, TB), jnp.int32))  # raw q
+    scratch_shapes.append(pltpu.VMEM((2, KROWS, Np, TB), jnp.uint8))
+    if with_matches:
+        scratch_shapes.append(pltpu.VMEM((2, KROWS, Np, TB), jnp.uint8))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+    if with_matches:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+
     call = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # qm (M, TB) i8
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # am (M, TB) i8
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # qlen (1, TB) i32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # t4 (Np, TB) i8
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tlen (1, TB) i32
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # score (1, TB)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # overflow (1, TB)
-            pl.BlockSpec(memory_space=pl.ANY),       # dirs (M, Np, TB) HBM
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, TB), jnp.int32),
-            jax.ShapeDtypeStruct((1, TB), jnp.int32),
-            jax.ShapeDtypeStruct((M, Np, TB), jnp.uint8),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((M, TB), jnp.int32),          # widened qm
-            pltpu.VMEM((M, TB), jnp.int32),          # widened am
-            pltpu.VMEM((2, KROWS, Np, TB), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
+
+    if with_matches:
+        @jax.jit
+        def forward(qmT, amT, rqT, qlen, t4T, tlen):
+            score, over, dirs, mr = call(
+                qmT, amT, rqT, qlen[None, :].astype(jnp.int32),
+                t4T, tlen[None, :].astype(jnp.int32))
+            return score[0], over[0] != 0, dirs, mr
+        return forward
 
     @jax.jit
     def forward(qmT, amT, qlen, t4T, tlen):
