@@ -269,3 +269,27 @@ def test_udbinfo_udbstats_parity(ref_binary, ref_data, tmp_path):
         ref = _filter_log((tmp_path / ("ref_%s.log" % verb)).read_bytes())
         mine = _filter_log((tmp_path / ("my_%s.log" % verb)).read_bytes())
         assert ref == mine, "%s log differs" % verb
+
+
+def test_checked_output_close_enospc(ref_binary, tmp_path):
+    """Deferred write errors surface at close with the reference's fatal
+    text (open_file.cpp:150-163), instead of exit 0 + truncated output."""
+    if not pathlib.Path("/dev/full").exists():
+        pytest.skip("/dev/full unavailable")
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b"".join(b">s%d;size=%d\n%s\n"
+                            % (i, 10 - i, b"ACGTACGTAC" * 10)
+                            for i in range(5)))
+    args = ["--sortbysize", str(fa), "--output", "/dev/full", "--quiet"]
+    ref = subprocess.run([ref_binary] + args, capture_output=True)
+    import os as _os
+    import sys as _sys
+    ours = subprocess.run(
+        [_sys.executable, "-m", "vsearch_tpu.cli"] + args,
+        capture_output=True, env=dict(_os.environ))
+    assert ref.returncode == 1
+    assert ours.returncode == 1
+    ref_tail = ref.stderr.decode().strip().splitlines()[-1]
+    ours_tail = ours.stderr.decode().strip().splitlines()[-1]
+    assert "Fatal error: Unable to write to output file" in ref_tail
+    assert ours_tail == ref_tail

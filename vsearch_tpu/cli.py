@@ -802,6 +802,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             fp_log.write(b"Started  %s\n" % stamp.encode())
             t0 = time.monotonic()
         dispatch(params)
+        # deferred stdout write errors (vsearch ... | head): reference
+        # checks at end of main (vsearch.cc:843-852)
+        from .io.openfile import check_stdout
+        check_stdout()
         if fp_log is not None:
             # footer only on success: fatal() exits without running the
             # LogFile destructor in the reference (std::exit skips locals)

@@ -172,7 +172,17 @@ def _derep_fast(params: Parameters, filename: str):
         return None
     input_is_fastq = fastx_io.is_fastq(filename)
     with fastx_io.open_maybe_compressed(filename) as handle:
-        data = handle.read()
+        if type(handle).__module__ == "_io" and filename != "-":
+            # plain file: map it instead of copying 100s of MB through a
+            # buffered read (the native scan touches each page once)
+            import mmap
+            try:
+                data = mmap.mmap(handle.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+            except (ValueError, OSError):
+                data = handle.read()
+        else:
+            data = handle.read()
     truncateatspace = not params.opt_notrunclabels
     if input_is_fastq:
         res = native.scan_fastq(data, truncateatspace, False)
@@ -224,16 +234,20 @@ def _derep_fast(params: Parameters, filename: str):
     if nclusters < 0:
         return None
 
-    abund = (sizes[:nrec][kept_idx] if params.opt_sizein
-             else np.ones(n, dtype=np.int64))
-    cluster_sizes = np.zeros(max(1, nclusters), dtype=np.int64)
-    np.add.at(cluster_sizes, cluster_of, abund)
     counts = np.bincount(cluster_of, minlength=nclusters)
-    first_idx = np.full(nclusters, n, dtype=np.int64)
-    np.minimum.at(first_idx, cluster_of, np.arange(n, dtype=np.int64))
-
-    seq_bytes = cseq.tobytes()
-    qual_bytes = qual_out.tobytes() if qual_out is not None else None
+    if params.opt_sizein:
+        abund = sizes[:nrec][kept_idx]
+        # float64 weighted bincount is exact for abundances < 2^53
+        cluster_sizes = np.bincount(
+            cluster_of, weights=abund.astype(np.float64),
+            minlength=nclusters).astype(np.int64)
+        sumsize_total = int(abund.sum())
+    else:
+        cluster_sizes = counts.astype(np.int64)
+        sumsize_total = n
+    # cluster ids cover 0..nclusters-1, so np.unique's first-occurrence
+    # indices land in id order (ufunc.at was ~10x slower here)
+    _, first_idx = np.unique(cluster_of, return_index=True)
 
     def header_of(j):
         r = int(kept_idx[j])
@@ -245,11 +259,11 @@ def _derep_fast(params: Parameters, filename: str):
         j = int(first_idx[c])
         lo, hi = int(coff[j]), int(coff[j + 1])
         qual = None
-        if qual_bytes is not None:
+        if qual_out is not None:
             r = int(kept_idx[j])
             qlo, qhi = int(seq_off[r]), int(seq_off[r + 1])
-            qual = qual_bytes[qlo:qhi] if n == nrec else None
-        cl = _Cluster(header_of(j), seq_bytes[lo:hi], qual,
+            qual = qual_out[qlo:qhi].tobytes() if n == nrec else None
+        cl = _Cluster(header_of(j), cseq[lo:hi].tobytes(), qual,
                       int(cluster_sizes[c]), j)
         cl.count = int(counts[c])
         clusters.append(cl)
@@ -271,7 +285,7 @@ def _derep_fast(params: Parameters, filename: str):
     shortest_len = int(lens[kept_idx].min()) if n else None
     longest_len = int(lens[kept_idx].max()) if n else 0
     return (clusters, n, nucleotidecount, shortest_len, longest_len,
-            int(abund.sum()), int(cluster_sizes.max()) if nclusters else 0,
+            sumsize_total, int(cluster_sizes.max()) if nclusters else 0,
             discarded_short, discarded_long)
 
 

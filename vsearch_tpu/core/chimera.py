@@ -187,9 +187,11 @@ class ChimeraEngine:
                         list(self.index.lengths), list(self.index.mapping),
                         capacity=max(2 * count, 40960))
             return self._dev_index
-        except Exception:
+        except Exception as exc:
             self._dev_enabled = False
             self._dev_index = None
+            from .cluster import _warn_device_fallback
+            _warn_device_fallback(self.params, "chimera", exc)
             return None
 
     def parts_for(self, query_len: int) -> int:

@@ -36,6 +36,24 @@ class ClusterInfo:
     strand: int = 0
 
 
+def _warn_device_fallback(params, engine: str, exc: Exception) -> None:
+    """One-line diagnostic when a device tier disables itself (r3 Weak #5:
+    a kernel regression must not manifest only as silent slowness).  Goes
+    to stderr unless --quiet, and always to the --log file; never touches
+    the output files, so run results still byte-match."""
+    text = ("WARNING: %s device tier disabled after error: %s: %s\n"
+            % (engine, type(exc).__name__, exc))
+    import sys as _sys
+    if not getattr(params, "opt_quiet", False):
+        _sys.stderr.write(text)
+    fp_log = getattr(params, "fp_log", None)
+    if fp_log is not None:
+        try:
+            fp_log.write(text.encode())
+        except Exception:
+            pass
+
+
 class _StrandState:
     """Per-(query, strand) state for one round (the searchinfo_s analogue)."""
 
@@ -161,9 +179,10 @@ class ClusterEngine:
                     list(self.index.lengths), list(self.index.mapping),
                     capacity=max(2 * count, 40960))
                 self._attach_codes()
-        except Exception:
+        except Exception as exc:
             self._dev_enabled = False
             self._dev_index = None
+            _warn_device_fallback(self.params, "cluster", exc)
 
     def _attach_codes(self) -> None:
         """Device sequence codes for the top-1 prefetch: width covers the
@@ -217,8 +236,16 @@ class ClusterEngine:
             q, pending = dev.topk_dispatch(kmer_lists, self.tophits)
             prefetch = self._prefetch_dispatch(units, pending)
             import jax
-            topk_h, pref_h = jax.device_get(
-                ([h for _, h in pending], prefetch))
+            from ..parallel.mesh import active_mesh
+            if pending and active_mesh() is None:
+                # single bundled fetch (ops/bundle.py): one round-trip
+                from ..ops.bundle import bundle_fetch, unbundle_fetch
+                bundled = bundle_fetch(pending, prefetch)
+                meta_h, ops_h = jax.device_get((bundled[0], bundled[1]))
+                topk_h, pref_h = unbundle_fetch(meta_h, ops_h, bundled[2])
+            else:
+                topk_h, pref_h = jax.device_get(
+                    ([h for _, h in pending], prefetch))
             cand_lists = dev.topk_cut(
                 [(nq, f) for (nq, _), f in zip(pending, topk_h)],
                 minmatches)

@@ -342,12 +342,18 @@ class SearchContext:
                     kmer_lists.append(kmers)
         pending = None
         prefetch = None
+        bundled = None
         if self.device_index is not None:
             with phase("dispatch"):
                 pending = self.device_index.topk_dispatch(kmer_lists,
                                                           self.tophits)
                 prefetch = self._prefetch_dispatch(units, pending)
-        return tasks, units, kmer_lists, pending, prefetch
+                if pending[1]:
+                    from ..parallel.mesh import active_mesh
+                    if active_mesh() is None:
+                        from ..ops.bundle import bundle_fetch
+                        bundled = bundle_fetch(pending[1], prefetch)
+        return tasks, units, kmer_lists, pending, prefetch, bundled
 
     # -- top-1 prefetch ---------------------------------------------------
 
@@ -457,18 +463,26 @@ class SearchContext:
         return res
 
     def search_tasks_finish(self, state) -> None:
-        tasks, units, kmer_lists, pending, prefetch = state
+        tasks, units, kmer_lists, pending, prefetch, bundled = state
         params = self.params
         prefetched: dict = {}
         if pending is not None:
-            # one bundled device->host fetch: top-k chunks + prefetched
-            # alignments together (each fetch costs a full round-trip on a
-            # tunneled device)
+            # ONE device->host fetch: the per-chunk top-k + prefetch
+            # results are concatenated into a single int32 array on device
+            # (ops/bundle.py), so the tunnel round-trip is paid once per
+            # batch instead of once per result array
             import jax
             q, chunks = pending
             with phase("topk_fetch"):
-                topk_h, pref_h = jax.device_get(
-                    ([h for _, h in chunks], prefetch))
+                if bundled is not None:
+                    from ..ops.bundle import unbundle_fetch
+                    meta_h, ops_h = jax.device_get(
+                        (bundled[0], bundled[1]))
+                    topk_h, pref_h = unbundle_fetch(meta_h, ops_h,
+                                                    bundled[2])
+                else:
+                    topk_h, pref_h = jax.device_get(
+                        ([h for _, h in chunks], prefetch))
             if chunks:
                 vals = np.concatenate(
                     [np.asarray(v)[:nq]

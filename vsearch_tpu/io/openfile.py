@@ -3,6 +3,13 @@
 reference: utils/open_file.cpp open_output_file + fatal_output_open_failed
 (open_file.cpp:127-133) — "unable to open output file for writing (<name>)";
 "-" maps to standard output (open_file.cpp:99-121 stream duplication).
+
+Checked close: a deferred write error (full disk, quota, broken pipe) is
+surfaced as the reference's fatal at close time instead of exiting 0 with
+a silently truncated file (CheckedCloseOutputHandle,
+open_file.cpp:150-163; stdout variant vsearch.cc:843-852).  Mirroring the
+reference's unchecked fwrite returns, mid-run write failures are recorded
+and swallowed (the run narrates to completion), then fatal at close.
 """
 
 from __future__ import annotations
@@ -10,6 +17,81 @@ from __future__ import annotations
 import sys
 from contextlib import ExitStack
 from typing import IO, Optional
+
+CLOSE_FATAL = ("Unable to write to output file "
+               "(disk full, quota exceeded, or broken pipe?)")
+STDOUT_FATAL = ("Unable to write to standard output "
+                "(disk full, quota exceeded, or broken pipe?)")
+
+
+class CheckedOutput:
+    """Buffered output wrapper whose close() surfaces deferred write
+    errors with the reference's fatal text (open_file.cpp:150-163)."""
+
+    def __init__(self, fh: IO[bytes]) -> None:
+        self._fh = fh
+        self._error = False
+
+    def write(self, b) -> int:
+        if self._error:
+            return len(b)
+        try:
+            return self._fh.write(b)
+        except OSError:
+            self._error = True
+            return len(b)
+
+    def flush(self) -> None:
+        if self._error:
+            return
+        try:
+            self._fh.flush()
+        except OSError:
+            self._error = True
+
+    def close(self) -> None:
+        err = self._error
+        if not self._fh.closed:
+            if not err:
+                try:
+                    self._fh.flush()
+                except OSError:
+                    err = True
+            try:
+                self._fh.close()
+            except OSError:
+                err = True
+        if err:
+            raise ValueError(CLOSE_FATAL)
+
+    @property
+    def closed(self) -> bool:
+        return self._fh.closed
+
+    def __enter__(self) -> "CheckedOutput":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # on an in-flight exception, close quietly (the reference's fatal
+        # already exits before its destructors run)
+        if exc and exc[0] is not None:
+            try:
+                self._fh.close()
+            except OSError:
+                pass
+            return
+        self.close()
+
+    def __getattr__(self, attr):
+        return getattr(self._fh, attr)
+
+
+def check_stdout() -> None:
+    """End-of-run stdout check (vsearch.cc:843-852)."""
+    try:
+        sys.stdout.buffer.flush()
+    except OSError:
+        raise ValueError(STDOUT_FATAL)
 
 
 def open_output(path: str, name: str = "writing") -> IO[bytes]:
@@ -21,7 +103,7 @@ def open_output(path: str, name: str = "writing") -> IO[bytes]:
     from ..parallel.distributed import output_path
     path = output_path(path)
     try:
-        return open(path, "wb")
+        return CheckedOutput(open(path, "wb"))
     except OSError:
         raise ValueError("unable to open output file for %s (%s)"
                          % (name, path))

@@ -604,7 +604,8 @@ def scan_fasta(data: bytes, truncateatspace: bool, upcase: bool):
             ct.c_void_p]
         lib.vstpu_scan_fastq.restype = ct.c_int64
         lib._scan_ready = True
-    nmax = data.count(b">") + 1
+    data_view = np.frombuffer(data, dtype=np.uint8)
+    nmax = int(np.count_nonzero(data_view == ord(">"))) + 1
     seq_out = np.empty(max(1, len(data)), dtype=np.uint8)
     seq_off = np.zeros(nmax + 1, dtype=np.int64)
     head_off = np.empty(nmax, dtype=np.int64)
@@ -629,7 +630,10 @@ def scan_fastq(data: bytes, truncateatspace: bool, upcase: bool):
     if lib is None:
         return None
     scan_fasta(b"", True, False)  # ensure argtypes registered
-    nmax = data.count(b"\n@") + 2
+    data_view = np.frombuffer(data, dtype=np.uint8)
+    nmax = (int(np.count_nonzero((data_view[:-1] == ord("\n"))
+                                 & (data_view[1:] == ord("@"))))
+            if len(data) > 1 else 0) + 2
     seq_out = np.empty(max(1, len(data)), dtype=np.uint8)
     qual_out = np.empty(max(1, len(data)), dtype=np.uint8)
     seq_off = np.zeros(nmax + 1, dtype=np.int64)
