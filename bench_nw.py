@@ -83,7 +83,12 @@ def run():
                                              ta, tl)
                         else:
                             s, o, ops = kern(qa + dep[:, None], ql, ta, tl)
-                        return acc + s
+                        # thread the BACKTRACK output through the chain
+                        # dependency too — with only `s` consumed, XLA
+                        # dead-code-eliminates the backtrack and the
+                        # "fwd+backtrack" number overstates (r3 verdict)
+                        opsum = jnp.sum(ops.astype(jnp.int32), axis=0)
+                        return acc + s + opsum
                     return jax.lax.fori_loop(
                         0, NRUNS, body, jnp.zeros((B,), jnp.int32))
 

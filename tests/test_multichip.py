@@ -152,3 +152,84 @@ def test_usearch_global_mesh_dense_parity(tmp_path):
         _reference(base + ["--uc", str(tmp_path / "ref.uc")])
         assert (tmp_path / "md.uc").read_bytes() == \
             (tmp_path / "ref.uc").read_bytes()
+
+
+def _family_workload(d, nfam=90, per=4, L=200):
+    rng = random.Random(9)
+    with open(d / "fam.fa", "w") as fh:
+        i = 0
+        for f in range(nfam):
+            base = [rng.choice("ACGT") for _ in range(L)]
+            for m in range(per):
+                s = list(base)
+                for _ in range(rng.randrange(0, 8) if m else 0):
+                    s[rng.randrange(L)] = rng.choice("ACGT")
+                fh.write(">s%d;size=%d\n%s\n"
+                         % (i, rng.randrange(1, 50), "".join(s)))
+                i += 1
+
+
+_SPY = (
+    "import sys, pathlib\n"
+    "import vsearch_tpu.ops.score_grow as sg\n"
+    "orig = sg.ShardedGrowingKmerIndex.build.__func__\n"
+    "def spy(cls, *a, **k):\n"
+    "    pathlib.Path(%r).write_text('used')\n"
+    "    return orig(cls, *a, **k)\n"
+    "sg.ShardedGrowingKmerIndex.build = classmethod(spy)\n"
+    "from vsearch_tpu import cli\n"
+    "sys.exit(cli.main(%r))\n")
+
+
+def _ours_spy(args, env, marker, timeout=900):
+    """Run in-process cli via -c with a spy asserting the sharded growing
+    index actually activates (not a silent host fallback)."""
+    result = subprocess.run(
+        [sys.executable, "-c", _SPY % (str(marker), args)],
+        cwd=str(REPO), env=env, capture_output=True, text=True,
+        timeout=timeout)
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert marker.exists(), \
+        "sharded growing index never activated\n" + result.stderr[-2000:]
+
+
+def test_cluster_mesh_growing_parity(tmp_path):
+    """Greedy clustering with the GROWING index sharded over the 8-device
+    mesh (ops/score_grow.ShardedGrowingKmerIndex): byte parity with the
+    reference, and the sharded tier provably fires (r3 Missing #3)."""
+    _family_workload(tmp_path)
+    base = ["--cluster_size", str(tmp_path / "fam.fa"), "--id", "0.95",
+            "--sizein", "--sizeout", "--minseqlength", "1",
+            "--threads", "1", "--quiet"]
+    env = _env(8)
+    env["VSEARCH_TPU_CLUSTER_DEVICE_MIN"] = "1"
+    _ours_spy(base + ["--centroids", str(tmp_path / "m8.fa"),
+                      "--uc", str(tmp_path / "m8.uc")], env,
+              tmp_path / "used.marker")
+    if REF_BINARY.exists():
+        _reference(base + ["--centroids", str(tmp_path / "ref.fa"),
+                           "--uc", str(tmp_path / "ref.uc")])
+        assert (tmp_path / "m8.fa").read_bytes() == \
+            (tmp_path / "ref.fa").read_bytes()
+        assert (tmp_path / "m8.uc").read_bytes() == \
+            (tmp_path / "ref.uc").read_bytes()
+
+
+def test_uchime3_mesh_growing_parity(tmp_path):
+    """uchime3_denovo with the growing reference set sharded over the
+    mesh: byte parity with the reference + provable activation."""
+    _family_workload(tmp_path, nfam=60)
+    base = ["--uchime3_denovo", str(tmp_path / "fam.fa"),
+            "--minseqlength", "1", "--threads", "1", "--quiet"]
+    env = _env(8)
+    env["VSEARCH_TPU_CHIMERA_DEVICE_MIN"] = "1"
+    _ours_spy(base + ["--chimeras", str(tmp_path / "m8.chim"),
+                      "--nonchimeras", str(tmp_path / "m8.non")], env,
+              tmp_path / "used.marker")
+    if REF_BINARY.exists():
+        _reference(base + ["--chimeras", str(tmp_path / "ref.chim"),
+                           "--nonchimeras", str(tmp_path / "ref.non")])
+        assert (tmp_path / "m8.chim").read_bytes() == \
+            (tmp_path / "ref.chim").read_bytes()
+        assert (tmp_path / "m8.non").read_bytes() == \
+            (tmp_path / "ref.non").read_bytes()

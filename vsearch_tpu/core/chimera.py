@@ -131,8 +131,9 @@ class ChimeraEngine:
         self.tophits = detection.opt_maxaccepts + detection.opt_maxrejects
         import os as _os
         import jax as _jax
+        from ..parallel.mesh import active_mesh as _am
         self._dev_enabled = (
-            _jax.default_backend() == "tpu"
+            (_jax.default_backend() == "tpu" or _am() is not None)
             and _os.environ.get("VSEARCH_TPU_CHIMERA_DEVICE", "1") != "0")
         # reference-set size above which denovo candidate scoring moves to
         # the growing device index (per-query device latency beats host
@@ -162,7 +163,11 @@ class ChimeraEngine:
         if not self._dev_enabled:
             return None
         try:
-            from ..ops.score_grow import GrowingDeviceKmerIndex, RANK_MAX
+            from ..ops.score_grow import (GrowingDeviceKmerIndex,
+                                          ShardedGrowingKmerIndex, RANK_MAX)
+            from ..parallel.mesh import active_mesh
+            cls_ = (ShardedGrowingKmerIndex if active_mesh() is not None
+                    else GrowingDeviceKmerIndex)
             count = self.index.count
             if count > RANK_MAX:
                 self._dev_enabled = False
@@ -171,7 +176,7 @@ class ChimeraEngine:
             if self._dev_index is None:
                 if count < self.DEVICE_MIN:
                     return None
-                self._dev_index = GrowingDeviceKmerIndex.build(
+                self._dev_index = cls_.build(
                     self.index.wordlength,
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
@@ -181,7 +186,7 @@ class ChimeraEngine:
                             self.index.lengths[p], self.index.mapping[p])
                            for p in range(self._dev_index.n, count)]
                 if not self._dev_index.append_round(entries):
-                    self._dev_index = GrowingDeviceKmerIndex.build(
+                    self._dev_index = cls_.build(
                         self.index.wordlength,
                         self.index.kmer_lists_by_position(),
                         list(self.index.lengths), list(self.index.mapping),

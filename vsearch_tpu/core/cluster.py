@@ -134,8 +134,12 @@ class ClusterEngine:
         self._extras_cache_len = -1
         import os as _os
         import jax as _jax
+        from ..parallel.mesh import active_mesh as _am
+        # TPU backends, or any multi-device mesh (the growing-index
+        # kernels are plain XLA, so a virtual CPU mesh exercises the
+        # sharded tier end-to-end)
         self._dev_enabled = (
-            _jax.default_backend() == "tpu"
+            (_jax.default_backend() == "tpu" or _am() is not None)
             and _os.environ.get("VSEARCH_TPU_CLUSTER_DEVICE", "1") != "0")
         # centroid count above which candidate scoring moves to the device
         # (below it, per-round kernel latency beats the host postings
@@ -153,7 +157,11 @@ class ClusterEngine:
         if not self._dev_enabled:
             return
         try:
-            from ..ops.score_grow import GrowingDeviceKmerIndex, RANK_MAX
+            from ..ops.score_grow import (GrowingDeviceKmerIndex,
+                                          ShardedGrowingKmerIndex, RANK_MAX)
+            from ..parallel.mesh import active_mesh
+            cls_ = (ShardedGrowingKmerIndex if active_mesh() is not None
+                    else GrowingDeviceKmerIndex)
             count = self.index.count
             if self._dev_index is None:
                 if count < self.DEVICE_MIN:
@@ -161,7 +169,7 @@ class ClusterEngine:
                 if count > RANK_MAX:
                     self._dev_enabled = False
                     return
-                self._dev_index = GrowingDeviceKmerIndex.build(
+                self._dev_index = cls_.build(
                     self.index.wordlength,
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
@@ -173,7 +181,7 @@ class ClusterEngine:
                     self._dev_enabled = False
                     self._dev_index = None
                     return
-                self._dev_index = GrowingDeviceKmerIndex.build(
+                self._dev_index = cls_.build(
                     self.index.wordlength,
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
@@ -305,15 +313,13 @@ class ClusterEngine:
         candidate, chained device-to-device off the growing index's top-k
         output (same trick as core/search.py's search prefetch)."""
         import os
-        from ..parallel.mesh import active_mesh
         dev = self._dev_index
-        # the growing index lives on one device; under a mesh the
-        # gather-align kernel shards over devices and would mis-place
-        # these arrays — skip the speculation there (alignment rounds
-        # still run the pair-sharded kernel)
+        # under a mesh the sharded growing index replicates its code
+        # matrix (ShardedGrowingKmerIndex.attach_codes), so the
+        # mesh-aware gather-align kernel runs the speculation pair-
+        # sharded exactly like the static-index prefetch
         if (dev.codes is None or self.ctx.aligner is None
                 or self.ctx.scheme.force_scalar_fallback or not pending
-                or active_mesh() is not None
                 or os.environ.get("VSEARCH_TPU_CLUSTER_PREFETCH",
                                   "1") == "0"):
             return None

@@ -85,12 +85,17 @@ def encode_rowT(qseqs: Sequence[bytes], rows: int, width: int,
 
 
 def _bucket(x: int, base: int = 64) -> int:
-    """Shape bucket: powers of two with one midpoint (1.5x ladder), so the
-    number of distinct compiled kernel geometries stays small."""
+    """Shape bucket: powers of two with midpoints (1.5x ladder; from 512
+    up also the 1.25x quarter-point).  DP cost is quadratic in the
+    bucket, so at amplicon sizes the finer rung matters: L=600 pads to
+    640 (1.14x cells) instead of 768 (1.64x) — while the ladder stays
+    small enough that compiles amortize."""
     if x <= base:
         return base
     b = base
     while b < x:
+        if b >= 512 and x <= b + b // 4:
+            return b + b // 4
         if x <= b + b // 2:
             return b + b // 2
         b *= 2

@@ -185,14 +185,34 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
             # E via max-plus prefix:
             #   E(j) = max(E0, P(j-1) - (QR - R)) - j*R,
             #   P = cummax(htemp2 + j*R)
+            # computed as a two-level segmented scan instead of the
+            # log2(Np)-stage full-width ladder: a g-wide sliding-window
+            # max (log2(g) full-width stages) combined with an exclusive
+            # scan over per-segment maxima at 1/g width.  Exact despite
+            # the window crossing segment boundaries: any contaminating
+            # element belongs to an earlier segment, so it is dominated
+            # by the carry term that already covers that segment.
             E0 = -(go_t_l + (i + 1) * ge_t_l) - QR_q_row
             A = htemp2 + jR
+            g = 8
+            G = Np // g
             P = A
             s = 1
-            while s < Np:
+            while s < g:
                 P = jnp.concatenate(
                     (P[:s], jnp.maximum(P[s:], P[:Np - s])), axis=0)
                 s *= 2
+            segmax = jnp.max(A.reshape(G, g, TB), axis=1)
+            s = 1
+            while s < G:
+                segmax = jnp.concatenate(
+                    (segmax[:s],
+                     jnp.maximum(segmax[s:], segmax[:G - s])), axis=0)
+                s *= 2
+            carry = jnp.concatenate(
+                (jnp.full((1, TB), NEG, jnp.int32), segmax[:G - 1]),
+                axis=0)
+            P = jnp.maximum(P, jnp.repeat(carry, g, axis=0))
             Ps = jnp.concatenate(
                 (jnp.full((1, TB), NEG, jnp.int32), P[:Np - 1]), axis=0)
             E = jnp.maximum(Ps - QRmR, E0) - jR

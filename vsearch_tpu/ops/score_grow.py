@@ -164,11 +164,20 @@ class GrowingDeviceKmerIndex:
         if rows_all:
             packed = np.stack([np.concatenate(rows_all),
                                np.concatenate(pos_all)])
-            self.bits = _scatter_fn()(self.bits, jnp.asarray(packed))
+            self._scatter(packed)
         if self.codes is not None and entries:
             self._append_codes(entries, self.n - len(entries))
         self._rank_dirty = True
         return True
+
+    def _scatter(self, packed: np.ndarray) -> None:
+        self.bits = _scatter_fn()(self.bits, jnp.asarray(packed))
+
+    def _put_bits(self, bits: np.ndarray) -> None:
+        self.bits = jax.device_put(bits)
+
+    def _topk_kernel(self, qp: int, maxk: int, k: int):
+        return _topk_ranked_kernel(self.hashsize, self.words, qp, maxk, k)
 
     def attach_codes(self, width: int, seq_of) -> None:
         """Allocate the (cap, width) device code matrix and backfill the
@@ -225,7 +234,7 @@ class GrowingDeviceKmerIndex:
                 for p, kl in enumerate(kmer_lists):
                     bits[kl.astype(np.int64), p >> 5] |= \
                         np.uint32(1) << np.uint32(p & 31)
-            self.bits = jax.device_put(bits)
+            self._put_bits(bits)
             self.lengths[:n] = np.asarray(lengths)
             self.seqnos[:n] = np.asarray(seqnos)
             self.n = n
@@ -273,10 +282,8 @@ class GrowingDeviceKmerIndex:
             for qi, kmers in enumerate(chunk):
                 ids[qi, :kmers.size] = kmers
                 kcounts[qi] = kmers.size
-            v, i = _topk_ranked_kernel(self.hashsize, self.words, qp, maxk,
-                                       k)(jnp.asarray(ids),
-                                          jnp.asarray(kcounts),
-                                          self.bits, rank)
+            v, i = self._topk_kernel(qp, maxk, k)(
+                jnp.asarray(ids), jnp.asarray(kcounts), self.bits, rank)
             pending.append((len(chunk), (v, i)))
         return (q, pending)
 
@@ -312,3 +319,149 @@ class GrowingDeviceKmerIndex:
         return self.topk_cut(
             [(nq, f) for (nq, _), f in zip(pending, fetched)],
             minmatches_list)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded variant
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _sharded_scatter_fn(mesh_shape: int, wps: int, hashsize: int):
+    """Per-shard masked scatter: each device applies only the (kmer, pos)
+    updates whose word column falls in its shard (out-of-range updates
+    retarget the all-zero sentinel row with a zero value)."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import active_mesh
+    mesh = active_mesh()
+
+    def local(bits_shard, packed):
+        rows = packed[0]
+        p = packed[1]
+        sid = jax.lax.axis_index("db")
+        cols = jax.lax.shift_right_logical(p, 5) - sid * wps
+        ok = (cols >= 0) & (cols < wps)
+        rows = jnp.where(ok, rows, hashsize)
+        cols = jnp.clip(cols, 0, wps - 1)
+        vals = jnp.where(
+            ok, jnp.uint32(1) << (p.astype(jnp.uint32) & jnp.uint32(31)),
+            jnp.uint32(0))
+        return bits_shard.at[rows, cols].add(vals)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "db"), P()),
+        out_specs=P(None, "db"),
+        check_vma=False), donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_topk_ranked_kernel(hashsize: int, wps: int, qp: int,
+                                maxk: int, k: int):
+    """Sharded scan-counts + rank-keyed top-k: local top-k per position
+    shard, all_gather, exact merge by the same composite key (the key IS
+    the reference heap's total order, so merging top-k lists by key is
+    bit-identical to the single-device top-k)."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import active_mesh
+    mesh = active_mesh()
+    chunk = 32
+    nchunks = maxk // chunk
+    local_cols = wps * 32
+
+    def local(ids, kcounts, bits_shard, rank):
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (qp, maxk), 1)
+        ids = jnp.where(kpos < kcounts[:, None], ids.astype(jnp.int32),
+                        jnp.int32(hashsize))
+
+        def body(acc, idx_chunk):
+            rows = bits_shard[idx_chunk]            # (qp, chunk, wps)
+            unpacked = (rows[..., None] >> shifts) & jnp.uint32(1)
+            return acc + unpacked.astype(jnp.int32).sum(axis=1), None
+
+        chunks = ids.reshape(qp, nchunks, chunk).transpose(1, 0, 2)
+        acc = jnp.zeros((qp, wps, 32), dtype=jnp.int32)
+        acc = jax.lax.pvary(acc, ("db",))
+        acc, _ = jax.lax.scan(body, acc, chunks)
+        acc = acc.reshape(qp, local_cols)
+        sid = jax.lax.axis_index("db")
+        rank_local = jax.lax.dynamic_slice(
+            rank, (sid * local_cols,), (local_cols,))
+        key = (acc << RANK_BITS) | (RANK_MAX - rank_local)[None, :]
+        key = jnp.where(rank_local[None, :] >= RANK_MAX, -1, key)
+        kk = min(k, local_cols)
+        v, i = jax.lax.top_k(key, kk)
+        i = i + sid * local_cols
+        allv = jax.lax.all_gather(v, "db", axis=1, tiled=True)
+        alli = jax.lax.all_gather(i, "db", axis=1, tiled=True)
+        v2, sel = jax.lax.top_k(allv, k)
+        idx2 = jnp.take_along_axis(alli, sel, axis=1)
+        counts = jnp.where(v2 >= 0,
+                           jax.lax.shift_right_logical(v2, RANK_BITS), -1)
+        return counts, idx2.astype(jnp.int32)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(None, "db"), P()),
+        out_specs=(P(), P()),
+        check_vma=False))
+
+
+class ShardedGrowingKmerIndex(GrowingDeviceKmerIndex):
+    """GrowingDeviceKmerIndex with the packed-bit incidence matrix sharded
+    along the position axis of the active ("db",) mesh — the growing-index
+    analogue of parallel/sharded_index.ShardedKmerIndex (r3 Missing #3).
+
+    Appends land on the owning shard via a per-shard masked scatter; the
+    ranked top-k runs per shard and merges with collectives.  Host-side
+    bookkeeping (lengths, seqnos, heap order) is identical to the
+    single-device class, so topk_cut/exactness carry over unchanged."""
+
+    def __init__(self, wordlength: int, capacity: int = 0) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import active_mesh
+        mesh = active_mesh()
+        assert mesh is not None, "requires an active device mesh"
+        self.mesh = mesh
+        S = mesh.devices.size
+        self.wordlength = wordlength
+        self.hashsize = 1 << (2 * wordlength)
+        cap = max(capacity, MIN_WORDS * 32, 32 * S)
+        cap = _round_up(cap, 32 * S)
+        if cap > RANK_MAX:
+            raise ValueError("capacity exceeds rank budget")
+        self.cap = cap
+        self.words = cap // 32
+        self.wps = self.words // S
+        self.n = 0
+        self.bits = jax.device_put(
+            np.zeros((self.hashsize + 1, self.words), dtype=np.uint32),
+            NamedSharding(mesh, P(None, "db")))
+        self.lengths = np.zeros(cap, dtype=np.int64)
+        self.seqnos = np.zeros(cap, dtype=np.int64)
+        self._order = np.zeros(0, dtype=np.int64)
+        self._rank_dev = None
+        self._rank_dirty = True
+        self.codes = None
+        self.tlen_dev = None
+        self.codes_width = 0
+
+    def _scatter(self, packed: np.ndarray) -> None:
+        self.bits = _sharded_scatter_fn(
+            self.mesh.devices.size, self.wps, self.hashsize)(
+            self.bits, jnp.asarray(packed))
+
+    def _topk_kernel(self, qp: int, maxk: int, k: int):
+        return _sharded_topk_ranked_kernel(self.hashsize, self.wps, qp,
+                                           maxk, k)
+
+    def attach_codes(self, width: int, seq_of) -> None:
+        # prefetch under a mesh gathers targets inside shard_map with the
+        # code matrix replicated (nw_jax._gather_align_kernel mesh path)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        super().attach_codes(width, seq_of)
+        self.codes = jax.device_put(
+            np.asarray(self.codes),
+            NamedSharding(self.mesh, P()))
+        self.tlen_dev = jax.device_put(
+            np.asarray(self.tlen_dev), NamedSharding(self.mesh, P()))
