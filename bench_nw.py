@@ -95,9 +95,13 @@ def run():
                 args = (qmT, amT, ql, t4T, tl) if rowT \
                     else (q4, q4, ql, t4, tl)
                 jax.device_get(chain(*args))    # warm (compile)
-                t0 = time.perf_counter()
-                jax.device_get(chain(*args))
-                dt = (time.perf_counter() - t0) / NRUNS
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    jax.device_get(chain(*args))
+                    samples.append((time.perf_counter() - t0) / NRUNS)
+                samples.sort()
+                dt = samples[1]                 # median of 3
             except Exception as exc:
                 print("bench_nw: %s L=%d failed: %s" % (name, L, exc),
                       file=sys.stderr)
@@ -107,6 +111,9 @@ def run():
                 "metric": "nw_gcups_%s_%d" % (name, L),
                 "value": round(gcups, 2),
                 "unit": "GCUPS",
+                "gcups_min_med_max": [round(cells / s / 1e9, 2)
+                                      for s in (samples[-1], dt,
+                                                samples[0])],
                 "vs_baseline": round(gcups / REF_16T_GCUPS, 3),
             }))
     # restore the caller's setting (pop only if it was absent before)

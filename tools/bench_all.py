@@ -141,10 +141,17 @@ def main():
                 assert rc == 0, "ours failed: %s" % " ".join(argv)
             return time.perf_counter() - t0
 
+        NRUNS = 3
+
         def bench(name, steps, parity_files):
-            ref_s = chain(str(REF), "ref", steps)
+            import statistics
+            ref_runs = sorted(chain(str(REF), "ref", steps)
+                              for _ in range(NRUNS))
             chain_ours("warm", steps)
-            ours_s = chain_ours("my", steps)
+            ours_runs = sorted(chain_ours("my", steps)
+                               for _ in range(NRUNS))
+            ref_s = statistics.median(ref_runs)
+            ours_s = statistics.median(ours_runs)
             # parity: deterministic single-thread runs
             chain(str(REF), "ref1", steps, extra=("--threads", "1"))
             chain_ours("my1", steps, extra=("--threads", "1"))
@@ -155,6 +162,10 @@ def main():
             ratio = ref_s / ours_s
             results[name] = {
                 "ours_s": round(ours_s, 2), "ref_s": round(ref_s, 2),
+                "ours_min_med_max": [round(x, 2) for x in
+                                     (ours_runs[0], ours_s, ours_runs[-1])],
+                "ref_min_med_max": [round(x, 2) for x in
+                                    (ref_runs[0], ref_s, ref_runs[-1])],
                 "ratio": round(ratio, 3),
                 "ratio_16t": round(ratio * cores / 16.0, 3),
                 "parity": parity}
@@ -201,9 +212,16 @@ def main():
         "cores": cores,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "note": "ours on the default (TPU) runtime, 2nd of 2 runs; "
-                "reference -O3 with default threads (all cores); parity "
-                "vs --threads 1 reference outputs"}
+        "note": "medians of 3 timed runs each (min/med/max recorded); "
+                "ours on the default (TPU) runtime after one warmup run "
+                "(per-process kernel compiles); reference -O2 with "
+                "default threads (all cores); parity vs --threads 1 "
+                "reference outputs",
+        "variance": "this tunneled rig's host speed swings ~30% day to "
+                    "day (r02->r03 driver numbers moved 3042->2127 q/s "
+                    "with the reference moving proportionally); compare "
+                    "RATIOS, which are measured interleaved here, not "
+                    "absolute seconds across rounds"}
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps({k: v.get("ratio_16t") for k, v in results.items()

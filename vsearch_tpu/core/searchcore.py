@@ -164,8 +164,11 @@ def unaligned_gate_active(params: Parameters) -> bool:
 
 def search_acceptable_unaligned(params: Parameters, qi: QueryInfo, db,
                                 target: int) -> bool:
-    """reference: searchcore.cpp:541-609"""
-    dseq = db.getsequence(target)
+    """reference: searchcore.cpp:541-609
+
+    The target SEQUENCE is fetched lazily — only the idprefix/idsuffix/
+    selfid predicates read it, and the abundance/length gates (the hot
+    rejectors in the chimera/cluster walks) come first."""
     dseqlen = db.getsequencelen(target)
     tsize = db.getabundance(target)
     qseq = qi.qsequence
@@ -194,14 +197,17 @@ def search_acceptable_unaligned(params: Parameters, qi: QueryInfo, db,
         if not (float(dseqlen) <= params.opt_maxsl * qseqlen):
             return False
     if params.opt_idprefix:
-        if not (qseqlen >= params.opt_idprefix and dseqlen >= params.opt_idprefix
-                and maps.seqcmp(qseq, dseq, params.opt_idprefix) == 0):
+        if not (qseqlen >= params.opt_idprefix
+                and dseqlen >= params.opt_idprefix
+                and maps.seqcmp(qseq, db.getsequence(target),
+                                params.opt_idprefix) == 0):
             return False
     else:
         # idprefix 0: seqcmp over zero chars == 0, predicate passes when both
         # lengths >= 0 (always)
         pass
     if params.opt_idsuffix:
+        dseq = db.getsequence(target)
         if not (qseqlen >= params.opt_idsuffix and dseqlen >= params.opt_idsuffix
                 and maps.seqcmp(qseq[qseqlen - params.opt_idsuffix:],
                                 dseq[dseqlen - params.opt_idsuffix:],
@@ -210,7 +216,7 @@ def search_acceptable_unaligned(params: Parameters, qi: QueryInfo, db,
     if params.opt_self and qi.query_head == db.getheader(target):
         return False
     if params.opt_selfid and qseqlen == dseqlen and \
-            maps.seqcmp(qseq, dseq, qseqlen) == 0:
+            maps.seqcmp(qseq, db.getsequence(target), qseqlen) == 0:
         return False
     return True
 
