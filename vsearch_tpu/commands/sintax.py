@@ -68,7 +68,7 @@ def _search_topscore(index: KmerIndex, db, kmers: np.ndarray,
 
 
 def _analyse(params: Parameters, db, out, query_head: bytes, strand: int,
-             all_seqno: List[int], stats) -> None:
+             all_seqno: List[int], stats, tax_cache: dict) -> None:
     """reference: sintax.cpp sintax_analyse (:139-296)."""
     count = len(all_seqno)
     is_enough = count >= (BOOTSTRAP_COUNT + 1) // 2
@@ -79,29 +79,31 @@ def _analyse(params: Parameters, db, out, query_head: bytes, strand: int,
 
     if is_enough:
         for seqno in all_seqno:
-            cand_names.append(tax_split(db.getheader(seqno)))
-        cand_included = [True] * count
+            names = tax_cache.get(seqno)
+            if names is None:
+                names = tax_split(db.getheader(seqno))
+                tax_cache[seqno] = names
+            cand_names.append(names)
+        # vectorized replay of the reference's O(count^2) vote loops:
+        # per level, cand_match[i] = first included j <= i with the same
+        # name; winner = first index with the max match count; the next
+        # level keeps only candidates matching the winner
+        included = np.ones(count, dtype=bool)
+        lower = np.tril(np.ones((count, count), dtype=bool))
         for k in range(TAX_LEVELS):
-            cand_match = [-1] * count
-            cand_matchcount = [0] * count
-            for i in range(count):
-                if not cand_included[i]:
-                    continue
-                for j in range(i + 1):
-                    if cand_included[j] and \
-                            cand_names[i][k] == cand_names[j][k]:
-                        cand_match[i] = j
-                        cand_matchcount[j] += 1
-                        break
-            level_best[k] = -1
-            level_matchcount[k] = 0
-            for i in range(count):
-                if cand_matchcount[i] > level_matchcount[k]:
-                    level_best[k] = i
-                    level_matchcount[k] = cand_matchcount[i]
-            for i in range(count):
-                if cand_match[i] != level_best[k]:
-                    cand_included[i] = False
+            name_ids: dict = {}
+            ids = np.fromiter(
+                (name_ids.setdefault(cand_names[i][k], len(name_ids))
+                 for i in range(count)), dtype=np.int64, count=count)
+            eq = (ids[:, None] == ids[None, :]) & included[None, :] & lower
+            match = np.where(included, np.argmax(eq, axis=1), -1)
+            matchcount = np.bincount(match[included], minlength=count)
+            level_matchcount[k] = int(matchcount.max(initial=0))
+            if level_matchcount[k] > 0:
+                level_best[k] = int(np.argmax(matchcount))
+            else:
+                level_best[k] = -1
+            included = match == level_best[k]
 
     out.write(query_head + b"\t")
     stats["queries"] += 1
@@ -148,6 +150,7 @@ def sintax(params: Parameters) -> None:
 
         base_seed = random_base_seed(params)
         stats = {"queries": 0, "classified": 0}
+        tax_cache: dict = {}
 
         # query open failure surfaces before the progress meter
         # (reference: fastx_open at sintax.cpp:730)
@@ -176,19 +179,40 @@ def sintax(params: Parameters) -> None:
                 # all bootstrap draws for this strand at once (bit-identical
                 # sequence to the scalar loop); the random tie-break path
                 # consumes extra draws mid-stream, so it stays scalar
-                draws = None
                 if not params.opt_sintax_random:
                     from ..utils.random import random_bounded_block
                     draws = random_bounded_block(
                         rng, BOOTSTRAP_COUNT * SUBSET_SIZE,
                         kmersamplecount).reshape(BOOTSTRAP_COUNT,
                                                  SUBSET_SIZE)
+                    # duplicate draw indices are skipped by the reference
+                    # loop, and the kmer sample has no duplicate values —
+                    # so each bootstrap's probe set is just the unique
+                    # draws; dedup all bootstraps with one sort + shift
+                    # compare, then run all 100 probes as ONE native
+                    # top-k batch in the raw (buf, offsets) wire format
+                    sd = np.sort(draws, axis=1)
+                    keep = np.ones_like(sd, dtype=bool)
+                    keep[:, 1:] = sd[:, 1:] != sd[:, :-1]
+                    vals = np.ascontiguousarray(kmersample[sd[keep]])
+                    off = np.zeros(BOOTSTRAP_COUNT + 1, dtype=np.int64)
+                    np.cumsum(keep.sum(axis=1), out=off[1:])
+                    klists = [vals[off[b]:off[b + 1]]
+                              for b in range(BOOTSTRAP_COUNT)]
+                    cand_lists = index.candidates_for_query_batch(
+                        klists, 1, [2] * BOOTSTRAP_COUNT,
+                        raw=(vals, off))
+                    for cands in cand_lists:
+                        if cands:
+                            seqno, count = cands[0]
+                            all_seqno[s].append(seqno)
+                            best_count[s] = max(count, best_count[s])
+                    continue
                 for b in range(BOOTSTRAP_COUNT):
                     used = set()
                     subset = []
                     for i in range(SUBSET_SIZE):
-                        x = (int(draws[b, i]) if draws is not None
-                             else random_bounded(rng, kmersamplecount))
+                        x = random_bounded(rng, kmersamplecount)
                         if x not in used:
                             subset.append(int(kmersample[x]))
                             used.add(x)
@@ -210,7 +234,7 @@ def sintax(params: Parameters) -> None:
                 best_strand = 0 if len(all_seqno[0]) >= len(all_seqno[1]) \
                     else 1
             _analyse(params, db, out, rec.header, best_strand,
-                     all_seqno[best_strand], stats)
+                     all_seqno[best_strand], stats, tax_cache)
 
         classify_progress.done()
         from ..utils.progress import message_both
