@@ -471,6 +471,66 @@ void vstpu_postings_counts_batch(void *hp, const uint32_t *qkmers,
     }
 }
 
+/* Fused cross-counts: shared-unique-kmer counts between every probe list
+ * and every target list, thresholded per target.  Builds a throwaway
+ * arena CSR over the targets (3 linear passes — no per-kmer realloc
+ * churn) and probes each query against it.  Outputs, per query q, the
+ * (target, count) pairs with count >= minm[target], packed into
+ * out_t/out_cnt with out_off[nq+1] offsets (caller sizes cap = nq*nt).
+ * Used by the chimera round repair tracker (round parts x round queries;
+ * reference count semantics: searchcore.cpp:260-340). */
+void vstpu_cross_counts(const uint32_t *tk, const int64_t *toff, int64_t nt,
+                        const uint32_t *qk, const int64_t *qoff, int64_t nq,
+                        int64_t hashsize, const int64_t *minm,
+                        int32_t *out_t, int32_t *out_cnt, int64_t *out_off,
+                        int64_t cap) {
+    int64_t total = nt ? toff[nt] - toff[0] : 0;
+    const uint32_t *tbase = tk + (nt ? toff[0] : 0);
+    int32_t *kc = (int32_t *)calloc((size_t)hashsize, sizeof(int32_t));
+    for (int64_t i = 0; i < total; i++) kc[tbase[i]]++;
+    int64_t *start = (int64_t *)malloc((size_t)(hashsize + 1)
+                                       * sizeof(int64_t));
+    start[0] = 0;
+    for (int64_t k = 0; k < hashsize; k++) start[k + 1] = start[k] + kc[k];
+    int32_t *plist = (int32_t *)malloc((size_t)(total ? total : 1)
+                                       * sizeof(int32_t));
+    memset(kc, 0, (size_t)hashsize * sizeof(int32_t));
+    for (int64_t t = 0; t < nt; t++) {
+        for (int64_t i = toff[t]; i < toff[t + 1]; i++) {
+            uint32_t k = tk[i];
+            plist[start[k] + kc[k]++] = (int32_t)t;
+        }
+    }
+    int32_t *counter = (int32_t *)calloc((size_t)(nt ? nt : 1),
+                                         sizeof(int32_t));
+    int32_t *touched = (int32_t *)malloc((size_t)(nt ? nt : 1)
+                                         * sizeof(int32_t));
+    int64_t w = 0;
+    for (int64_t q = 0; q < nq; q++) {
+        out_off[q] = w;
+        int64_t ntouch = 0;
+        for (int64_t i = qoff[q]; i < qoff[q + 1]; i++) {
+            uint32_t k = qk[i];
+            for (int64_t j = start[k]; j < start[k] + kc[k]; j++) {
+                int32_t t = plist[j];
+                if (counter[t]++ == 0) touched[ntouch++] = t;
+            }
+        }
+        for (int64_t x = 0; x < ntouch; x++) {
+            int32_t t = touched[x];
+            int32_t c = counter[t];
+            counter[t] = 0;
+            if (c >= minm[t] && w < cap) {
+                out_t[w] = t;
+                out_cnt[w] = c;
+                w++;
+            }
+        }
+    }
+    out_off[nq] = w;
+    free(kc); free(start); free(plist); free(counter); free(touched);
+}
+
 /* touched positions + shared counts only (no heap): the clustering
  * same-round repair needs per-extra shared-kmer counts. */
 int64_t vstpu_postings_counts(void *hp, const uint32_t *qkmers, int64_t nk,

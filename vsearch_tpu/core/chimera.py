@@ -286,12 +286,43 @@ class ChimeraEngine:
         self._round_parts = (part_seqs, part_owner, sizes)
         self._round_state = (rqs, minmatches, cand_lists)
 
+        # vectorized abundance-gate prefilter: in denovo mode the active
+        # pre-alignment gates are self/selfid/maxsizeratio, and the
+        # abundance gate (parents need >= abskew x the query's abundance,
+        # chimera.cpp:2805-2824) rejects almost every candidate.  A part
+        # whose candidates ALL fail it yields only rejected hits — no
+        # alignments, no accepted parents — so its walk is skipped
+        # outright.  self/selfid can only reject further, so keeping any
+        # abundance-passer conservative-exactly preserves the walk set.
+        walkable = None
+        if denovo and cand_lists and self.db.seqcount:
+            ratio = detection.opt_maxsizeratio
+            flat_t = []
+            flat_gp = []
+            for gp, cands in enumerate(cand_lists):
+                for s, _ in cands:
+                    flat_t.append(s)
+                    flat_gp.append(gp)
+            if flat_t:
+                abund = self._abund_arr()
+                qs = np.fromiter(
+                    (rqs[part_owner[gp]].size for gp in flat_gp),
+                    dtype=np.int64, count=len(flat_gp))
+                ts = abund[np.asarray(flat_t, dtype=np.int64)]
+                if (qs.max(initial=0) < 2**53
+                        and ts.max(initial=0) < 2**53
+                        and np.isfinite(ratio) and ratio > 0.0):
+                    ok = qs.astype(np.float64) <= ratio \
+                        * ts.astype(np.float64)
+                    walkable = set(np.asarray(flat_gp)[ok].tolist())
+
         # lockstep accept/reject alignment waves over every non-empty walk
         self._part_align_cache: Dict[Tuple[int, int], AlignmentResult] = {}
         cache = self._part_align_cache
         walks: Dict[int, QueryWalk] = {
             gp: QueryWalk(detection, self._qi(gp), self.db, cands)
-            for gp, cands in enumerate(cand_lists) if cands}
+            for gp, cands in enumerate(cand_lists)
+            if cands and (walkable is None or gp in walkable)}
         active = [gp for gp, w in walks.items() if not w.done]
         while active:
             pair_list = []
@@ -339,6 +370,16 @@ class ChimeraEngine:
                                  raw_full=(kbuf, koff[nparts_total:])) \
             if (denovo and with_tracker) else None
         return rqs, tracker
+
+    def _abund_arr(self) -> np.ndarray:
+        """Per-seqno abundance vector (cached; the denovo db is static)."""
+        arr = getattr(self, "_abund_cache", None)
+        if arr is None or arr.size != self.db.seqcount:
+            n = self.db.seqcount
+            arr = np.fromiter((self.db.getabundance(s) for s in range(n)),
+                              dtype=np.int64, count=n)
+            self._abund_cache = arr
+        return arr
 
     def _qi(self, gp: int) -> QueryInfo:
         """Per-part QueryInfo, built on first use (walk or repair)."""
@@ -509,34 +550,31 @@ class _ExtrasTracker:
         if (native.available() and part_kmers
                 and all(k is not None for k in full_kmers)):
             try:
-                p = native.Postings(hashsize)
+                # probe every round query against the round's parts NOW in
+                # one fused C call (shared counts don't depend on
+                # acceptance); add_extra just filters its precomputed row.
+                # Sub-minmatches pairs are dropped in C — they can never
+                # enter a candidate heap (searchcore.cpp:320-337)
                 if raw_parts is not None:
-                    p.add_batch_raw(raw_parts[0], raw_parts[1],
-                                    [0] * len(part_kmers),
-                                    list(range(len(part_kmers))))
+                    tbuf, toff = raw_parts
                 else:
-                    p.add_batch(part_kmers, [0] * len(part_kmers),
-                                list(range(len(part_kmers))))
-                # probe every round query against the part postings NOW
-                # (shared counts don't depend on acceptance); add_extra
-                # just filters its precomputed row.  Sub-minmatches rows
-                # are dropped here — they can never enter a candidate heap
-                # (searchcore.cpp:320-337)
+                    tbuf, toff = native._concat_kmer_lists(part_kmers)
                 if raw_full is not None:
-                    pos, cnt, n = p.counts_batch_raw(raw_full[0],
-                                                     raw_full[1])
+                    qbuf, qoff = raw_full
                 else:
-                    pos, cnt, n = p.counts_batch(full_kmers)
-                owner_arr = np.asarray(part_owner, dtype=np.int64)
-                minm_arr = np.asarray(part_minmatches, dtype=np.int64)
-                probes = []
-                for qi in range(len(full_kmers)):
-                    rp = pos[qi, :n[qi]]
-                    rc = cnt[qi, :n[qi]]
-                    keep = rc >= minm_arr[rp]
-                    probes.append((rp[keep].copy(), rc[keep].copy(),
-                                   owner_arr[rp[keep]]))
-                self.probes = probes
+                    qbuf, qoff = native._concat_kmer_lists(
+                        [k for k in full_kmers])
+                res = native.cross_counts(tbuf, toff, qbuf, qoff, hashsize,
+                                          part_minmatches)
+                if res is not None:
+                    out_t, out_c, out_off = res
+                    owner_arr = np.asarray(part_owner, dtype=np.int64)
+                    probes = []
+                    for qi in range(len(full_kmers)):
+                        lo, hi = out_off[qi], out_off[qi + 1]
+                        rp = out_t[lo:hi].astype(np.int64)
+                        probes.append((rp, out_c[lo:hi], owner_arr[rp]))
+                    self.probes = probes
             except Exception:
                 self.probes = None
         self._sorted_parts: Dict[int, np.ndarray] = {}

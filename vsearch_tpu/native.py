@@ -399,6 +399,38 @@ class Postings:
             pass
 
 
+def cross_counts(tbuf: np.ndarray, toff: np.ndarray, qbuf: np.ndarray,
+                 qoff: np.ndarray, hashsize: int, minm):
+    """Shared-kmer counts of every probe list vs every target list,
+    thresholded by per-target minm; returns (t_idx, counts, offsets) —
+    per probe q the pairs t_idx[offsets[q]:offsets[q+1]] — or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cross_ready"):
+        ct = ctypes
+        lib.vstpu_cross_counts.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_void_p,
+            ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p, ct.c_int64]
+        lib._cross_ready = True
+    nt = len(toff) - 1
+    nq = len(qoff) - 1
+    assert tbuf.dtype == np.uint32 and qbuf.dtype == np.uint32
+    assert toff.dtype == np.int64 and qoff.dtype == np.int64
+    mm = np.ascontiguousarray(np.asarray(minm, dtype=np.int64))
+    cap = max(nq * nt, 1)
+    out_t = np.empty(cap, dtype=np.int32)
+    out_c = np.empty(cap, dtype=np.int32)
+    out_off = np.empty(nq + 1, dtype=np.int64)
+    lib.vstpu_cross_counts(
+        tbuf.ctypes.data if tbuf.size else None, toff.ctypes.data, nt,
+        qbuf.ctypes.data if qbuf.size else None, qoff.ctypes.data, nq,
+        hashsize, mm.ctypes.data, out_t.ctypes.data, out_c.ctypes.data,
+        out_off.ctypes.data, cap)
+    return out_t, out_c, out_off
+
+
 def nw_align_batch(qseqs, tseqs, scheme_ints):
     """Threaded scalar NW over (qseq, tseq) pairs — the host tier for
     batches too small to amortize a device dispatch.
