@@ -70,3 +70,31 @@ def test_cluster_round_width_parity(ref_binary, ref_data, tmp_path,
         (tmp_path / "ref.cent").read_bytes()
     assert (tmp_path / "my.uc").read_bytes() == \
         (tmp_path / "ref.uc").read_bytes()
+
+
+@pytest.mark.parametrize("round_size", [1, 16, 512])
+def test_chimera_round_width_parity(ref_binary, ref_data, tmp_path,
+                                    round_size):
+    """uchime3_denovo output is round-width invariant: W=1 is the pure
+    serial oracle (no same-round repair can fire), larger widths exercise
+    the speculative search + exact repair (core/chimera.py search_round),
+    and all must byte-match the reference."""
+    src = str(ref_data / "chimera_queries.fasta")
+    run_reference(ref_binary,
+                  ["--uchime3_denovo", src, "--threads", "1",
+                   "--chimeras", "ref.chim", "--nonchimeras", "ref.non",
+                   "--uchimeout", "ref.uch"], tmp_path)
+    old = os.environ.get("VSEARCH_TPU_CHIMERA_ROUND")
+    os.environ["VSEARCH_TPU_CHIMERA_ROUND"] = str(round_size)
+    try:
+        _run_ours_raw(["--uchime3_denovo", src, "--threads", "1",
+                       "--chimeras", "my.chim", "--nonchimeras", "my.non",
+                       "--uchimeout", "my.uch"], tmp_path)
+    finally:
+        if old is None:
+            del os.environ["VSEARCH_TPU_CHIMERA_ROUND"]
+        else:
+            os.environ["VSEARCH_TPU_CHIMERA_ROUND"] = old
+    for name in ("chim", "non", "uch"):
+        assert (tmp_path / ("my." + name)).read_bytes() == \
+            (tmp_path / ("ref." + name)).read_bytes(), name
