@@ -141,15 +141,21 @@ def main():
                 assert rc == 0, "ours failed: %s" % " ".join(argv)
             return time.perf_counter() - t0
 
-        NRUNS = 3
+        NRUNS = 5
 
         def bench(name, steps, parity_files):
             import statistics
-            ref_runs = sorted(chain(str(REF), "ref", steps)
-                              for _ in range(NRUNS))
+            # interleave the two sides so a host-steal burst (this is a
+            # shared VM; idle steal 1-3%, bursts much higher) hits both
+            # comparably; ratio uses medians, ratio_best uses minima
+            ref_runs = []
+            ours_runs = []
             chain_ours("warm", steps)
-            ours_runs = sorted(chain_ours("my", steps)
-                               for _ in range(NRUNS))
+            for _ in range(NRUNS):
+                ref_runs.append(chain(str(REF), "ref", steps))
+                ours_runs.append(chain_ours("my", steps))
+            ref_runs.sort()
+            ours_runs.sort()
             ref_s = statistics.median(ref_runs)
             ours_s = statistics.median(ours_runs)
             # parity: deterministic single-thread runs
@@ -167,6 +173,7 @@ def main():
                 "ref_min_med_max": [round(x, 2) for x in
                                     (ref_runs[0], ref_s, ref_runs[-1])],
                 "ratio": round(ratio, 3),
+                "ratio_best": round(ref_runs[0] / ours_runs[0], 3),
                 "ratio_16t": round(ratio * cores / 16.0, 3),
                 "parity": parity}
             print("%s: ours %.2fs ref %.2fs -> %.2fx (16t-eq %.2fx) "

@@ -16,9 +16,8 @@ so per-pair CIGARs are needed anyway), or with infinite gap penalties.
 from __future__ import annotations
 
 import os
-import sys
 from contextlib import ExitStack
-from typing import IO, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -8,14 +8,12 @@ rank-wise consensus voting with prefix constraint.
 
 from __future__ import annotations
 
-import sys
 from contextlib import ExitStack
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from ..params import Masking, Parameters
-from ..db import Database
 from ..index import KmerIndex
 from ..io import fastx as fastx_io
 from ..ops import kmer as kmer_ops

@@ -16,7 +16,6 @@ clustering round search (core/cluster.py).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
 
 import numpy as np
 
