@@ -132,9 +132,16 @@ class ChimeraEngine:
         import os as _os
         import jax as _jax
         from ..parallel.mesh import active_mesh as _am
+        # auto mode gates the tier on the measured device round-trip,
+        # exactly like the cluster engine (see core/cluster.py)
+        _env = _os.environ.get("VSEARCH_TPU_CHIMERA_DEVICE")
+        _forced = (_env == "1"
+                   or "VSEARCH_TPU_CHIMERA_DEVICE_MIN" in _os.environ)
+        from ..ops.nw_jax import BatchAligner as _BA
         self._dev_enabled = (
             (_jax.default_backend() == "tpu" or _am() is not None)
-            and _os.environ.get("VSEARCH_TPU_CHIMERA_DEVICE", "1") != "0")
+            and _env != "0"
+            and (_forced or _BA.device_roundtrip_ok()))
         # reference-set size above which denovo candidate scoring moves to
         # the growing device index (per-query device latency beats host
         # postings cost only once the accepted set is large) — r2 Missing #3

@@ -137,10 +137,19 @@ class ClusterEngine:
         from ..parallel.mesh import active_mesh as _am
         # TPU backends, or any multi-device mesh (the growing-index
         # kernels are plain XLA, so a virtual CPU mesh exercises the
-        # sharded tier end-to-end)
+        # sharded tier end-to-end).  In auto mode the tier additionally
+        # requires a low measured device round-trip: serial rounds of
+        # dispatch+fetch cannot amortize a 40-120 ms tunnel latency
+        # (VSEARCH_TPU_CLUSTER_DEVICE=1 or an explicit *_DEVICE_MIN
+        # forces it; =0 disables).
+        _env = _os.environ.get("VSEARCH_TPU_CLUSTER_DEVICE")
+        _forced = (_env == "1"
+                   or "VSEARCH_TPU_CLUSTER_DEVICE_MIN" in _os.environ)
+        from ..ops.nw_jax import BatchAligner as _BA
         self._dev_enabled = (
             (_jax.default_backend() == "tpu" or _am() is not None)
-            and _os.environ.get("VSEARCH_TPU_CLUSTER_DEVICE", "1") != "0")
+            and _env != "0"
+            and (_forced or _BA.device_roundtrip_ok()))
         # centroid count above which candidate scoring moves to the device
         # (below it, per-round kernel latency beats the host postings
         # cost; above it, host counting scales with centroids x postings

@@ -668,6 +668,19 @@ class BatchAligner:
         except Exception:
             pass
 
+    @classmethod
+    def device_roundtrip_ok(cls, threshold: float = 0.02) -> bool:
+        """Is the measured device-call overhead low enough for
+        latency-sensitive serial-round engines (growing-index cluster /
+        chimera tiers) to profit from per-round device dispatches?
+
+        Co-located chips measure ~1-8 ms and pass; a tunneled attachment
+        (40-120+ ms) fails, and those engines keep their host tier — on
+        such rigs hundreds of serial rounds of device round-trips cost
+        far more than the scoring they replace."""
+        cls._autotune_load()
+        return cls._dev_overhead_ema <= threshold
+
     def _native_cells_crossover(self) -> float:
         """Batch size (DP cells) above which the device dispatch beats the
         host C tier: solve cells/host_rate > overhead + cells/device_rate
