@@ -1165,6 +1165,47 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
     int32_t sm[16][16];
     nw_score_matrix(scheme, sm);
 
+    if (npairs > 0 && npairs < NW_GW) {
+        /* tiny batch (walk-repair singletons etc.): the OpenMP region +
+         * size sort cost ~1.4 ms — more than the DP itself — so run a
+         * bare serial loop */
+        int64_t cap_dirs = 0, cap_m = 0, cap_ops = 0;
+        unsigned char *dirs = NULL, *qc = NULL;
+        int32_t *E_row = NULL, *H_prev = NULL;
+        int8_t *ops = NULL;
+        for (int64_t p = 0; p < npairs; p++) {
+            int64_t m = qoff[p + 1] - qoff[p];
+            int64_t n = toff[p + 1] - toff[p];
+            int64_t *o = out + p * 7;
+            if (m <= 0 || n <= 0 || m + n > 65535 || m * n > 25000000) {
+                o[0] = 32767; o[1] = 1;
+                o[2] = o[3] = o[4] = o[5] = o[6] = 0;
+                continue;
+            }
+            if (m * n > cap_dirs) {
+                cap_dirs = m * n * 2;
+                dirs = (unsigned char *)realloc(dirs, (size_t)cap_dirs);
+            }
+            if (m > cap_m) {
+                cap_m = m * 2;
+                E_row = (int32_t *)realloc(E_row,
+                                           (size_t)cap_m * sizeof(int32_t));
+                H_prev = (int32_t *)realloc(H_prev,
+                                            (size_t)cap_m * sizeof(int32_t));
+                qc = (unsigned char *)realloc(qc, (size_t)cap_m);
+            }
+            if (m + n + 1 > cap_ops) {
+                cap_ops = (m + n + 1) * 2;
+                ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+            }
+            nw_align_one(qbuf + qoff[p], m, tbuf + toff[p], n, scheme,
+                         sm, dirs, E_row, H_prev, ops, qc,
+                         cigars + p * cigar_stride, o);
+        }
+        free(dirs); free(E_row); free(H_prev); free(ops); free(qc);
+        return;
+    }
+
     /* order pairs by size so SIMD groups of 8 have similar dimensions
      * (lane padding is wasted work); results land at original indices */
     int32_t *order = (int32_t *)malloc((size_t)npairs * sizeof(int32_t));
