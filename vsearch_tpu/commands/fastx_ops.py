@@ -107,6 +107,11 @@ def fastx_revcomp(params: Parameters) -> None:
         rc_progress = Progress(
             "Reading FASTQ file" if is_fq else "Reading FASTA file", 1,
             params)
+        if (fp_fastqout is None and not is_fq
+                and fastx_io._plain_fasta_emit(params)
+                and _revcomp_fast(params, fp_fastaout)):
+            rc_progress.done()
+            return
         for rec in fastx_io.read_fastx(params.opt_fastx_revcomp, params,
                                        truncateatspace=False):
             rc_progress.update()
@@ -122,6 +127,41 @@ def fastx_revcomp(params: Parameters) -> None:
                                              rec.header, qual or b"",
                                              rec.abundance, count)
         rc_progress.done()
+
+
+def _revcomp_fast(params: Parameters, out) -> bool:
+    """Buffer-level FASTA reverse-complement: one native scan, one
+    complement LUT over the whole packed buffer, one global reversal
+    (record i's reverse-complement is the reversed buffer's slice at the
+    mirrored offsets — no per-record work), one native bulk emit."""
+    from .. import native
+    import numpy as np
+    from ..utils.maps import CHRMAP_COMPLEMENT
+    if not native.available():
+        return False
+    with fastx_io.open_maybe_compressed(params.opt_fastx_revcomp) as fh:
+        data = fh.read()
+    res = native.scan_fasta(data, False, False)
+    if res is None:
+        return False
+    nrec, seq_out, seq_off, head_off, head_len, sizes, stripped = res
+    total = int(seq_off[nrec])
+    rc_buf = np.ascontiguousarray(CHRMAP_COMPLEMENT[seq_out[:total]][::-1])
+    rc_start = total - seq_off[1:nrec + 1]
+    rec_len = np.diff(seq_off[:nrec + 1])
+    data_arr = np.frombuffer(data, dtype=np.uint8)
+    CHUNK = 65536
+    for lo in range(0, max(nrec, 1), CHUNK):
+        sel = np.arange(lo, min(lo + CHUNK, nrec), dtype=np.int32)
+        blob = native.emit_fasta(data_arr, head_off[:nrec],
+                                 head_len[:nrec], rc_buf, rc_start,
+                                 rec_len, sel,
+                                 int(params.opt_fasta_width))
+        if blob is None:
+            return False
+        out.write(blob)
+    fastx_io._warn_stripped(params, stripped.astype(np.int64), False)
+    return True
 
 
 def rereplicate(params: Parameters) -> None:

@@ -23,6 +23,38 @@ def _q2p(q: float) -> float:
     return 10.0 ** (-q / 10.0)
 
 
+def _qual_length_groups(filename: str, params, warn_out):
+    """Scan a FASTQ file once (native) and return (lens, groups) where
+    groups yields (length, (n, length) uint8 quality matrix) per distinct
+    read length — the wide-vectorization layout for the stats commands.
+    Per-read operations (cumsum/cummin along axis 1) keep the scalar
+    loop's left-to-right float semantics exactly.  Returns None when the
+    native scanner is unavailable (callers keep their per-record loop)."""
+    res = fastx_io.scan_fastq_arrays(filename, truncateatspace=False,
+                                     upcase=True, params=params,
+                                     warn_out=warn_out)
+    if res is None:
+        return None
+    data, nrec, seq_buf, qual_buf, seq_off, head_off, head_len, sizes = res
+    lens = np.diff(seq_off[:nrec + 1]).astype(np.int64)
+
+    def groups():
+        order = np.argsort(lens, kind="stable")
+        sorted_lens = lens[order]
+        bounds = np.flatnonzero(np.diff(sorted_lens)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [nrec]))
+        for s, e in zip(starts, ends):
+            ln = int(sorted_lens[s])
+            if ln == 0:
+                continue
+            rows = seq_off[order[s:e]]
+            yield ln, qual_buf[rows[:, None]
+                               + np.arange(ln, dtype=np.int64)[None, :]]
+
+    return lens, qual_buf[:int(seq_off[nrec])], groups
+
+
 def fastq_chars(params: Parameters) -> None:
     """reference: fastq_chars.cpp (:303-359 main loop, :170-260 report)."""
     seq_chars = np.zeros(256, dtype=np.int64)
@@ -139,41 +171,81 @@ def fastq_stats(params: Parameters) -> None:
     q_length_table = np.zeros((size, 4), dtype=np.int64)
     sumee_length_table = np.zeros(size, dtype=np.float64)
 
+    def qrange_fatal(s: int):
+        raise ValueError(
+            "FASTQ quality value (%d) out of range (%d-%d).\n"
+            "Please adjust the FASTQ quality base character or range "
+            "with the\n--fastq_ascii, --fastq_qmin or --fastq_qmax "
+            "options. For a complete\ndiagnosis with suggested "
+            "values, please run vsearch --fastq_chars file."
+            % (s, params.opt_fastq_qmin, params.opt_fastq_qmax))
+
     _prog = Progress("Reading FASTQ file", 1, params)
-    for rec in fastx_io.read_fastx(params.opt_fastq_stats, params,
-                                   truncateatspace=False, upcase=True):
-        length = len(rec.sequence)
-        if length + 1 > size:
-            grow = length + 1 - size
-            read_length_table = np.pad(read_length_table, (0, grow))
-            qual_length_table = np.pad(qual_length_table, ((0, grow), (0, 0)))
-            ee_length_table = np.pad(ee_length_table, ((0, grow), (0, 0)))
-            q_length_table = np.pad(q_length_table, ((0, grow), (0, 0)))
-            sumee_length_table = np.pad(sumee_length_table, (0, grow))
-            size = length + 1
-        read_length_table[length] += 1
-        qual = np.frombuffer(rec.quality or b"", dtype=np.uint8)
-        if length == 0:
-            continue
-        scores = sym_score[qual]
-        smin, smax = int(scores.min()), int(scores.max())
-        for s in (smin, smax):
-            if not (params.opt_fastq_qmin <= s <= params.opt_fastq_qmax):
-                raise ValueError(
-                    "FASTQ quality value (%d) out of range (%d-%d).\n"
-                    "Please adjust the FASTQ quality base character or range "
-                    "with the\n--fastq_ascii, --fastq_qmin or --fastq_qmax "
-                    "options. For a complete\ndiagnosis with suggested "
-                    "values, please run vsearch --fastq_chars file."
-                    % (s, params.opt_fastq_qmin, params.opt_fastq_qmax))
-        np.add.at(qual_length_table, (np.arange(length), qual), 1)
-        qmin_running = np.minimum.accumulate(scores)
-        for k, thr in enumerate(q_thresholds):
-            q_length_table[:length, k] += qmin_running > thr
-        ee = np.cumsum(sym_prob[qual])
-        sumee_length_table[:length] += ee
-        for k, thr in enumerate(ee_thresholds):
-            ee_length_table[:length, k] += ee <= thr
+    warn_out: List = []
+    scanned = _qual_length_groups(params.opt_fastq_stats, params, warn_out)
+    if scanned is not None:
+        # wide vectorization: all reads of one length as a (n, L) matrix;
+        # per-read cumsum/cummin run along axis 1 with the scalar loop's
+        # exact left-to-right float order
+        lens, allqual, groups = scanned
+        size = max(size, int(lens.max(initial=0)) + 1)
+        read_length_table = np.bincount(lens, minlength=size)
+        qual_length_table = np.zeros((size, 256), dtype=np.int64)
+        ee_length_table = np.zeros((size, 4), dtype=np.int64)
+        q_length_table = np.zeros((size, 4), dtype=np.int64)
+        sumee_length_table = np.zeros(size, dtype=np.float64)
+        allscores = sym_score[allqual]
+        bad = ((allscores < params.opt_fastq_qmin)
+               | (allscores > params.opt_fastq_qmax))
+        if bad.any():
+            qrange_fatal(int(allscores[np.argmax(bad)]))
+        for ln, Q in groups():
+            scores = sym_score[Q]
+            combined = (np.arange(ln, dtype=np.int64)[None, :] * 256
+                        + Q).ravel()
+            qual_length_table[:ln] += np.bincount(
+                combined, minlength=ln * 256).reshape(ln, 256)
+            qmin_running = np.minimum.accumulate(scores, axis=1)
+            for k, thr in enumerate(q_thresholds):
+                q_length_table[:ln, k] += (qmin_running > thr).sum(axis=0)
+            ee = np.cumsum(sym_prob[Q], axis=1)
+            sumee_length_table[:ln] += ee.sum(axis=0)
+            for k, thr in enumerate(ee_thresholds):
+                ee_length_table[:ln, k] += (ee <= thr).sum(axis=0)
+        for stripped, is_fq in warn_out:
+            fastx_io._warn_stripped(params, stripped, is_fq)
+    else:
+        for rec in fastx_io.read_fastx(params.opt_fastq_stats, params,
+                                       truncateatspace=False, upcase=True):
+            length = len(rec.sequence)
+            if length + 1 > size:
+                grow = length + 1 - size
+                read_length_table = np.pad(read_length_table, (0, grow))
+                qual_length_table = np.pad(qual_length_table,
+                                           ((0, grow), (0, 0)))
+                ee_length_table = np.pad(ee_length_table,
+                                         ((0, grow), (0, 0)))
+                q_length_table = np.pad(q_length_table, ((0, grow), (0, 0)))
+                sumee_length_table = np.pad(sumee_length_table, (0, grow))
+                size = length + 1
+            read_length_table[length] += 1
+            qual = np.frombuffer(rec.quality or b"", dtype=np.uint8)
+            if length == 0:
+                continue
+            scores = sym_score[qual]
+            smin, smax = int(scores.min()), int(scores.max())
+            for s in (smin, smax):
+                if not (params.opt_fastq_qmin <= s
+                        <= params.opt_fastq_qmax):
+                    qrange_fatal(s)
+            np.add.at(qual_length_table, (np.arange(length), qual), 1)
+            qmin_running = np.minimum.accumulate(scores)
+            for k, thr in enumerate(q_thresholds):
+                q_length_table[:length, k] += qmin_running > thr
+            ee = np.cumsum(sym_prob[qual])
+            sumee_length_table[:length] += ee
+            for k, thr in enumerate(ee_thresholds):
+                ee_length_table[:length, k] += ee <= thr
 
     _prog.done()
     nz = np.flatnonzero(read_length_table)

@@ -190,12 +190,19 @@ def read_fasta(filename: str, truncateatspace: bool = True,
         if res is not None:
             nrec, seq_out, seq_off, head_off, head_len, sizes, stripped = res
             seq_bytes = seq_out.tobytes()
+            # bulk-convert offsets once: per-record int(np_scalar) calls
+            # dominate the loop otherwise (~2x the whole record cost)
+            ho_l = head_off[:nrec].tolist()
+            hl_l = head_len[:nrec].tolist()
+            so_l = seq_off[:nrec + 1].tolist()
+            sz_l = sizes[:nrec].tolist()
+            lo = so_l[0] if nrec else 0
             for i in range(nrec):
-                ho = int(head_off[i])
-                header = data[ho:ho + int(head_len[i])]
-                yield SeqRecord(header,
-                                seq_bytes[int(seq_off[i]):int(seq_off[i + 1])],
-                                None, i, int(sizes[i]))
+                hi = so_l[i + 1]
+                ho = ho_l[i]
+                yield SeqRecord(data[ho:ho + hl_l[i]], seq_bytes[lo:hi],
+                                None, i, sz_l[i])
+                lo = hi
             stripped = stripped.astype(np.int64)
             if warn_out is not None:
                 warn_out.append((stripped, False))
@@ -279,12 +286,17 @@ def read_fastq(filename: str, truncateatspace: bool = True,
              stripped) = res
             seq_bytes = seq_out.tobytes()
             qual_bytes = qual_out.tobytes()
+            ho_l = head_off[:nrec].tolist()
+            hl_l = head_len[:nrec].tolist()
+            so_l = seq_off[:nrec + 1].tolist()
+            sz_l = sizes[:nrec].tolist()
+            lo = so_l[0] if nrec else 0
             for i in range(nrec):
-                ho = int(head_off[i])
-                lo, hi = int(seq_off[i]), int(seq_off[i + 1])
-                yield SeqRecord(data[ho:ho + int(head_len[i])],
-                                seq_bytes[lo:hi], qual_bytes[lo:hi], i,
-                                int(sizes[i]))
+                hi = so_l[i + 1]
+                ho = ho_l[i]
+                yield SeqRecord(data[ho:ho + hl_l[i]], seq_bytes[lo:hi],
+                                qual_bytes[lo:hi], i, sz_l[i])
+                lo = hi
             stripped = stripped.astype(np.int64)
             if warn_out is not None:
                 warn_out.append((stripped, True))
@@ -382,14 +394,43 @@ def fasta_print_general(out: IO[bytes], params: Parameters,
 
     Assembled into one buffer and written with a single call — the writer
     is on the hot path of every streaming command."""
-    head = _general_header(params, seq, header, abundance, ordinal,
-                           expected_error, clustersize, clusterid,
-                           score_name, score, centroid_size, prefix)
+    if (prefix is None and score_name is None and clustersize <= 0
+            and clusterid < 0 and expected_error < 0.0
+            and _plain_fasta_emit(params)):
+        # no annotation option is active: the header passes through
+        # verbatim (hot path of every streaming command)
+        head = header + b"\n"
+    else:
+        head = _general_header(params, seq, header, abundance, ordinal,
+                               expected_error, clustersize, clusterid,
+                               score_name, score, centroid_size, prefix)
     if seq is not None:
         out.write(b">" + head + wrap_sequence(seq,
                                               int(params.opt_fasta_width)))
     else:
         out.write(b">" + head)
+
+
+def _plain_fasta_emit(params: Parameters) -> bool:
+    """True when no header-rewriting option is active, so
+    fasta_print_general's default path reduces to the verbatim header
+    (cached per Parameters object)."""
+    cached = getattr(params, "_fasta_emit_plain", None)
+    if cached is None:
+        cached = not (
+            params.opt_relabel_self or params.opt_relabel_sha1
+            or params.opt_relabel_md5 or params.opt_relabel is not None
+            or params.opt_xsize or params.opt_sizeout or params.opt_xee
+            or params.opt_eeout or params.opt_fastq_eeout
+            or params.opt_xlength or params.opt_lengthout
+            or params.opt_label_suffix is not None
+            or params.opt_sample is not None
+            or params.opt_centroid_sizeout or params.opt_relabel_keep)
+        try:
+            object.__setattr__(params, "_fasta_emit_plain", cached)
+        except Exception:
+            pass
+    return cached
 
 
 def _general_header(params: Parameters, seq: Optional[bytes], header: bytes,
