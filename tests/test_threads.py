@@ -98,3 +98,31 @@ def test_chimera_round_width_parity(ref_binary, ref_data, tmp_path,
     for name in ("chim", "non", "uch"):
         assert (tmp_path / ("my." + name)).read_bytes() == \
             (tmp_path / ("ref." + name)).read_bytes(), name
+
+
+@pytest.mark.parametrize("batch", [1, 3, 64])
+def test_search_batch_width_parity(ref_binary, ref_data, tmp_path, batch):
+    """usearch_global output is pipeline-batch-width invariant: the
+    driver's 1-deep software pipeline (commands/usearch_global.py
+    _batch_size + flush) must produce the reference T1 byte order for any
+    VSEARCH_TPU_BATCH, including widths that split every device chunk and
+    straddle strand pairs."""
+    base = ["--usearch_global", str(ref_data / "chimera_queries.fasta"),
+            "--db", str(ref_data / "chimera_ref.fasta"), "--id", "0.5",
+            "--maxaccepts", "4", "--maxrejects", "8", "--strand", "both"]
+    run_reference(ref_binary, base + ["--threads", "1", "--uc", "ref.uc",
+                                      "--blast6out", "ref.b6"], tmp_path)
+    old = os.environ.get("VSEARCH_TPU_BATCH")
+    os.environ["VSEARCH_TPU_BATCH"] = str(batch)
+    try:
+        _run_ours_raw(base + ["--uc", "my.uc", "--blast6out", "my.b6"],
+                      tmp_path)
+    finally:
+        if old is None:
+            del os.environ["VSEARCH_TPU_BATCH"]
+        else:
+            os.environ["VSEARCH_TPU_BATCH"] = old
+    assert (tmp_path / "my.uc").read_bytes() == \
+        (tmp_path / "ref.uc").read_bytes()
+    assert (tmp_path / "my.b6").read_bytes() == \
+        (tmp_path / "ref.b6").read_bytes()

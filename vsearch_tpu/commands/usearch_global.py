@@ -29,6 +29,29 @@ BATCH = 2048
 from ..io.openfile import open_output_opt as _open  # noqa: E402
 
 
+def _batch_size(ctx=None) -> int:
+    """Query batch per pipeline stage.
+
+    With an active device index the batch shrinks to one scoring chunk
+    (512 queries) so the loop's 1-deep software pipeline actually
+    overlaps: batch i+1's candidate matmul runs on the TPU while batch
+    i's results are fetched, walked and written on host.  At the old
+    2048 default the whole bench-sized query set was a single batch and
+    scoring/host work ran strictly serially.  Host-tier runs keep the
+    large batch (no device work to overlap; bigger batches amortize the
+    native-call overhead better)."""
+    import os
+    v = os.environ.get("VSEARCH_TPU_BATCH")
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            pass
+    if ctx is not None and getattr(ctx, "device_index", None) is not None:
+        return 512
+    return BATCH
+
+
 def _batches(iterable, size=BATCH):
     batch = []
     for item in iterable:
@@ -187,7 +210,8 @@ def run_search_output(params: Parameters, db: Database, ctx,
         # (reference: fastx_open at usearch_global.cpp:675 precedes Progress)
         fastx_io.check_readable(query_file)
         with Progress("Searching", 1, params) as search_progress:
-            for chunk in _batches(fastx_io.read_fastx(query_file, params)):
+            for chunk in _batches(fastx_io.read_fastx(query_file, params),
+                                  _batch_size(ctx)):
                 if hasattr(ctx, "prepare_tasks"):
                     tasks = ctx.prepare_tasks(chunk)
                     state = ctx.search_tasks_begin(tasks)
