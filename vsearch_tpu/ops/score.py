@@ -215,25 +215,17 @@ class DeviceKmerIndex:
             # queue-dependent on a tunneled device)
             qp = 128 if len(chunk) <= 128 else CHUNK
             if self.dense:
-                from .score_mxu import dense_topk_kernel, pack_query_bits
+                from .score_mxu import dense_topk_multi, pack_query_bits
                 Kbits = pack_query_bits(chunk, qp, self.hashsize)
                 kb_d = jnp.asarray(Kbits)
-                per_block = []
-                for bits_dev, words, pbase, nb_real in self.blocks:
-                    v, i = dense_topk_kernel(
-                        self.hashsize, words, qp,
-                        min(k, max(nb_real, 1)),
-                        packed_keys=maxk <= self._dense_maxk_limit)(
-                        kb_d, bits_dev, nb_real)
-                    per_block.append((v, i, pbase))
-                if len(per_block) == 1:
-                    v, i, _ = per_block[0]
-                    handle = (v, i)
-                else:
-                    handle = _merge_blocks(
-                        qp, k, tuple(p for _, _, p in per_block))(
-                        [v for v, _, _ in per_block],
-                        [i for _, i, _ in per_block])
+                # one fused dispatch per chunk: every block's counts+top-k
+                # plus the exact k-way merge (score_mxu.dense_topk_multi)
+                handle = dense_topk_multi(
+                    self.hashsize, tuple(w for _, w, _, _ in self.blocks),
+                    qp, k, tuple(p for _, _, p, _ in self.blocks),
+                    packed_keys=maxk <= self._dense_maxk_limit)(
+                    kb_d, [b for b, _, _, _ in self.blocks],
+                    [nr for _, _, _, nr in self.blocks])
                 pending.append((len(chunk), handle))
                 continue
             kcounts = np.zeros(qp, dtype=np.int32)
