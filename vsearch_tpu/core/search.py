@@ -353,6 +353,18 @@ class SearchContext:
                     if active_mesh() is None:
                         from ..ops.bundle import bundle_fetch
                         bundled = bundle_fetch(pending[1], prefetch)
+                        # start the device->host copy now: the transfer
+                        # (and the tunnel round-trip it rides) overlaps the
+                        # previous batch's walk/emit, so the blocking
+                        # device_get in search_tasks_finish finds the
+                        # payload already local instead of paying the
+                        # ~40-120 ms link latency per batch
+                        try:
+                            bundled[0].copy_to_host_async()
+                            for _o in bundled[1]:
+                                _o.copy_to_host_async()
+                        except Exception:
+                            pass
         return tasks, units, kmer_lists, pending, prefetch, bundled
 
     # -- top-1 prefetch ---------------------------------------------------
