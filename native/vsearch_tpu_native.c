@@ -68,6 +68,34 @@ static int dust_wo(int len, const unsigned char *s, int *beg, int *end) {
         word = ((word << 2) | map2[s[j]]) & 63u;
         words[j] = (int)word;
     }
+    /* Exact O(len) screen: the window can reach v > DUST_LEVEL only if
+     * some (i, j) has sum(i, j) > 2j, where sum counts equal-word pairs
+     * inside [i+2, i+j] (v = 10*sum/j > 20).  With P[t] = pairs whose
+     * later member is at position <= t, any interval's pair count is
+     * <= P[b] - P[a-1], so a NECESSARY condition is
+     *     exists a <= b:  P[b] - P[a-1] >= 2*(b-a) + 5
+     * (j = b - i = b - a + 2; sum >= 2j + 1).  With g[t] = P[t] - 2t this
+     * is max_b (g[b] - min_{t<b} g[t]) >= 3 — a running-min scan.  When
+     * the screen fails, no interval can score above the mask level and
+     * the caller's only use of the return value (compare vs DUST_LEVEL)
+     * and of beg/end (consumed only when v > DUST_LEVEL) is unchanged by
+     * returning 0, so the O(len^2) exact scan below is skipped with
+     * bit-identical behavior (typical ACGT windows skip ~always). */
+    {
+        int cnt[64];
+        memset(cnt, 0, sizeof cnt);
+        int P = 0, g_min = 0, hit = 0;
+        /* g at "position before the first word" is 0 (P=0, t=0 basis);
+         * track g[t] - 2 per word step */
+        int g = 0;
+        for (int t = DUST_WORD - 1; t < len; t++) {
+            P += cnt[words[t]]++;
+            g = P - 2 * (t - (DUST_WORD - 1) + 1);
+            if (g - g_min >= 3) { hit = 1; break; }
+            if (g < g_min) g_min = g;
+        }
+        if (!hit) return 0;
+    }
     for (int i = 0; i < l1; i++) {
         int counts[64];
         memset(counts, 0, sizeof counts);
