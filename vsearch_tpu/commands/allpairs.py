@@ -318,7 +318,17 @@ def _allpairs_fast(params, eff, db, ctx, align_progress, make_qi,
             return
         qpos = np.asarray(qbuf, dtype=np.int32)
         tpos = np.asarray(tbuf, dtype=np.int32)
-        handles.append(dev.dispatch(qpos, tpos))
+        h = dev.dispatch(qpos, tpos)
+        # stream each batch's results to host as soon as its compute
+        # finishes: on a tunneled attachment the final device_get
+        # otherwise pays the link round-trip PER ARRAY, serially — ~7 ms
+        # x 3 arrays x hundreds of batches dwarfed the actual DP compute
+        try:
+            for a in h:
+                a.copy_to_host_async()
+        except Exception:
+            pass
+        handles.append(h)
         metas.append((qpos, tpos))
         del qbuf[:], tbuf[:]
 
@@ -336,13 +346,16 @@ def _allpairs_fast(params, eff, db, ctx, align_progress, make_qi,
             if len(qbuf) == dev.PAIR_BATCH:
                 flush()
     flush()
+    dev.stats_flush()
 
     fetched = jax.device_get(handles)
+    stats_list = dev.stats_results(jax.device_get(dev.stats_handles()))
 
     # vectorized acceptance over all batches
     accepted = {}        # query_no -> list of target
     slow: List = []      # (q, t) pairs needing the exact scalar path
-    for (qpos, tpos), (score, overflow, stats) in zip(metas, fetched):
+    for (qpos, tpos), (score, overflow), stats in zip(metas, fetched,
+                                                      stats_list):
         n = len(qpos)
         score = np.asarray(score)[:n]
         overflow = np.asarray(overflow)[:n]

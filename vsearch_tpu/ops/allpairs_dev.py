@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .nw import DIR_EXTLEFT, DIR_EXTUP, DIR_LEFT, DIR_UP
-from .nw_jax import OP_D, OP_I, OP_M, _bucket, encode_padded
+from .nw_jax import OP_D, OP_I, OP_M, encode_padded
 
 
 def encode_rowT_all(codes: np.ndarray, mismatch: int, n_mismatch: bool):
@@ -53,28 +53,56 @@ def encode_rowT_all(codes: np.ndarray, mismatch: int, n_mismatch: bool):
 
 
 @functools.lru_cache(maxsize=16)
-def build_allpairs_kernel(scheme_key: tuple, W: int, Bp: int):
+def build_allpairs_forward(scheme_key: tuple, W: int, Bp: int):
     """jitted (qpos, tpos, qm_all, am_all, raw_all, lens) ->
-    (score (B,), overflow (B,), stats (B, 8) int32).
-
-    stats columns: aligned, matches, indels, gap_opens, first_op,
-    first_len, last_op, last_len (forward-order runs, merged across
-    split RLE entries)."""
+    (score (B,), overflow (B,), dirs (W, W, B) u8, mr (W, W, B) u8,
+    qlen (B,), tlen (B,))."""
     import os
     if os.environ.get("VSEARCH_TPU_NW_NORL", "0") == "1":
         raise RuntimeError("stats kernel requires the RLE dir nibble")
     from .nw_pallas2 import build_forward2
     forward = build_forward2(scheme_key, W, W, Bp, with_matches=True)
+
+    def run(qpos, tpos, qm_all, am_all, raw_all, lens):
+        qp = jnp.clip(qpos, 0, raw_all.shape[0] - 1)
+        tp = jnp.clip(tpos, 0, raw_all.shape[0] - 1)
+        qlen = lens[qp]
+        tlen = lens[tp]
+        score, overflow, dirs, mr = forward(
+            qm_all[qp].T, am_all[qp].T, raw_all[qp].T, qlen,
+            raw_all[tp].T, tlen)
+        return score, overflow, dirs, mr, qlen, tlen
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+def build_allpairs_stats(W: int, nb: int, Bp: int):
+    """jitted stats backtrack over ``nb`` forward batches AT ONCE:
+    (dirs tuple, mr tuple, qlen tuple, tlen tuple) -> (nb*Bp, 8) int32.
+
+    The per-step cost of the walk is dominated by the per-lane dynamic
+    gather, whose cost grows far slower than its lane count (measured
+    ~102 us/step at 1024 lanes vs ~133 us at 4096 on v5e) — so walking
+    four batches' direction planes in one while_loop costs ~3x less per
+    pair than four separate walks.
+
+    stats columns: aligned, matches, indels, gap_opens, first_op,
+    first_len, last_op, last_len (forward-order runs, merged across
+    split RLE entries)."""
     S = 2 * W
 
-    def backtrack_stats(dirs, mr, qlen, tlen):
+    def backtrack_stats(dirs_t, mr_t, qlen_t, tlen_t):
         """RLE walk (nw_jax.backtrack_rle structure) accumulating the
         alignment statistics instead of materializing ops."""
-        B = qlen.shape[0]
-        Mr, Npr = dirs.shape[0], dirs.shape[1]
-        dirs_flat = dirs.reshape(Mr * Npr * B)
-        mr_flat = mr.reshape(Mr * Npr * B)
-        brange = jnp.arange(B, dtype=jnp.int32)
+        Mr, Npr = dirs_t[0].shape[0], dirs_t[0].shape[1]
+        dirs = jnp.concatenate(dirs_t, axis=2) if nb > 1 else dirs_t[0]
+        mr = jnp.concatenate(mr_t, axis=2) if nb > 1 else mr_t[0]
+        qlen = jnp.concatenate(qlen_t) if nb > 1 else qlen_t[0]
+        tlen = jnp.concatenate(tlen_t) if nb > 1 else tlen_t[0]
+        B = nb * Bp
+        dirs2 = dirs.reshape(Mr * Npr, B)
+        mr2 = mr.reshape(Mr * Npr, B)
         z = jnp.zeros(B, dtype=jnp.int32)
 
         def cond(state):
@@ -86,9 +114,10 @@ def build_allpairs_kernel(scheme_key: tuple, W: int, Bp: int):
             (t, i, j, prev, aligned, matches, indels, gap_opens,
              cur_op, cur_len, last_op, last_len, last_still) = state
             both = (i >= 0) & (j >= 0)
-            idx = ((jnp.clip(i, 0, Mr - 1) * Npr
-                    + jnp.clip(j, 0, Npr - 1)) * B + brange)
-            byte = dirs_flat[idx].astype(jnp.int32)
+            idx = (jnp.clip(i, 0, Mr - 1) * Npr
+                   + jnp.clip(j, 0, Npr - 1))
+            byte = jnp.take_along_axis(
+                dirs2, idx[None, :], axis=0)[0].astype(jnp.int32)
             rl = (byte >> 4) & 15
             extleft = (byte & DIR_EXTLEFT) != 0
             extup = (byte & DIR_EXTUP) != 0
@@ -110,7 +139,8 @@ def build_allpairs_kernel(scheme_key: tuple, W: int, Bp: int):
             di = jnp.where((op == OP_D) | (op == OP_M), cnt, 0)
             dj = jnp.where((op == OP_I) | (op == OP_M), cnt, 0)
 
-            m_run = mr_flat[idx].astype(jnp.int32)
+            m_run = jnp.take_along_axis(
+                mr2, idx[None, :], axis=0)[0].astype(jnp.int32)
             aligned = aligned + cnt
             matches = matches + jnp.where(both & (op == OP_M), m_run, 0)
             is_gap = (op == OP_D) | (op == OP_I)
@@ -144,24 +174,19 @@ def build_allpairs_kernel(scheme_key: tuple, W: int, Bp: int):
         return jnp.stack([aligned, matches, indels, gap_opens,
                           cur_op, cur_len, last_op, last_len], axis=1)
 
-    def run(qpos, tpos, qm_all, am_all, raw_all, lens):
-        qp = jnp.clip(qpos, 0, raw_all.shape[0] - 1)
-        tp = jnp.clip(tpos, 0, raw_all.shape[0] - 1)
-        qlen = lens[qp]
-        tlen = lens[tp]
-        score, overflow, dirs, mr = forward(
-            qm_all[qp].T, am_all[qp].T, raw_all[qp].T, qlen,
-            raw_all[tp].T, tlen)
-        stats = backtrack_stats(dirs, mr, qlen, tlen)
-        return score, overflow, stats
-
-    return jax.jit(run)
+    return jax.jit(backtrack_stats)
 
 
 class AllPairsDevice:
-    """Holds the device-resident code planes + streams pair batches."""
+    """Holds the device-resident code planes + streams pair batches.
+
+    Forward DP runs per PAIR_BATCH; the stats backtrack runs once per
+    STATS_GROUP forwards over their concatenated direction planes (the
+    per-lane gather that dominates the walk costs ~the same at 4096
+    lanes as at 1024, so grouping is ~3x cheaper per pair)."""
 
     PAIR_BATCH = 1024
+    STATS_GROUP = 4
 
     def __init__(self, scheme, seqs) -> None:
         self.scheme = scheme
@@ -173,7 +198,12 @@ class AllPairsDevice:
                      scheme.n_mismatch)
         n = len(seqs)
         maxlen = max((len(s) for s in seqs), default=1)
-        W = _bucket(max(maxlen, 1))
+        # exact padded width: this engine compiles ONE kernel per run
+        # geometry anyway (the shared bucket ladder exists to share
+        # compiles across differently-shaped dispatches, which never
+        # happens here), and the amplicon regime pays dearly for bucket
+        # padding — L=400 bucketed to 512 wastes 1.64x of every DP cell
+        W = max((max(maxlen, 1) + 7) // 8 * 8, 16)
         if W % 8 != 0 or self.PAIR_BATCH % 128 != 0:
             raise RuntimeError("geometry unsupported")
         self.W = W
@@ -185,16 +215,71 @@ class AllPairsDevice:
         self.qm_all = jnp.asarray(qm)
         self.am_all = jnp.asarray(am)
         self.lens = jnp.asarray(lens)
-        self.kernel = build_allpairs_kernel(self._key, self.W,
-                                            self.PAIR_BATCH)
+        self.forward = build_allpairs_forward(self._key, self.W,
+                                              self.PAIR_BATCH)
+        self._group: list = []       # pending forward handles
+        self._stats_out: list = []   # (stats handle, first batch index)
+        self._nbatches = 0
 
     def dispatch(self, qpos: np.ndarray, tpos: np.ndarray):
         """Launch one (<= PAIR_BATCH) index-pair batch; returns device
-        handles (score, overflow, stats) padded to PAIR_BATCH rows."""
+        handles (score (PB,), overflow (PB,)).  The per-batch stats land
+        in grouped backtrack dispatches — call stats_flush() after the
+        last dispatch and read stats_results() after fetching."""
         B = len(qpos)
         qp = np.zeros(self.PAIR_BATCH, dtype=np.int32)
         tp = np.zeros(self.PAIR_BATCH, dtype=np.int32)
         qp[:B] = qpos
         tp[:B] = tpos
-        return self.kernel(jnp.asarray(qp), jnp.asarray(tp), self.qm_all,
-                           self.am_all, self.raw_all, self.lens)
+        score, overflow, dirs, mr, qlen, tlen = self.forward(
+            jnp.asarray(qp), jnp.asarray(tp), self.qm_all,
+            self.am_all, self.raw_all, self.lens)
+        self._group.append((dirs, mr, qlen, tlen))
+        self._nbatches += 1
+        if len(self._group) == self.STATS_GROUP:
+            self._stats_dispatch()
+        return score, overflow
+
+    def _stats_dispatch(self) -> None:
+        group = self._group
+        real = len(group)
+        if not real:
+            return
+        # pad a short tail group by repeating its last batch: one stats
+        # compile geometry for the whole run, the duplicate lanes are
+        # simply never read back
+        while len(group) < self.STATS_GROUP and self._stats_out:
+            group.append(group[-1])
+        nb = len(group)
+        kern = build_allpairs_stats(self.W, nb, self.PAIR_BATCH)
+        stats = kern(tuple(d for d, _, _, _ in group),
+                     tuple(m for _, m, _, _ in group),
+                     tuple(q for _, _, q, _ in group),
+                     tuple(t for _, _, _, t in group))
+        try:
+            stats.copy_to_host_async()
+        except Exception:
+            pass
+        first = self._nbatches - real
+        self._stats_out.append((stats, first, real))
+        # drop the direction-plane references so HBM frees as the walk
+        # consumes them (each plane is W*W*PB bytes)
+        self._group = []
+
+    def stats_flush(self) -> None:
+        """Dispatch the stats walk for any pending tail group."""
+        self._stats_dispatch()
+
+    def stats_handles(self):
+        return [h for h, _, _ in self._stats_out]
+
+    def stats_results(self, fetched) -> list:
+        """Per-batch (PB, 8) stats arrays from the fetched grouped
+        results (parallel to stats_handles())."""
+        out = [None] * self._nbatches
+        PB = self.PAIR_BATCH
+        for arr, (_, first, real) in zip(fetched, self._stats_out):
+            arr = np.asarray(arr)
+            for k in range(real):
+                out[first + k] = arr[k * PB:(k + 1) * PB]
+        return out
