@@ -66,3 +66,33 @@ def test_dense_matches_scan_kernel(fixture, packed_keys):
     assert np.array_equal(v_scan, v_d)
     valid = v_scan >= 0
     assert np.array_equal(i_scan[valid], i_d[valid])
+
+
+def test_multi_block_k_exceeds_block_columns(fixture):
+    """Regression: k = min(tophits, n) can exceed one block's column count
+    on a multi-block index (e.g. --maxaccepts 0 on a large DB);
+    dense_topk_multi must clamp per-block k instead of crashing at trace
+    time (lax.top_k with k > n_cols)."""
+    import jax.numpy as jnp
+    from vsearch_tpu.ops.score_mxu import dense_topk_multi
+    bits, qlists = fixture
+    n_cols = WORDS * 32
+    k = n_cols + 17                      # larger than one block's columns
+    Kb = pack_query_bits(qlists, QP, V)
+    handle = dense_topk_multi(V, (WORDS, WORDS), QP, k, (0, n_cols),
+                              packed_keys=True, interpret=True)
+    v, i = handle(jnp.asarray(Kb), [jnp.asarray(bits[:V])] * 2,
+                  [N_REAL, N_REAL])
+    v = np.asarray(v)
+    i = np.asarray(i)
+    assert v.shape == (QP, k) and i.shape == (QP, k)
+    # block 2's positions are offset by n_cols; per-query valid rows are
+    # exactly 2*N_REAL candidates with count >= 0 ordered (count desc,
+    # global position asc)
+    for qi, kl in enumerate(qlists):
+        valid = v[qi] >= 0
+        pos = i[qi][valid]
+        cnt = v[qi][valid]
+        assert len(cnt) <= 2 * N_REAL
+        order = np.lexsort((pos, -cnt))
+        assert np.array_equal(order, np.arange(len(cnt)))

@@ -186,7 +186,13 @@ class AllPairsDevice:
     lanes as at 1024, so grouping is ~3x cheaper per pair)."""
 
     PAIR_BATCH = 1024
-    STATS_GROUP = 4
+    # HBM budget for live direction/match planes across a stats group:
+    # a group of g batches keeps g x 2 planes of W*W*PB u8 live AND the
+    # grouped walk's jnp.concatenate materializes another copy inside the
+    # jit, so peak ~= 4*g*W^2*PB bytes.  W is the exact max sequence
+    # length (unbounded), so the group width must scale down with W or
+    # long-sequence runs that fit at group=1 OOM at group=4.
+    STATS_PLANE_BUDGET = int(4e9)
 
     def __init__(self, scheme, seqs) -> None:
         self.scheme = scheme
@@ -217,6 +223,8 @@ class AllPairsDevice:
         self.lens = jnp.asarray(lens)
         self.forward = build_allpairs_forward(self._key, self.W,
                                               self.PAIR_BATCH)
+        self.stats_group = max(1, min(4, self.STATS_PLANE_BUDGET
+                                      // (4 * W * W * self.PAIR_BATCH)))
         self._group: list = []       # pending forward handles
         self._stats_out: list = []   # (stats handle, first batch index)
         self._nbatches = 0
@@ -236,7 +244,7 @@ class AllPairsDevice:
             self.am_all, self.raw_all, self.lens)
         self._group.append((dirs, mr, qlen, tlen))
         self._nbatches += 1
-        if len(self._group) == self.STATS_GROUP:
+        if len(self._group) == self.stats_group:
             self._stats_dispatch()
         return score, overflow
 
@@ -248,7 +256,7 @@ class AllPairsDevice:
         # pad a short tail group by repeating its last batch: one stats
         # compile geometry for the whole run, the duplicate lanes are
         # simply never read back
-        while len(group) < self.STATS_GROUP and self._stats_out:
+        while len(group) < self.stats_group and self._stats_out:
             group.append(group[-1])
         nb = len(group)
         kern = build_allpairs_stats(self.W, nb, self.PAIR_BATCH)

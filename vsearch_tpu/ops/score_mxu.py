@@ -196,7 +196,8 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
 
 @functools.lru_cache(maxsize=32)
 def dense_topk_multi(hashsize: int, words: tuple, qp: int, k: int,
-                     bases: tuple, packed_keys: bool = True):
+                     bases: tuple, packed_keys: bool = True,
+                     interpret: bool = False):
     """Fused per-index dispatch: every block's counts+top-k plus the exact
     k-way merge run as ONE jitted call instead of len(blocks)+1 separate
     dispatches.  On a tunneled attachment each dispatch pays its own
@@ -207,9 +208,16 @@ def dense_topk_multi(hashsize: int, words: tuple, qp: int, k: int,
     """
     nb = len(bases)
     # jit-of-jit inlines: each per-block body traces once inside this call
-    # (words can differ on the final, partial block)
-    ones = [dense_topk_kernel(hashsize, w, qp, k, packed_keys=packed_keys)
-            for w in words]
+    # (words can differ on the final, partial block).  k is clamped per
+    # block to its column count: k = min(tophits, n) can exceed a single
+    # block's 131072 positions (e.g. --maxaccepts 0 on a >131072-seq DB),
+    # and lax.top_k(key, k) with k > n_cols is a trace-time error.  The
+    # sentinel merge below tolerates blocks returning fewer than k rows
+    # (total columns across blocks is always >= n >= k).
+    ks = [min(k, w * 32) for w in words]
+    ones = [dense_topk_kernel(hashsize, w, qp, kb, packed_keys=packed_keys,
+                              interpret=interpret)
+            for w, kb in zip(words, ks)]
 
     @jax.jit
     def run(Kbits, bits_list, n_reals):
