@@ -96,3 +96,44 @@ def test_multi_block_k_exceeds_block_columns(fixture):
         assert len(cnt) <= 2 * N_REAL
         order = np.lexsort((pos, -cnt))
         assert np.array_equal(order, np.arange(len(cnt)))
+
+
+def test_dense_ranked_matches_scan_ranked(fixture):
+    """Growing-index dense MXU tier (dense_topk_ranked_kernel) must be
+    bit-identical to the scan ranked kernel (score_grow._topk_ranked_kernel)
+    for an arbitrary position insertion order."""
+    import jax.numpy as jnp
+    from vsearch_tpu.ops.score_grow import (_topk_ranked_kernel, RANK_MAX)
+    from vsearch_tpu.ops.score_mxu import (dense_topk_ranked_kernel,
+                                           NBLK, WBLK)
+    bits, qlists = fixture
+    n_cols = WORDS * 32
+    rng = np.random.default_rng(3)
+    # random heap order over the occupied positions; unoccupied = RANK_MAX
+    rank = np.full(n_cols, RANK_MAX, dtype=np.int32)
+    rank[rng.permutation(N_REAL)] = np.arange(N_REAL, dtype=np.int32)
+
+    ids = np.zeros((QP, MAXK), dtype=np.int32)
+    kcounts = np.zeros(QP, dtype=np.int32)
+    for qi, kl in enumerate(qlists):
+        ids[qi, :kl.size] = kl
+        kcounts[qi] = kl.size
+    v_scan, i_scan = _topk_ranked_kernel(V, WORDS, QP, MAXK, K)(
+        jnp.asarray(ids), jnp.asarray(kcounts), jnp.asarray(bits),
+        jnp.asarray(rank))
+    v_scan = np.asarray(v_scan)
+    i_scan = np.asarray(i_scan)
+
+    # permute rank into kernel column order (score_grow._rank_perm)
+    j = np.arange(n_cols)
+    r = j % NBLK
+    pos = (j // NBLK) * NBLK + 32 * (r % WBLK) + r // WBLK
+    rank_perm = np.ascontiguousarray(rank[pos])
+    Kb = pack_query_bits(qlists, QP, V)
+    v_d, i_d = dense_topk_ranked_kernel(V, WORDS, QP, K, interpret=True)(
+        jnp.asarray(Kb), jnp.asarray(bits), jnp.asarray(rank_perm))
+    v_d = np.asarray(v_d)
+    i_d = np.asarray(i_d)
+    assert np.array_equal(v_scan, v_d)
+    valid = v_scan >= 0
+    assert np.array_equal(i_scan[valid], i_d[valid])

@@ -296,7 +296,7 @@ class ClusterSession:
                 centroid_label=self.db.getheader(seqno),
                 identity=100.0, cigar=""))
 
-        per_query = eng._search_round([seqno])
+        per_query = eng._round_complete(eng._round_dispatch([seqno]))
         from .core.cluster import find_best2
         si_p, si_m = per_query[0]
         best = find_best2(eng.params, self.db, si_p, si_m)

@@ -160,6 +160,16 @@ class ClusterEngine:
 
     # -- growing device index (ops/score_grow.py) ------------------------
 
+    def _device_capacity(self, count: int) -> int:
+        """Index capacity sized ONCE to the run's upper bound (every input
+        sequence could become a centroid): no mid-run rebuild means no
+        re-compile and no re-upload.  Device zeros cost nothing
+        (score_grow build scatters only occupied entries), so
+        over-allocation is HBM-only."""
+        from ..ops.score_grow import RANK_MAX
+        cap = max(2 * count, 40960, self.db.seqcount)
+        return min((cap + 4095) // 4096 * 4096, RANK_MAX & ~4095)
+
     def _device_sync(self, new_entries) -> None:
         """Activate or grow the device-side index after a round added
         centroids.  new_entries: [(kmers, length, seqno)] this round."""
@@ -182,7 +192,8 @@ class ClusterEngine:
                     self.index.wordlength,
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
-                    capacity=max(2 * count, 40960))
+                    capacity=self._device_capacity(count))
+                self._dev_index.fixed_qp = 512
                 self._attach_codes()
                 return
             if not self._dev_index.append_round(new_entries):
@@ -194,7 +205,8 @@ class ClusterEngine:
                     self.index.wordlength,
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
-                    capacity=max(2 * count, 40960))
+                    capacity=self._device_capacity(count))
+                self._dev_index.fixed_qp = 512
                 self._attach_codes()
         except Exception as exc:
             self._dev_enabled = False
@@ -217,8 +229,15 @@ class ClusterEngine:
 
     # -- search phase (device-batched, frozen index) --------------------
 
-    def _search_round(self, seqnos: List[int]
-                      ) -> List[Tuple[_StrandState, Optional[_StrandState]]]:
+    def _round_dispatch(self, seqnos: List[int]) -> dict:
+        """Host prep + async device dispatch for one round.
+
+        When the device tier is active the candidate top-k (and the top-1
+        prefetch alignment chained off it) is dispatched asynchronously
+        with the device->host copy started immediately, so the transfer
+        rides under the PREVIOUS round's host resolution (the 1-round-lag
+        pipeline in run()); on the host tier candidates are computed
+        synchronously here."""
         params = self.params
         units: List[_StrandState] = []
         kmer_lists = []
@@ -245,19 +264,49 @@ class ClusterEngine:
 
         minmatches = [self.ctx._minmatches(st.qi.kmersamplecount)
                       for st in units]
-        prefetched: Dict[int, Tuple[int, Optional[AlignmentResult]]] = {}
+        st_out = {"units": units, "per_query": per_query,
+                  "minmatches": minmatches, "device": False}
         if (self._dev_index is not None
                 and self._dev_index.n == self.index.count
                 and self._dev_index.supports(kmer_lists)):
             dev = self._dev_index
             q, pending = dev.topk_dispatch(kmer_lists, self.tophits)
-            prefetch = self._prefetch_dispatch(units, pending)
-            import jax
+            prefetch = self._prefetch_dispatch(units, pending, minmatches)
             from ..parallel.mesh import active_mesh
+            bundled = None
             if pending and active_mesh() is None:
-                # single bundled fetch (ops/bundle.py): one round-trip
-                from ..ops.bundle import bundle_fetch, unbundle_fetch
+                # single bundled fetch (ops/bundle.py): one round-trip,
+                # with the copy started now so it overlaps host work
+                from ..ops.bundle import bundle_fetch
                 bundled = bundle_fetch(pending, prefetch)
+                try:
+                    bundled[0].copy_to_host_async()
+                    for _o in bundled[1]:
+                        _o.copy_to_host_async()
+                except Exception:
+                    pass
+            st_out.update(device=True, dev=dev, pending=pending,
+                          prefetch=prefetch, bundled=bundled)
+        else:
+            st_out["cand_lists"] = self.index.candidates_for_query_batch(
+                kmer_lists, self.tophits, minmatches)
+        return st_out
+
+    def _round_complete(self, st_in: dict
+                        ) -> List[Tuple[_StrandState, Optional[_StrandState]]]:
+        """Fetch the round's candidates and run the accept/reject walks."""
+        units = st_in["units"]
+        per_query = st_in["per_query"]
+        minmatches = st_in["minmatches"]
+        prefetched: Optional[_PrefetchStore] = None
+        if st_in["device"]:
+            import jax
+            dev = st_in["dev"]
+            pending = st_in["pending"]
+            bundled = st_in["bundled"]
+            prefetch = st_in["prefetch"]
+            if bundled is not None:
+                from ..ops.bundle import unbundle_fetch
                 meta_h, ops_h = jax.device_get((bundled[0], bundled[1]))
                 topk_h, pref_h = unbundle_fetch(meta_h, ops_h, bundled[2])
             else:
@@ -266,11 +315,10 @@ class ClusterEngine:
             cand_lists = dev.topk_cut(
                 [(nq, f) for (nq, _), f in zip(pending, topk_h)],
                 minmatches)
-            prefetched = self._prefetch_table(units, pending, topk_h,
-                                              pref_h)
+            prefetched = _PrefetchStore(self, units, pending, topk_h,
+                                        pref_h, dev)
         else:
-            cand_lists = self.index.candidates_for_query_batch(
-                kmer_lists, self.tophits, minmatches)
+            cand_lists = st_in["cand_lists"]
         for st, cands in zip(units, cand_lists):
             st.walk.candidates = cands
 
@@ -279,6 +327,7 @@ class ClusterEngine:
         while active:
             pair_list = []
             owners = []
+            served = []
             pre_results: Dict[Tuple[int, int], AlignmentResult] = {}
             any_request = False
             for w in active:
@@ -286,15 +335,16 @@ class ClusterEngine:
                 if targets:
                     any_request = True
                 for t in targets:
-                    entry = prefetched.get(w) if prefetched else None
-                    if entry is not None and entry[0] == t:
-                        del prefetched[w]
-                        pre_results[(w, t)] = entry[1]
+                    entry = prefetched.take(w, t) if prefetched else None
+                    if entry is not None:
+                        served.append((w, t, entry))
                     else:
                         pair_list.append((units[w].qi.qsequence, t))
                         owners.append((w, t))
             if not any_request:
                 break
+            if served:
+                pre_results.update(prefetched.assemble(served))
             results = self.ctx.align_pairs(pair_list) if pair_list else []
             per_walk: Dict[int, Dict[int, AlignmentResult]] = {}
             for (w, t), res in zip(owners, results):
@@ -317,10 +367,26 @@ class ClusterEngine:
 
     PREFETCH_MAXLEN = 4096
 
-    def _prefetch_dispatch(self, units, pending):
-        """Speculatively align each round query against its top-1 centroid
-        candidate, chained device-to-device off the growing index's top-k
-        output (same trick as core/search.py's search prefetch)."""
+    # speculative alignment depth: candidates 0..K-1 of every round query
+    # align on device chained off the top-k output.  ~92% of all walk
+    # alignment requests land within the first 8 candidates (measured on
+    # the 50k bench workload), and unused columns cost idle MXU/VPU work
+    # plus lazy (never-run) host assembly — nothing else.
+    PREFETCH_K = 8
+
+    # compacted-lane budget per 512-query chunk (mean useful candidates
+    # per query is ~2-3 at cluster identities, but candidate LISTS run
+    # longer; truncated entries simply fall back to the host aligner).
+    # The kernel internally splits into VMEM-feasible 1024-lane calls.
+    PREFETCH_LANES = 2048
+
+    def _prefetch_dispatch(self, units, pending, minmatches):
+        """Speculatively align each round query's minmatches-passing
+        top-K candidates, compacted into dense device lanes chained off
+        the un-fetched top-k output (nw_jax.dispatch_compact).  Top-1
+        coverage is not enough for clustering: walks burn through many
+        REJECTED candidates before minting a centroid, and those reject
+        alignments otherwise land on the host aligner."""
         import os
         dev = self._dev_index
         # under a mesh the sharded growing index replicates its code
@@ -332,76 +398,37 @@ class ClusterEngine:
                 or os.environ.get("VSEARCH_TPU_CLUSTER_PREFETCH",
                                   "1") == "0"):
             return None
+        K = int(os.environ.get("VSEARCH_TPU_CLUSTER_PREFETCH_K",
+                               str(self.PREFETCH_K)))
+        from ..parallel.mesh import active_mesh
+        compact_ok = active_mesh() is None
         handles = []
         lo = 0
         for cnt, (vals, idx) in pending:
             qseqs = [units[lo + r].qi.qsequence for r in range(cnt)]
+            mm = np.full(idx.shape[0], 2**30, dtype=np.int32)
+            mm[:cnt] = minmatches[lo:lo + cnt]
             lo += cnt
             maxq = max((len(s) for s in qseqs), default=0)
             if maxq == 0 or maxq > self.PREFETCH_MAXLEN:
                 handles.append(None)
                 continue
+            if compact_ok:
+                qp = idx.shape[0]
+                R = self.PREFETCH_LANES * max(1, qp // 512)
+                try:
+                    meta, ops = self.ctx.aligner.dispatch_compact(
+                        qseqs, qp, vals, idx, mm, min(K, idx.shape[1]),
+                        R, dev.codes, dev.tlen_dev, dev.codes_width,
+                        dev.n)
+                    handles.append({"mat": meta, "ops": ops})
+                    continue
+                except AssertionError:
+                    compact_ok = False
             handles.append(self.ctx.aligner.dispatch_indexed(
                 qseqs, idx.shape[0], idx[:, 0], dev.codes, dev.tlen_dev,
                 dev.codes_width))
         return handles
-
-    def _prefetch_table(self, units, pending, topk_h, pref_h):
-        """walk index -> (seqno, AlignmentResult) for fetched prefetch rows
-        that are valid and SIMD-engine eligible; overflow or ineligible
-        rows are simply omitted (the walk aligns them normally — exact)."""
-        from ..ops.nw import fits_simd
-        if pref_h is None:
-            return {}
-        dev = self._dev_index
-        from .. import native
-        table: Dict[int, Tuple[int, AlignmentResult]] = {}
-        lo = 0
-        for ((cnt, _), pref, (topv, topi)) in zip(pending, pref_h,
-                                                  topk_h):
-            if pref is None:
-                lo += cnt
-                continue
-            score, overflow, ops = pref
-            topv = np.asarray(topv)
-            topi = np.asarray(topi)
-            bw, bcols, bq, bt, bseq = [], [], [], [], []
-            for r in range(cnt):
-                if topv.shape[1] == 0 or topv[r, 0] < 0:
-                    continue
-                p = int(topi[r, 0])
-                if p >= dev.n:
-                    continue
-                if overflow[r]:
-                    continue
-                seqno = int(dev.seqnos[p])
-                w = lo + r
-                qseq = units[w].qi.qsequence
-                tseq = self.db.getsequence(seqno)
-                if (not fits_simd(len(qseq), len(tseq)) or len(qseq) == 0
-                        or len(tseq) == 0 or len(tseq) > dev.codes_width):
-                    continue
-                bw.append(w)
-                bcols.append(r)
-                bq.append(qseq)
-                bt.append(tseq)
-                bseq.append(seqno)
-            if bw:
-                res = native.assemble_batch(
-                    np.asarray(ops), bcols, bq, bt,
-                    self.ctx.scheme.n_mismatch)
-                if res is not None:
-                    for w, (cigar, aligned, matches, mism, gaps), r, sq \
-                            in zip(bw, res, bcols, bseq):
-                        table[w] = (sq, AlignmentResult(
-                            int(score[r]), cigar, aligned, matches, mism,
-                            gaps))
-                else:
-                    for w, r, q_, t_, sq in zip(bw, bcols, bq, bt, bseq):
-                        table[w] = (sq, self.ctx.aligner.assemble_one(
-                            int(score[r]), np.asarray(ops)[:, r], q_, t_))
-            lo += cnt
-        return table
 
     # -- same-round repair (evaluate_extra_hits) ------------------------
 
@@ -458,11 +485,16 @@ class ClusterEngine:
             # per-round incremental postings index (native), falling back
             # to a vectorized sorted-intersection sweep
             shared_all = self._extras_shared_counts(si, extras)
-            for sic, shared in zip(extras, shared_all.tolist()):
-                # search_enough_kmers (searchcore.cpp:252-257): signed compare
-                if not (shared >= params.opt_minwordmatches
-                        or shared >= si.qi.kmersamplecount):
-                    continue
+            # search_enough_kmers (searchcore.cpp:252-257), vectorized:
+            # the eligible set is tiny, so the per-extra python loop runs
+            # only over it (wide pipelined rounds carry hundreds of
+            # extras per query)
+            elig = np.nonzero(
+                (shared_all >= params.opt_minwordmatches)
+                | (shared_all >= si.qi.kmersamplecount))[0]
+            for ei in elig.tolist():
+                sic = extras[ei]
+                shared = int(shared_all[ei])
                 length = sic.qi.qseqlen
                 x = len(hits)
                 while x > 0 and (
@@ -495,8 +527,11 @@ class ClusterEngine:
             if not hit.aligned:
                 if search_acceptable_unaligned(params, si.qi, self.db,
                                                hit.target):
-                    result = self.ctx.align_pairs(
-                        [(si.qi.qsequence, hit.target)])[0]
+                    result = getattr(self, "_repair_cache", {}).get(
+                        (si.qi.query_no, si.qi.strand, hit.target))
+                    if result is None:
+                        result = self.ctx.align_pairs(
+                            [(si.qi.qsequence, hit.target)])[0]
                     fill_alignment_fields(hit, si.qi, self.db, result)
                     align_trim(hit, params)
                 else:
@@ -517,18 +552,120 @@ class ClusterEngine:
 
     # -- main loop ------------------------------------------------------
 
+    def _resolve_round(self, per_query, carry: List[_StrandState],
+                       on_hit, on_nohit) -> List[_StrandState]:
+        """Serial resolution of a completed round.  ``carry`` holds the
+        PREVIOUS round's new centroids when the run loop pipelines (the
+        round was dispatched against the index frozen one round earlier,
+        so those centroids must enter the same exact repair as same-round
+        ones — the repair is snapshot-depth-invariant, the property the
+        reference's own thread scaling relies on, cluster.cpp:877-1030).
+        Returns THIS round's new centroids for the next round's carry."""
+        params = self.params
+        extras: List[_StrandState] = list(carry)
+        new_extras: List[_StrandState] = []
+        new_entries = []           # device-index appends this round
+        self._extras_postings = None
+        self._extras_cache_len = -1
+        self._prealign_carry(per_query, carry)
+        for si_p, si_m in per_query:
+            for si in (si_p, si_m):
+                if si is not None:
+                    self._evaluate_extra_hits(si, extras)
+            best = find_best2(params, self.db, si_p, si_m)
+            myseqno = si_p.qi.query_no
+            info = self.clusterinfo[myseqno]
+            info.seqno = myseqno
+            if best is not None:
+                target = best.target
+                on_hit(best, self.clusterinfo[target].clusterno,
+                       si_p, si_m)
+                info.clusterno = self.clusterinfo[target].clusterno
+                info.cigar = best.nwalignment
+                info.strand = best.strand
+            else:
+                extras.append(si_p)
+                new_extras.append(si_p)
+                info.clusterno = self.clusters
+                info.cigar = None
+                info.strand = 0
+                self.index.add_sequence(myseqno, self.db,
+                                        params.opt_qmask)
+                new_entries.append(
+                    (self.index._kmer_lists[-1],
+                     self.db.getsequencelen(myseqno), myseqno))
+                on_nohit(self.clusters, si_p)
+                self.clusters += 1
+        if new_entries:
+            self._device_sync(new_entries)
+        return new_extras
+
+    def _prealign_carry(self, per_query, carry: List[_StrandState]) -> None:
+        """Batch-align the (round query, carried centroid) pairs the repair
+        will need, in ONE aligner call instead of per-pair singles.
+
+        The repair's alignment calls have no side effects — aligning a pair
+        the walk never reaches is wasted DP, not a semantic change — so a
+        speculative batch over every eligible (shared k-mers >= minword-
+        matches, passes the unaligned gates) pair is exact; pairs the
+        batch misses (e.g. same-round extras, tiny-query kmersamplecount
+        gate) still align lazily in _evaluate_extra_hits."""
+        from .. import native
+        self._repair_cache: Dict[Tuple[int, int, int], AlignmentResult] = {}
+        params = self.params
+        mwm = params.opt_minwordmatches
+        if not carry or mwm <= 0 or not native.available():
+            return
+        units = [si for pq in per_query for si in pq if si is not None]
+        if not units:
+            return
+        try:
+            tbuf, toff = native._concat_kmer_lists([c.kmers for c in carry])
+            qbuf, qoff = native._concat_kmer_lists([u.kmers for u in units])
+            res = native.cross_counts(tbuf, toff, qbuf, qoff,
+                                      self.index.hashsize,
+                                      [mwm] * len(carry))
+        except Exception:
+            return
+        if res is None:
+            return
+        out_t, _, out_off = res
+        pairs: List[Tuple[bytes, int]] = []
+        keys: List[Tuple[int, int, int]] = []
+        for ui, u in enumerate(units):
+            for ti in out_t[out_off[ui]:out_off[ui + 1]].tolist():
+                target = carry[ti].qi.query_no
+                if search_acceptable_unaligned(params, u.qi, self.db,
+                                               target):
+                    pairs.append((u.qi.qsequence, target))
+                    keys.append((u.qi.query_no, u.qi.strand, target))
+        if pairs:
+            for key, r in zip(keys, self.ctx.align_pairs(pairs)):
+                self._repair_cache[key] = r
+
+    # round width once the device tier is active: wide rounds amortize
+    # the per-dispatch link latency and fill the fixed qp=512 kernel
+    DEVICE_ROUND = 512
+
     def run(self, round_size: int,
             on_hit: Callable[[Hit, int, _StrandState, Optional[_StrandState]], None],
             on_nohit: Callable[[int, _StrandState], None],
             progress=None) -> None:
+        import os as _os
         params = self.params
         seqcount = self.db.seqcount
         lastlength = None
         seqno = 0
         nt_done = 0
-        while seqno < seqcount:
+        pipeline_ok = _os.environ.get(
+            "VSEARCH_TPU_CLUSTER_PIPELINE", "1") != "0"
+        prev: Optional[dict] = None        # in-flight dispatched round
+        carry: List[_StrandState] = []     # prev round's new centroids
+        while seqno < seqcount or prev is not None:
+            width = (self.DEVICE_ROUND if self._dev_index is not None
+                     else round_size)
             round_seqnos = []
-            while seqno < seqcount and len(round_seqnos) < round_size:
+            while seqno < seqcount and len(round_seqnos) < width:
                 length = self.db.getsequencelen(seqno)
                 if (params.opt_cluster_smallmem is not None
                         and params.opt_usersort == 0
@@ -542,38 +679,121 @@ class ClusterEngine:
             if progress is not None:
                 progress.update(nt_done)
 
-            per_query = self._search_round(round_seqnos)
-
-            extras: List[_StrandState] = []
-            new_entries = []           # device-index appends this round
-            self._extras_postings = None
-            self._extras_cache_len = -1
-            for si_p, si_m in per_query:
-                for si in (si_p, si_m):
-                    if si is not None:
-                        self._evaluate_extra_hits(si, extras)
-                best = find_best2(params, self.db, si_p, si_m)
-                myseqno = si_p.qi.query_no
-                info = self.clusterinfo[myseqno]
-                info.seqno = myseqno
-                if best is not None:
-                    target = best.target
-                    on_hit(best, self.clusterinfo[target].clusterno,
-                           si_p, si_m)
-                    info.clusterno = self.clusterinfo[target].clusterno
-                    info.cigar = best.nwalignment
-                    info.strand = best.strand
+            st = self._round_dispatch(round_seqnos) if round_seqnos else None
+            if prev is not None:
+                # 1-round-lag pipeline: the device scores round i+1 (and
+                # its prefetch DP) while the host resolves round i.  st
+                # was dispatched BEFORE this resolution, so the new
+                # centroids it misses become its carry.
+                per_query = self._round_complete(prev)
+                carry = self._resolve_round(per_query, carry,
+                                            on_hit, on_nohit)
+                prev = None
+            if st is not None:
+                if pipeline_ok and st["device"]:
+                    prev = st
                 else:
-                    extras.append(si_p)
-                    info.clusterno = self.clusters
-                    info.cigar = None
-                    info.strand = 0
-                    self.index.add_sequence(myseqno, self.db,
-                                            params.opt_qmask)
-                    new_entries.append(
-                        (self.index._kmer_lists[-1],
-                         self.db.getsequencelen(myseqno), myseqno))
-                    on_nohit(self.clusters, si_p)
-                    self.clusters += 1
-            if new_entries:
-                self._device_sync(new_entries)
+                    # resolved in-iteration: the NEXT dispatch happens
+                    # after this resolution, so nothing carries forward
+                    self._resolve_round(self._round_complete(st), carry,
+                                        on_hit, on_nohit)
+                    carry = []
+
+
+class _PrefetchStore:
+    """Lazily-assembled speculative alignments for one round.
+
+    Maps (unit index, target seqno) -> fetched device alignment row (RLE
+    ops column + score) for every valid top-K prefetch entry.  Host
+    assembly (ops -> CIGAR + statistics) runs ONLY for pairs a walk
+    actually requests, batched per lockstep wave into one threaded native
+    call per ops matrix — unused speculative columns cost nothing on the
+    host.  Rows the store lacks (invalid, overflow, SIMD-ineligible, or
+    beyond K) fall back to the normal align_pairs path, so coverage is a
+    pure performance knob."""
+
+    def __init__(self, engine, units, pending, topk_h, pref_h, dev):
+        from ..ops.nw import fits_simd
+        self.engine = engine
+        self.units = units
+        self.map: Dict[Tuple[int, int], tuple] = {}
+        if pref_h is None:
+            return
+        lo = 0
+        for (cnt, _), plist, (topv, topi) in zip(pending, pref_h, topk_h):
+            if isinstance(plist, dict):
+                # compact form: meta rows q_idx / pos / score / overflow
+                ops = np.asarray(plist["ops"])
+                R = ops.shape[1]
+                meta = np.asarray(plist["mat"]).reshape(4, R)
+                q_idx, pos, score, over = meta
+                valid = (pos < 2**30) & (pos < dev.n) & (over == 0) \
+                    & (q_idx < cnt)
+                for lidx in np.nonzero(valid)[0].tolist():
+                    p = int(pos[lidx])
+                    seqno = int(dev.seqnos[p])
+                    w = lo + int(q_idx[lidx])
+                    qlen = units[w].qi.qseqlen
+                    tlen = int(dev.lengths[p])
+                    if (qlen == 0 or tlen == 0 or tlen > dev.codes_width
+                            or not fits_simd(qlen, tlen)):
+                        continue
+                    self.map[(w, seqno)] = (ops, lidx, int(score[lidx]))
+                lo += cnt
+                continue
+            if plist is not None and not isinstance(plist, list):
+                plist = [plist]
+            if plist:
+                topv = np.asarray(topv)
+                topi = np.asarray(topi)
+                for k, (score, over, ops) in enumerate(plist):
+                    if k >= topi.shape[1]:
+                        break
+                    vcol = topv[:cnt, k]
+                    pcol = topi[:cnt, k]
+                    valid = ((vcol >= 0) & (pcol < dev.n)
+                             & ~np.asarray(over)[:cnt])
+                    for r in np.nonzero(valid)[0].tolist():
+                        p = int(pcol[r])
+                        seqno = int(dev.seqnos[p])
+                        w = lo + r
+                        qlen = units[w].qi.qseqlen
+                        tlen = int(dev.lengths[p])
+                        if (qlen == 0 or tlen == 0
+                                or tlen > dev.codes_width
+                                or not fits_simd(qlen, tlen)):
+                            continue
+                        self.map[(w, seqno)] = (ops, r, int(score[r]))
+            lo += cnt
+
+    def take(self, w: int, t: int):
+        return self.map.pop((w, t), None)
+
+    def assemble(self, entries) -> Dict[Tuple[int, int], AlignmentResult]:
+        """entries: [(w, t, store_row)] -> finished AlignmentResults,
+        one native assemble call per distinct ops matrix."""
+        from .. import native
+        eng = self.engine
+        out: Dict[Tuple[int, int], AlignmentResult] = {}
+        groups: Dict[int, tuple] = {}
+        for w, t, (ops, col, score) in entries:
+            groups.setdefault(id(ops), (ops, []))[1].append(
+                (w, t, col, score))
+        for ops, items in groups.values():
+            cols = [col for (_, _, col, _) in items]
+            qs = [self.units[w].qi.qsequence for (w, _, _, _) in items]
+            ts = [eng.db.getsequence(t) for (_, t, _, _) in items]
+            res = native.assemble_batch(np.asarray(ops), cols, qs, ts,
+                                        eng.ctx.scheme.n_mismatch)
+            if res is not None:
+                for (w, t, _, score), (cigar, aligned, matches, mism,
+                                       gaps) in zip(items, res):
+                    out[(w, t)] = AlignmentResult(score, cigar, aligned,
+                                                  matches, mism, gaps)
+            else:
+                for (w, t, col, score) in items:
+                    out[(w, t)] = eng.ctx.aligner.assemble_one(
+                        score, np.asarray(ops)[:, col],
+                        self.units[w].qi.qsequence,
+                        eng.db.getsequence(t))
+        return out

@@ -576,6 +576,67 @@ def _gather_align_kernel(scheme_key: tuple, M: int, N: int, Bp: int):
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _compact_gather_kernel(scheme_key: tuple, M: int, N: int, qp: int,
+                           K: int, R: int):
+    """Device-side candidate compaction + gather-align (single device).
+
+    From the top-k output (vals, idx) and per-query minmatches, packs the
+    (query, candidate) pairs with count >= minmatches — capped at K per
+    query, truncated at R total — into dense lanes, gathers query AND
+    target operands per lane, and runs one forward+RLE-backtrack kernel.
+    Everything happens device-side off the un-fetched top-k handles, so
+    the speculation adds no link round-trip."""
+    # one row-scan call is VMEM-bounded at 1024 lanes; larger lane
+    # budgets split into sequential kernel calls inside the same jit
+    CHUNK = 1024
+    nchunks = (R + CHUNK - 1) // CHUNK
+    assert R % CHUNK == 0
+    base = _gather_align_kernel(scheme_key, M, N, CHUNK)
+    assert getattr(base, "wire", None) == "rowT", \
+        "compact prefetch requires the row-scan wire"
+
+    @jax.jit
+    def run(qmT, amT, qlens, vals, idx, mm, db_codes, tlen_by_pos, n):
+        valid = (vals[:, :K] >= mm[:, None]) & (idx[:, :K] < n)
+        # candidate-rank-major lane fill: every query's rank-0 candidate
+        # first, then every rank-1, ... — so when the budget truncates it
+        # drops the DEEP candidates (requested only after many rejects),
+        # not whole queries
+        lane = jnp.nonzero(valid.T.reshape(-1), size=R,
+                           fill_value=qp * K)[0].astype(jnp.int32)
+        live = lane < qp * K
+        lane_c = jnp.where(live, lane, 0)
+        q_idx = lane_c % qp
+        c_idx = lane_c // qp
+        pos = jnp.take_along_axis(
+            idx[:, :K].reshape(-1)[None, :],
+            (q_idx * K + c_idx)[None, :], axis=1)[0]
+        pos = jnp.where(live, pos, 0)
+        qmT_g = qmT[:, q_idx]
+        amT_g = amT[:, q_idx]
+        ql_g = jnp.where(live, qlens[q_idx], 1)
+        scores, overs, opss = [], [], []
+        for c in range(nchunks):
+            sl = slice(c * CHUNK, (c + 1) * CHUNK)
+            s_, o_, op_ = base(qmT_g[:, sl], amT_g[:, sl], ql_g[sl],
+                               pos[sl], db_codes, tlen_by_pos)
+            scores.append(s_)
+            overs.append(o_)
+            opss.append(op_)
+        score = jnp.concatenate(scores) if nchunks > 1 else scores[0]
+        over = jnp.concatenate(overs) if nchunks > 1 else overs[0]
+        ops = jnp.concatenate(opss, axis=1) if nchunks > 1 else opss[0]
+        meta = jnp.stack([
+            q_idx,
+            jnp.where(live, pos, jnp.int32(2**30)),
+            score.astype(jnp.int32),
+            over.astype(jnp.int32)], axis=0)           # (4, R)
+        return meta.reshape(qp, (4 * R) // qp), ops
+
+    return run
+
+
 class BatchAligner:
     """Device-batched aligner with host CIGAR/stat assembly."""
 
@@ -777,6 +838,35 @@ class BatchAligner:
         q4 = encode_padded(qseqs, rows, M)
         return kernel(jnp.asarray(q4), jnp.asarray(qlens), pos,
                       db_codes, tlen_by_pos)
+
+    def dispatch_compact(self, qseqs: Sequence[bytes], qp: int,
+                         vals_d, idx_d, mm: np.ndarray, K: int, R: int,
+                         db_codes, tlen_by_pos, N: int, n: int):
+        """Compacted speculative alignment: align ONLY the top-K
+        candidates that pass minwordmatches, packed densely into R device
+        lanes (computed on device from the top-k output — no host sync).
+
+        A fixed-K per-query speculation wastes most lanes: the top-k rows
+        carry every occupied position while the walk only ever requests
+        candidates at or above minmatches (~25% lane utilization measured
+        on the 50k cluster bench).  Compaction gathers the query operands
+        per lane by a device-computed (query, candidate) index, so R
+        covers ~4x more useful candidates per DP cell.  Returns
+        (meta (qp, 4R/qp) int32 — reshaped (4, R) rows q_idx/pos/score/
+        overflow, positions 2^30-sentineled on dead or truncated lanes —
+        and ops (S, R) int8)."""
+        qlens = np.ones(qp, dtype=np.int32)
+        for i, s in enumerate(qseqs):
+            qlens[i] = max(len(s), 1)
+        M = _bucket(max(len(s) for s in qseqs))
+        fn = _compact_gather_kernel(self._key, M, N, qp, K, R)
+        qmT, amT = encode_rowT(qseqs, qp, M, self.scheme.mismatch,
+                               self.scheme.n_mismatch)
+        return fn(jnp.asarray(qmT), jnp.asarray(amT), jnp.asarray(qlens),
+                  vals_d, idx_d,
+                  jnp.asarray(np.ascontiguousarray(mm, dtype=np.int32)),
+                  db_codes, tlen_by_pos,
+                  jnp.asarray(np.int32(n)))
 
     def assemble_one(self, score: int, ops_col: np.ndarray, qseq: bytes,
                      tseq: bytes) -> AlignmentResult:

@@ -49,18 +49,33 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=8)
 def _scatter_fn():
     @functools.partial(jax.jit, donate_argnums=0)
-    def scatter(bits, packed):
-        # packed (2, nk) int32: row 0 = kmer ids, row 1 = positions —
+    def scatter(bits, packed, nk):
+        # packed (2, NK) int32: row 0 = kmer ids, row 1 = positions —
         # ONE host->device upload per round (each upload is a full
         # tunnel round-trip); word column and bit decode on device.
-        # Fresh positions: the targeted bits are all zero and every
-        # (kmer, position) pair unique, so scatter-add == scatter-or.
+        # NK is BUCKETED (power-of-two pad) so every round reuses one
+        # compiled program — per-round recompiles cost ~0.5s each on a
+        # tunneled attachment; padding rows are masked to value 0 via
+        # the traced nk scalar.  Fresh positions: the targeted bits are
+        # all zero and every (kmer, position) pair unique, so
+        # scatter-add == scatter-or.
         rows = packed[0]
         p = packed[1]
+        live = jnp.arange(rows.shape[0], dtype=jnp.int32) < nk[0]
         cols = jax.lax.shift_right_logical(p, 5)
-        vals = (jnp.uint32(1) << (p.astype(jnp.uint32) & jnp.uint32(31)))
+        vals = jnp.where(
+            live,
+            jnp.uint32(1) << (p.astype(jnp.uint32) & jnp.uint32(31)),
+            jnp.uint32(0))
         return bits.at[rows, cols].add(vals)
     return scatter
+
+
+def _pad_pow2(n: int, lo: int = 4096) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 @functools.lru_cache(maxsize=8)
@@ -114,21 +129,30 @@ class GrowingDeviceKmerIndex:
         self.wordlength = wordlength
         self.hashsize = 1 << (2 * wordlength)
         cap = max(capacity, MIN_WORDS * 32)
-        cap = _round_up(cap, 1024)
+        # 4096-column rounding keeps the dense MXU tier eligible
+        # (score_mxu.NBLK geometry); the scan tier is indifferent
+        cap = _round_up(cap, 4096)
         if cap > RANK_MAX:
             raise ValueError("capacity exceeds rank budget")
         self.cap = cap
         self.words = cap // 32
         self.n = 0
-        # +1 sentinel row: padded query-kmer ids gather all-zero bits
-        self.bits = jax.device_put(
-            np.zeros((self.hashsize + 1, self.words), dtype=np.uint32))
+        # +1 sentinel row: padded query-kmer ids gather all-zero bits.
+        # Allocated ON DEVICE (jnp.zeros): a host-side zero matrix at
+        # production capacity (e.g. 840 MB at 100k positions) would pay
+        # a full tunnel upload; device zeros cost nothing and the
+        # occupied entries arrive via the same scatter as appends.
+        self.bits = jnp.zeros((self.hashsize + 1, self.words),
+                              dtype=jnp.uint32)
         self.lengths = np.zeros(cap, dtype=np.int64)
         self.seqnos = np.zeros(cap, dtype=np.int64)
         # positions sorted by (length, seqno): maintained incrementally
         self._order = np.zeros(0, dtype=np.int64)
         self._rank_dev = None          # uploaded lazily before a topk
         self._rank_dirty = True
+        self._rank_perm_np = None      # dense tier: kernel-column order
+        self._dense = None             # lazily decided (tpu + geometry)
+        self.fixed_qp = 0              # pin chunk geometry (one compile)
         # device-resident padded sequence codes (attach_codes): enables
         # the top-1 prefetch alignment chained off the top-k output
         self.codes = None              # (cap, width) int8 device
@@ -171,7 +195,14 @@ class GrowingDeviceKmerIndex:
         return True
 
     def _scatter(self, packed: np.ndarray) -> None:
-        self.bits = _scatter_fn()(self.bits, jnp.asarray(packed))
+        nk = packed.shape[1]
+        pad = _pad_pow2(nk)
+        if pad != nk:
+            full = np.zeros((2, pad), dtype=packed.dtype)
+            full[:, :nk] = packed
+            packed = full
+        self.bits = _scatter_fn()(self.bits, jnp.asarray(packed),
+                                  jnp.asarray([nk], dtype=np.int32))
 
     def _put_bits(self, bits: np.ndarray) -> None:
         self.bits = jax.device_put(bits)
@@ -199,15 +230,23 @@ class GrowingDeviceKmerIndex:
 
     def _append_codes(self, entries, p0: int) -> None:
         from ..utils.maps import CHRMAP_4BIT
-        nc = np.zeros((len(entries), self.codes_width), dtype=np.int8)
-        nl = np.zeros(len(entries), dtype=np.int32)
+        ne = len(entries)
+        pad = _pad_pow2(ne, lo=64)     # bucketed: one compile per bucket
+        nc = np.zeros((pad, self.codes_width), dtype=np.int8)
+        nl = np.zeros(pad, dtype=np.int32)
         for k, (_, _, seqno) in enumerate(entries):
             s = self._seq_of(seqno)
             ln = min(len(s), self.codes_width)
             nc[k, :ln] = CHRMAP_4BIT[
                 np.frombuffer(s[:ln], dtype=np.uint8)].astype(np.int8)
             nl[k] = ln
-        pos = np.arange(p0, p0 + len(entries), dtype=np.int32)
+        # padding rows repeat entry 0 (identical duplicate .set targets,
+        # so whichever write wins the row is unchanged)
+        pos = np.full(pad, p0, dtype=np.int32)
+        pos[:ne] = np.arange(p0, p0 + ne, dtype=np.int32)
+        if ne:
+            nc[ne:] = nc[0]
+            nl[ne:] = nl[0]
         self.codes, self.tlen_dev = _scatter_codes_fn()(
             self.codes, self.tlen_dev, jnp.asarray(pos), jnp.asarray(nc),
             jnp.asarray(nl))
@@ -216,25 +255,20 @@ class GrowingDeviceKmerIndex:
     def build(cls, wordlength: int, kmer_lists: List[np.ndarray],
               lengths: Sequence[int], seqnos: Sequence[int],
               capacity: int) -> "GrowingDeviceKmerIndex":
-        """Bulk build (native bit pack + one upload) for activation or
-        capacity growth."""
-        from .. import native
+        """Bulk build for activation or capacity growth.  The occupied
+        entries ship as ONE (kmer, position) scatter upload (~8 bytes per
+        stored k-mer) into the device-allocated zero matrix — the upload
+        scales with the DATA, not the capacity."""
         self = cls(wordlength, capacity)
         n = len(kmer_lists)
         if n:
-            sizes = np.fromiter((kl.size for kl in kmer_lists),
-                                dtype=np.int64, count=n)
-            starts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(sizes, out=starts[1:])
-            allk = np.ascontiguousarray(
-                np.concatenate(kmer_lists) if sizes.sum()
-                else np.zeros(0, np.uint32), dtype=np.uint32)
-            bits = np.zeros((self.hashsize + 1, self.words), dtype=np.uint32)
-            if not native.pack_bits(allk, starts, n, self.words, bits):
-                for p, kl in enumerate(kmer_lists):
-                    bits[kl.astype(np.int64), p >> 5] |= \
-                        np.uint32(1) << np.uint32(p & 31)
-            self._put_bits(bits)
+            rows_all = [kl.astype(np.int32) for kl in kmer_lists if kl.size]
+            pos_all = [np.full(kl.size, p, dtype=np.int32)
+                       for p, kl in enumerate(kmer_lists) if kl.size]
+            if rows_all:
+                packed = np.stack([np.concatenate(rows_all),
+                                   np.concatenate(pos_all)])
+                self._scatter(packed)
             self.lengths[:n] = np.asarray(lengths)
             self.seqnos[:n] = np.asarray(seqnos)
             self.n = n
@@ -251,8 +285,36 @@ class GrowingDeviceKmerIndex:
             rank = np.full(self.words * 32, RANK_MAX, dtype=np.int32)
             rank[self._order] = np.arange(self.n, dtype=np.int32)
             self._rank_dev = rank
+            self._rank_perm_np = None
             self._rank_dirty = False
         return self._rank_dev
+
+    def _rank_perm(self):
+        """Rank vector permuted into dense-kernel column order (bit b of
+        word w lands at column b*WBLK + w within each NBLK block — see
+        score_mxu module docstring)."""
+        rank = self._ranks()
+        if self._rank_perm_np is None:
+            from .score_mxu import NBLK, WBLK
+            j = np.arange(self.words * 32)
+            r = j % NBLK
+            pos = (j // NBLK) * NBLK + 32 * (r % WBLK) + r // WBLK
+            self._rank_perm_np = np.ascontiguousarray(rank[pos])
+        return self._rank_perm_np
+
+    def _use_dense(self) -> bool:
+        """Dense MXU tier eligibility (single TPU chip; the mesh-sharded
+        subclass keeps the scan tier)."""
+        if self._dense is None:
+            import os
+            from .score_mxu import NBLK, VBLK_MAX
+            V = self.hashsize
+            self._dense = (
+                os.environ.get("VSEARCH_TPU_GROW_DENSE", "1") != "0"
+                and jax.default_backend() == "tpu"
+                and (self.words * 32) % NBLK == 0
+                and V % min(VBLK_MAX, V) == 0 and V >= 32)
+        return self._dense
 
     def supports(self, kmer_lists: List[np.ndarray]) -> bool:
         return (self.cap <= RANK_MAX
@@ -267,16 +329,33 @@ class GrowingDeviceKmerIndex:
         k = min(tophits, self.n)
         if q == 0 or self.n == 0 or k == 0:
             return (q, [])
-        rank = self._ranks()
         CHUNK = 512
+        dense = self._use_dense()
+        rank = self._rank_perm() if dense else self._ranks()
+        if dense:
+            from .score_mxu import dense_topk_ranked_kernel, pack_query_bits
+            rank_dev = jnp.asarray(rank)
+            pending = []
+            for lo in range(0, q, CHUNK):
+                chunk = kmer_lists[lo:lo + CHUNK]
+                qp = self.fixed_qp or (
+                    128 if len(chunk) <= 128 else
+                    (256 if len(chunk) <= 256 else CHUNK))
+                Kbits = pack_query_bits(chunk, qp, self.hashsize)
+                v, i = dense_topk_ranked_kernel(
+                    self.hashsize, self.words, qp, k)(
+                    jnp.asarray(Kbits), self.bits, rank_dev)
+                pending.append((len(chunk), (v, i)))
+            return (q, pending)
         maxk = max((kl.size for kl in kmer_lists), default=1)
         maxk = max(_round_up(maxk, 640), 640)
         u16 = self.hashsize <= 65536
         pending = []
         for lo in range(0, q, CHUNK):
             chunk = kmer_lists[lo:lo + CHUNK]
-            qp = 128 if len(chunk) <= 128 else (
-                256 if len(chunk) <= 256 else CHUNK)
+            qp = self.fixed_qp or (
+                128 if len(chunk) <= 128 else
+                (256 if len(chunk) <= 256 else CHUNK))
             kcounts = np.zeros(qp, dtype=np.int32)
             ids = np.zeros((qp, maxk), dtype=np.uint16 if u16 else np.int32)
             for qi, kmers in enumerate(chunk):
@@ -334,12 +413,13 @@ def _sharded_scatter_fn(mesh_shape: int, wps: int, hashsize: int):
     from ..parallel.mesh import active_mesh
     mesh = active_mesh()
 
-    def local(bits_shard, packed):
+    def local(bits_shard, packed, nk):
         rows = packed[0]
         p = packed[1]
         sid = jax.lax.axis_index("db")
         cols = jax.lax.shift_right_logical(p, 5) - sid * wps
-        ok = (cols >= 0) & (cols < wps)
+        live = jnp.arange(rows.shape[0], dtype=jnp.int32) < nk[0]
+        ok = (cols >= 0) & (cols < wps) & live
         rows = jnp.where(ok, rows, hashsize)
         cols = jnp.clip(cols, 0, wps - 1)
         vals = jnp.where(
@@ -349,7 +429,7 @@ def _sharded_scatter_fn(mesh_shape: int, wps: int, hashsize: int):
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, "db"), P()),
+        in_specs=(P(None, "db"), P(), P()),
         out_specs=P(None, "db"),
         check_vma=False), donate_argnums=0)
 
@@ -442,14 +522,27 @@ class ShardedGrowingKmerIndex(GrowingDeviceKmerIndex):
         self._order = np.zeros(0, dtype=np.int64)
         self._rank_dev = None
         self._rank_dirty = True
+        self._rank_perm_np = None
+        self._dense = False
+        self.fixed_qp = 0
         self.codes = None
         self.tlen_dev = None
         self.codes_width = 0
 
+    def _use_dense(self) -> bool:
+        return False            # mesh tier: sharded scan + collectives
+
     def _scatter(self, packed: np.ndarray) -> None:
+        nk = packed.shape[1]
+        pad = _pad_pow2(nk)
+        if pad != nk:
+            full = np.zeros((2, pad), dtype=packed.dtype)
+            full[:, :nk] = packed
+            packed = full
         self.bits = _sharded_scatter_fn(
             self.mesh.devices.size, self.wps, self.hashsize)(
-            self.bits, jnp.asarray(packed))
+            self.bits, jnp.asarray(packed),
+            jnp.asarray([nk], dtype=np.int32))
 
     def _topk_kernel(self, qp: int, maxk: int, k: int):
         return _sharded_topk_ranked_kernel(self.hashsize, self.wps, qp,

@@ -194,6 +194,119 @@ def dense_topk_kernel(hashsize: int, words: int, qp: int, k: int,
     return jax.jit(run)
 
 
+def _kernel_ranked(n_v: int):
+    """Counts tile kernel for GROWING indexes: the last vocab step folds
+    counts into the rank-composite key
+
+        key = counts << RANK_BITS | (RANK_MAX - rank_perm[col])
+
+    (ops/score_grow.py's total order: count desc, then heap rank asc —
+    rank encodes the reference min-heap's (length asc, seqno asc) for any
+    position insertion order, minheap.cpp:111-146).  rank_perm arrives
+    already permuted into kernel column order, so no in-kernel position
+    arithmetic is needed; unoccupied columns carry rank >= RANK_MAX and
+    are masked to -1."""
+    from .score_grow import RANK_BITS, RANK_MAX
+
+    def kernel(K_ref, bits_ref, rank_ref, out_ref):
+        i_v = pl.program_id(1)
+        rows = pltpu.bitcast(bits_ref[:], jnp.int32)     # (VBLK, WBLK)
+        parts = [((rows >> b) & 1).astype(jnp.int8) for b in range(32)]
+        unp = jnp.concatenate(parts, axis=1)             # (VBLK, NBLK)
+        acc = jax.lax.dot(K_ref[:], unp, preferred_element_type=jnp.int32)
+
+        @pl.when(i_v == 0)
+        def _():
+            out_ref[:] = acc
+
+        @pl.when(i_v > 0)
+        def _():
+            out_ref[:] = out_ref[:] + acc
+
+        @pl.when(i_v == n_v - 1)
+        def _():
+            r = rank_ref[:]                              # (1, NBLK)
+            key = out_ref[:] * (1 << RANK_BITS) + (RANK_MAX - r)
+            out_ref[:] = jnp.where(r < RANK_MAX, key, -1)
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def dense_topk_ranked_kernel(hashsize: int, words: int, qp: int, k: int,
+                             interpret: bool = False):
+    """Dense MXU counts + exact rank-keyed top-k for a growing index.
+
+    Takes (Kbits (qp, hashsize/32) uint32 packed one-hot query rows,
+    bits (hashsize+1, words) uint32 — the growing incidence matrix, its
+    sentinel row is never read — and rank_perm (n_cols,) int32, the heap
+    rank vector permuted into kernel column order by
+    score_grow.GrowingDeviceKmerIndex._rank_perm).  Returns (counts
+    (qp, k) int32, positions (qp, k) int32) in reference heap order with
+    count -1 / position 2^30 sentinels, the same contract as
+    score_grow._topk_ranked_kernel — but ~5x cheaper per round on the
+    MXU than that kernel's per-kmer row gathers (measured 52 ms -> 10 ms
+    per 512-query round at 40960 positions on v5e).
+
+    reference: src/core/searchcore.cpp:260-340 feeding the growing-index
+    engines (cluster.cpp:877-1030, chimera.cpp:2018-2071)."""
+    from .score_grow import RANK_BITS
+    V = hashsize
+    qw = (V + 31) // 32
+    n_cols = words * 32
+    assert n_cols % NBLK == 0, "dense geometry requires cols %% %d" % NBLK
+    vblk = min(VBLK_MAX, V)
+    n_v = V // vblk
+    grid = (n_cols // NBLK, n_v)
+
+    @jax.jit
+    def run(Kbits, bits, rank_perm):
+        s = jnp.arange(32, dtype=jnp.int32)
+        u = ((Kbits.view(jnp.int32)[:, :, None] >> s) & 1).astype(jnp.int8)
+        K8 = u.reshape(qp, qw * 32)[:, :V]
+        key = pl.pallas_call(
+            _kernel_ranked(n_v),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((qp, vblk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((vblk, WBLK), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NBLK), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((qp, NBLK), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((qp, n_cols), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(K8, bits, rank_perm.reshape(1, n_cols))
+        # exact pruned top-k (same argument as dense_topk_kernel: keys
+        # are distinct, so the k groups with the largest maxima contain
+        # exactly the top-k keys)
+        G = 256
+        ng = n_cols // G
+        if ng > k and n_cols % G == 0:
+            kg = key.reshape(qp, ng, G)
+            gmax = kg.max(axis=2)
+            _, gidx = jax.lax.top_k(gmax, k)
+            cand = jnp.take_along_axis(kg, gidx[:, :, None], axis=1)
+            v2, ci = jax.lax.top_k(cand.reshape(qp, k * G), k)
+            idx = jnp.take_along_axis(gidx, ci // G, axis=1) * G + ci % G
+        else:
+            v2, idx = jax.lax.top_k(key, k)
+        cnt = jnp.where(v2 >= 0,
+                        jax.lax.shift_right_logical(v2, RANK_BITS), -1)
+        # kernel column -> true position (the in-kernel unpack emits bit
+        # b of word w at column b*WBLK + w within each NBLK block)
+        r = idx % NBLK
+        pos = (idx // NBLK) * NBLK + 32 * (r % WBLK) + r // WBLK
+        pos = jnp.where(v2 >= 0, pos.astype(jnp.int32), jnp.int32(2**30))
+        return cnt, pos
+
+    return run
+
+
 @functools.lru_cache(maxsize=32)
 def dense_topk_multi(hashsize: int, words: tuple, qp: int, k: int,
                      bases: tuple, packed_keys: bool = True,
