@@ -331,28 +331,61 @@ def chimera_command(params: Parameters, command: str) -> None:
                 flush()
             else:
                 # denovo: speculative rounds against the frozen reference
-                # set + exact serial repair (core/chimera.py search_round)
+                # set + exact serial repair (core/chimera.py search_round),
+                # pipelined one round deep when the growing device tier is
+                # active: round i+1's part-candidate scoring dispatches
+                # BEFORE round i's serial resolution, and round i's
+                # accepted non-chimeras carry into round i+1's tracker
+                # (ExtrasTracker.add_carry_batch) — the same exact repair,
+                # one snapshot deeper
                 nt_done = 0
                 seqno = 0
-                while seqno < db.seqcount:
-                    hi = min(seqno + round_w, db.seqcount)
-                    batch = [(db.getheader(s), db.getsequence(s),
-                              db.getabundance(s), s)
-                             for s in range(seqno, hi)]
-                    rqs, tracker = engine.search_round(batch)
+                prev = None      # in-flight round_begin state
+                carry = []       # [(seqno, kmers, length)] from prev round
+                pipeline_ok = _os.environ.get(
+                    "VSEARCH_TPU_CHIMERA_PIPELINE", "1") != "0"
+
+                def resolve_round(rqs, tracker, carry_in):
+                    nonlocal nt_done
+                    tracker.add_carry_batch(carry_in)
+                    new_carry = []
                     for qidx, rq in enumerate(rqs):
                         res = engine.resolve(rq, qidx, tracker)
                         handle(res, rq.head, rq.seq, rq.size)
                         if res.status < Status.suspicious:
                             kmers = rq.full_kmers.copy()
+                            ln = db.getsequencelen(rq.qno)
                             index.add_sequence_with_kmers(
-                                rq.qno, db.getsequencelen(rq.qno), kmers)
-                            tracker.add_extra(rq.qno, kmers,
-                                              db.getsequencelen(rq.qno),
-                                              qidx)
+                                rq.qno, ln, kmers)
+                            tracker.add_extra(rq.qno, kmers, ln, qidx)
+                            new_carry.append((rq.qno, kmers, ln))
                         nt_done += len(rq.seq)
                         det_prog.update(nt_done)
+                    return new_carry
+
+                while seqno < db.seqcount or prev is not None:
+                    width = (512 if engine._dev_index is not None
+                             else round_w)
+                    hi = min(seqno + width, db.seqcount)
+                    batch = [(db.getheader(s), db.getsequence(s),
+                              db.getabundance(s), s)
+                             for s in range(seqno, hi)]
                     seqno = hi
+                    st = engine.round_begin(batch) if batch else None
+                    if prev is not None:
+                        rqs, tracker = engine.round_finish(prev)
+                        carry = resolve_round(rqs, tracker, carry)
+                        prev = None
+                    if st is not None:
+                        if pipeline_ok and st["pending"] is not None:
+                            prev = st
+                        else:
+                            # resolved in-iteration: the NEXT dispatch
+                            # happens after this resolution, so nothing
+                            # carries forward
+                            rqs, tracker = engine.round_finish(st)
+                            resolve_round(rqs, tracker, carry)
+                            carry = []
 
         if not params.opt_quiet:
             _report_summary(stats, is_long)

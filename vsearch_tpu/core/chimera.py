@@ -146,8 +146,16 @@ class ChimeraEngine:
         # the growing device index (per-query device latency beats host
         # postings cost only once the accepted set is large) — r2 Missing #3
         self.DEVICE_MIN = int(_os.environ.get(
-            "VSEARCH_TPU_CHIMERA_DEVICE_MIN", "16384"))
+            "VSEARCH_TPU_CHIMERA_DEVICE_MIN", "4096"))
         self._dev_index = None
+
+    def _device_capacity(self, count: int) -> int:
+        """Sized once to the run's upper bound (every input could be
+        accepted into the reference set): no mid-run rebuild means no
+        re-compile; device zeros make over-allocation HBM-only."""
+        from ..ops.score_grow import RANK_MAX
+        cap = max(2 * count, 40960, self.db.seqcount)
+        return min((cap + 4095) // 4096 * 4096, RANK_MAX & ~4095)
 
     def _part_candidates(self, kmers_list, samplecounts, minmatches_list,
                          raw=None):
@@ -187,7 +195,8 @@ class ChimeraEngine:
                     self.index.wordlength,
                     self.index.kmer_lists_by_position(),
                     list(self.index.lengths), list(self.index.mapping),
-                    capacity=max(2 * count, 40960))
+                    capacity=self._device_capacity(count))
+                self._dev_index.fixed_qp = 512
             elif self._dev_index.n < count:
                 entries = [(self.index._kmer_lists[p],
                             self.index.lengths[p], self.index.mapping[p])
@@ -197,7 +206,8 @@ class ChimeraEngine:
                         self.index.wordlength,
                         self.index.kmer_lists_by_position(),
                         list(self.index.lengths), list(self.index.mapping),
-                        capacity=max(2 * count, 40960))
+                        capacity=self._device_capacity(count))
+                    self._dev_index.fixed_qp = 512
             return self._dev_index
         except Exception as exc:
             self._dev_enabled = False
@@ -246,6 +256,17 @@ class ChimeraEngine:
         growing device index, or host postings), the accept/reject
         alignment waves (merged lockstep), and the full-query candidate
         alignments (one batch)."""
+        return self.round_finish(self.round_begin(queries), with_tracker)
+
+    def round_begin(self, queries: List[Tuple[bytes, bytes, int, int]]
+                    ) -> dict:
+        """Host prep + candidate dispatch for one round.
+
+        When the growing device tier is active the part-candidate top-k
+        dispatches asynchronously (the driver's 1-round-lag pipeline
+        resolves the previous round while this one's scoring runs); host
+        and static-index candidates are computed synchronously HERE so
+        the frozen-set snapshot matches dispatch time either way."""
         detection = self.detection
         denovo = self.params.opt_uchime_ref is None
         rqs: List[_RoundQuery] = []
@@ -285,8 +306,64 @@ class ChimeraEngine:
         sizes = ksizes.tolist()
         minmatches = np.minimum(mwm_u, ksizes).tolist()
 
-        cand_lists = self._part_candidates(kmers_list, sizes, minmatches,
-                                           raw=(kbuf, part_off))
+        st = dict(rqs=rqs, part_seqs=part_seqs, part_owner=part_owner,
+                  kbuf=kbuf, koff=koff, part_off=part_off,
+                  kmers_list=kmers_list, sizes=sizes,
+                  minmatches=minmatches, denovo=denovo,
+                  nparts_total=nparts_total, pending=None, bundled=None,
+                  dev=None, cand_lists=None)
+        dev = None
+        if self.ctx.device_index is None:
+            dev = self._growing_device()
+        if dev is not None and dev.supports(kmers_list):
+            q, pending = dev.topk_dispatch(kmers_list, self.tophits)
+            bundled = None
+            from ..parallel.mesh import active_mesh
+            if pending and active_mesh() is None:
+                from ..ops.bundle import bundle_fetch
+                bundled = bundle_fetch(pending, None)
+                try:
+                    bundled[0].copy_to_host_async()
+                except Exception:
+                    pass
+            st.update(dev=dev, pending=pending, bundled=bundled)
+        else:
+            st["cand_lists"] = self._part_candidates(
+                kmers_list, sizes, minmatches, raw=(kbuf, part_off))
+        return st
+
+    def round_finish(self, st: dict, with_tracker: bool = True
+                     ) -> Tuple[List["_RoundQuery"],
+                                Optional["_ExtrasTracker"]]:
+        """Fetch the round's candidates, run the speculative walks and
+        the full-query candidate alignment batch, build the tracker."""
+        detection = self.detection
+        denovo = st["denovo"]
+        rqs = st["rqs"]
+        part_seqs = st["part_seqs"]
+        part_owner = st["part_owner"]
+        kbuf, koff = st["kbuf"], st["koff"]
+        part_off = st["part_off"]
+        kmers_list = st["kmers_list"]
+        sizes = st["sizes"]
+        minmatches = st["minmatches"]
+        nparts_total = st["nparts_total"]
+        if st["cand_lists"] is not None:
+            cand_lists = st["cand_lists"]
+        else:
+            import jax
+            dev = st["dev"]
+            pending = st["pending"]
+            if st["bundled"] is not None:
+                from ..ops.bundle import unbundle_fetch
+                meta_h, ops_h = jax.device_get(
+                    (st["bundled"][0], st["bundled"][1]))
+                topk_h, _ = unbundle_fetch(meta_h, ops_h, st["bundled"][2])
+            else:
+                topk_h = jax.device_get([h for _, h in pending])
+            cand_lists = dev.topk_cut(
+                [(nq, f) for (nq, _), f in zip(pending, topk_h)],
+                minmatches)
 
         # per-part QueryInfo, built lazily (only walked/repaired parts)
         self._qi_cache: Dict[int, QueryInfo] = {}
@@ -553,6 +630,9 @@ class _ExtrasTracker:
         self.pending: Dict[int, List[Tuple[int, int, int]]] = {}
         self.extras: List[Tuple[int, np.ndarray, int]] = []
         self.probes = None
+        self._hashsize = hashsize
+        self._mm = list(part_minmatches)
+        self._raw_parts = raw_parts
         from .. import native
         if (native.available() and part_kmers
                 and all(k is not None for k in full_kmers)):
@@ -596,6 +676,56 @@ class _ExtrasTracker:
                 self.pending.setdefault(gp, []).append((seqno, c, length))
         else:
             self.extras.append((seqno, np.sort(kmers), length))
+
+    def add_carry_batch(self, carries) -> None:
+        """Record extras accepted in the PREVIOUS round (the driver's
+        1-round-lag pipeline: this round's candidates were scored against
+        the set frozen before those acceptances, so they repair through
+        the exact same merge as same-round extras — which is snapshot-
+        depth-invariant).  carries: [(seqno, kmers, length)]; they affect
+        EVERY part of this round (no owner filter)."""
+        if not carries:
+            return
+        if self.probes is None:
+            for (s, k, ln) in carries:
+                self.extras.append((s, np.sort(k), ln))
+            return
+        from .. import native
+        try:
+            if self._raw_parts is not None:
+                tbuf, toff = self._raw_parts
+            else:
+                tbuf, toff = native._concat_kmer_lists(self.part_kmers)
+            qbuf, qoff = native._concat_kmer_lists(
+                [k for (_, k, _) in carries])
+            res = native.cross_counts(tbuf, toff, qbuf, qoff,
+                                      self._hashsize, self._mm)
+        except Exception:
+            res = None
+        if res is not None:
+            out_t, out_c, out_off = res
+            for i, (seqno, _, length) in enumerate(carries):
+                lo, hi = out_off[i], out_off[i + 1]
+                for gp, c in zip(out_t[lo:hi].tolist(),
+                                 out_c[lo:hi].tolist()):
+                    self.pending.setdefault(gp, []).append(
+                        (seqno, c, length))
+            return
+        # degraded path (native call failed mid-run): exact per-part
+        # sorted intersections
+        for (seqno, kmers, length) in carries:
+            ek = np.sort(kmers)
+            for gp, pk in enumerate(self.part_kmers):
+                pk_s = np.sort(pk)
+                if pk_s.size and ek.size:
+                    ss = np.searchsorted(pk_s, ek)
+                    valid = ss < pk_s.size
+                    c = int(np.count_nonzero(pk_s[ss[valid]] == ek[valid]))
+                else:
+                    c = 0
+                if c >= self._mm[gp] and c > 0:
+                    self.pending.setdefault(gp, []).append(
+                        (seqno, c, length))
 
     def any_pending(self) -> bool:
         """Cheap pre-check: can ANY recorded extra affect a later part?"""

@@ -169,6 +169,7 @@ class GrowingDeviceKmerIndex:
             return False
         rows_all = []
         pos_all = []
+        p0 = self.n
         for kmers, length, seqno in entries:
             p = self.n
             if kmers.size:
@@ -176,15 +177,20 @@ class GrowingDeviceKmerIndex:
                 pos_all.append(np.full(kmers.size, p, dtype=np.int32))
             self.lengths[p] = length
             self.seqnos[p] = seqno
-            # incremental sorted-order insert (length asc, seqno asc);
-            # seqnos arrive ascending, so (length, seqno) insertion via
-            # searchsorted on the composite key keeps ties stable
-            composite = self.lengths[self._order] * (1 << 40) \
-                + self.seqnos[self._order]
-            at = int(np.searchsorted(composite,
-                                     length * (1 << 40) + seqno))
-            self._order = np.insert(self._order, at, p)
             self.n += 1
+        # batched sorted-order insert (length asc, seqno asc): ONE
+        # np.insert per round — the per-entry form was O(n) each and
+        # dominated append cost at production scale.  Composite keys are
+        # unique (seqno disambiguates), so inserting the new entries in
+        # key order at their searchsorted positions reproduces the exact
+        # total order
+        new_p = np.arange(p0, self.n, dtype=np.int64)
+        new_key = self.lengths[new_p] * (1 << 40) + self.seqnos[new_p]
+        ksort = np.argsort(new_key, kind="stable")
+        composite = self.lengths[self._order] * (1 << 40) \
+            + self.seqnos[self._order]
+        at = np.searchsorted(composite, new_key[ksort])
+        self._order = np.insert(self._order, at, new_p[ksort])
         if rows_all:
             packed = np.stack([np.concatenate(rows_all),
                                np.concatenate(pos_all)])
