@@ -139,7 +139,8 @@ class ChimeraEngine:
                    or "VSEARCH_TPU_CHIMERA_DEVICE_MIN" in _os.environ)
         from ..ops.nw_jax import BatchAligner as _BA
         self._dev_enabled = (
-            (_jax.default_backend() == "tpu" or _am() is not None)
+            (_jax.default_backend() == "tpu" or _am() is not None
+             or _forced)
             and _env != "0"
             and (_forced or _BA.device_roundtrip_ok()))
         # reference-set size above which denovo candidate scoring moves to

@@ -147,7 +147,8 @@ class ClusterEngine:
                    or "VSEARCH_TPU_CLUSTER_DEVICE_MIN" in _os.environ)
         from ..ops.nw_jax import BatchAligner as _BA
         self._dev_enabled = (
-            (_jax.default_backend() == "tpu" or _am() is not None)
+            (_jax.default_backend() == "tpu" or _am() is not None
+             or _forced)
             and _env != "0"
             and (_forced or _BA.device_roundtrip_ok()))
         # centroid count above which candidate scoring moves to the device
