@@ -227,12 +227,12 @@ void vstpu_unique_kmers_batch(const unsigned char *data,
 
 /* ---- backtrack ops -> cigar + statistics ----
  *
- * ops: int8 array in END-TO-FRONT order as produced by the device backtrack
- * (0=none, 1=M, 2=D, 3=I).  Writes the forward cigar string into cigar_out
+ * ops: int16 array in END-TO-FRONT order as produced by the device
+ * backtrack (0=none, 1=M, 2=D, 3=I).  Writes the forward cigar string into cigar_out
  * (caller-sized >= 12 * nops) and returns its length; fills
  * stats[0..3] = aligned, matches, mismatches, gaps.
  * q/t are the original sequences (for IUPAC match counting). */
-static int assemble_core(const int8_t *ops, int64_t stride, int nops,
+static int assemble_core(const int16_t *ops, int64_t stride, int nops,
                          const unsigned char *q, const unsigned char *t,
                          int n_mismatch, char *cigar_out, int64_t *stats) {
     int aligned = 0, matches = 0, mismatches = 0, gaps = 0;
@@ -248,10 +248,10 @@ static int assemble_core(const int8_t *ops, int64_t stride, int nops,
     for (int k = start; k >= 0; k--) {
         int raw = ops[(int64_t)k * stride];
         if (raw == 0) continue;
-        /* run-length encoded bytes: op | count << 2 (count 1..31); the
-         * flat format's plain 1..3 values decode as count 1 */
+        /* run-length encoded entries: op | count << 2 (count 1..4095);
+         * the flat format's plain 1..3 values decode as count 1 */
         int op = raw & 3;
-        int cnt = (raw >> 2) & 31;
+        int cnt = (raw >> 2) & 4095;
         if (cnt == 0) cnt = 1;
         aligned += cnt;
         if (op == 1) { /* M */
@@ -292,7 +292,7 @@ static int assemble_core(const int8_t *ops, int64_t stride, int nops,
     return (int)(out - cigar_out);
 }
 
-int vstpu_assemble(const int8_t *ops, int nops,
+int vstpu_assemble(const int16_t *ops, int nops,
                    const unsigned char *q, const unsigned char *t,
                    int n_mismatch, char *cigar_out, int64_t *stats) {
     init_maps();
@@ -305,7 +305,7 @@ int vstpu_assemble(const int8_t *ops, int nops,
  * query/target slices qbuf[qoff[e]:qoff[e+1]] / tbuf[toff[e]:toff[e+1]];
  * its cigar is written at cigars + e * (12*S + 16) with the length in
  * cigar_len[e], stats in stats[e*4..]. */
-void vstpu_assemble_batch(const int8_t *ops, int64_t S, int64_t B,
+void vstpu_assemble_batch(const int16_t *ops, int64_t S, int64_t B,
                           const int32_t *cols, int64_t ncols,
                           const unsigned char *qbuf, const int64_t *qoff,
                           const unsigned char *tbuf, const int64_t *toff,
@@ -742,7 +742,7 @@ static int64_t nw_align_one(const unsigned char *q, int64_t m,
                             const int64_t *s, int32_t sm[16][16],
                             unsigned char *restrict dirs,
                             int32_t *restrict E_row,
-                            int32_t *restrict H_prev, int8_t *ops,
+                            int32_t *restrict H_prev, int16_t *ops,
                             unsigned char *restrict qc,
                             char *cigar, int64_t *out) {
     int64_t go_q_l = s[2], go_t_l = s[3], go_q_i = s[4], go_t_i = s[5],
@@ -860,7 +860,7 @@ static int64_t nw_align_one(const unsigned char *q, int64_t m,
         else if (d & NW_DIR_LEFT) { op = 3; j--; }
         else if (d & NW_DIR_UP) { op = 2; i--; }
         else { op = 1; i--; j--; }
-        ops[k++] = (int8_t)op;
+        ops[k++] = (int16_t)op;
         prev = op;
     }
     while (i >= 0) { ops[k++] = 2; i--; }
@@ -1125,7 +1125,7 @@ static void nw_forward_x16(const unsigned char *qc16,
 /* backtrack one lane from the interleaved dirs (lane stride = width) */
 static int64_t nw_backtrack_lane_w(const unsigned char *dirsw,
                                    int64_t max_m, int width, int lane,
-                                   int64_t m, int64_t n, int8_t *ops) {
+                                   int64_t m, int64_t n, int16_t *ops) {
     int64_t i = m - 1, j = n - 1, k = 0;
     int prev = 0;
     while (i >= 0 && j >= 0) {
@@ -1136,7 +1136,7 @@ static int64_t nw_backtrack_lane_w(const unsigned char *dirsw,
         else if (d & NW_DIR_LEFT) { op = 3; j--; }
         else if (d & NW_DIR_UP) { op = 2; i--; }
         else { op = 1; i--; j--; }
-        ops[k++] = (int8_t)op;
+        ops[k++] = (int16_t)op;
         prev = op;
     }
     while (i >= 0) { ops[k++] = 2; i--; }
@@ -1147,7 +1147,7 @@ static int64_t nw_backtrack_lane_w(const unsigned char *dirsw,
 /* backtrack one lane from the interleaved dirs */
 static int64_t nw_backtrack_lane(const unsigned char *dirs8, int64_t max_m,
                                  int lane, int64_t m, int64_t n,
-                                 int8_t *ops) {
+                                 int16_t *ops) {
     int64_t i = m - 1, j = n - 1, k = 0;
     int prev = 0;
     while (i >= 0 && j >= 0) {
@@ -1158,7 +1158,7 @@ static int64_t nw_backtrack_lane(const unsigned char *dirs8, int64_t max_m,
         else if (d & NW_DIR_LEFT) { op = 3; j--; }
         else if (d & NW_DIR_UP) { op = 2; i--; }
         else { op = 1; i--; j--; }
-        ops[k++] = (int8_t)op;
+        ops[k++] = (int16_t)op;
         prev = op;
     }
     while (i >= 0) { ops[k++] = 2; i--; }
@@ -1200,7 +1200,7 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
         int64_t cap_dirs = 0, cap_m = 0, cap_ops = 0;
         unsigned char *dirs = NULL, *qc = NULL;
         int32_t *E_row = NULL, *H_prev = NULL;
-        int8_t *ops = NULL;
+        int16_t *ops = NULL;
         for (int64_t p = 0; p < npairs; p++) {
             int64_t m = qoff[p + 1] - qoff[p];
             int64_t n = toff[p + 1] - toff[p];
@@ -1224,7 +1224,8 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
             }
             if (m + n + 1 > cap_ops) {
                 cap_ops = (m + n + 1) * 2;
-                ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+                ops = (int16_t *)realloc(
+                    ops, (size_t)cap_ops * sizeof(int16_t));
             }
             nw_align_one(qbuf + qoff[p], m, tbuf + toff[p], n, scheme,
                          sm, dirs, E_row, H_prev, ops, qc,
@@ -1250,7 +1251,7 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
         int64_t cap_dirs = 0, cap_m = 0, cap_ops = 0;
         unsigned char *dirs = NULL, *qc = NULL;
         int32_t *E_row = NULL, *H_prev = NULL;
-        int8_t *ops = NULL;
+        int16_t *ops = NULL;
 #ifdef __AVX2__
         int64_t cap8_mn = 0, cap8_m = 0;
         unsigned char *qc8 = NULL, *tc8 = NULL, *dirs8 = NULL;
@@ -1306,7 +1307,8 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
                     }
                     if (max_m + max_n + 1 > cap_ops) {
                         cap_ops = (max_m + max_n + 1) * 2;
-                        ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+                        ops = (int16_t *)realloc(
+                    ops, (size_t)cap_ops * sizeof(int16_t));
                     }
                     int32_t mlen[NW_GW], nlen[NW_GW];
                     memset(qc8, 0, (size_t)max_m * W);
@@ -1376,7 +1378,8 @@ void vstpu_nw_align_batch(const unsigned char *qbuf, const int64_t *qoff,
                 }
                 if (m + n + 1 > cap_ops) {
                     cap_ops = (m + n + 1) * 2;
-                    ops = (int8_t *)realloc(ops, (size_t)cap_ops);
+                    ops = (int16_t *)realloc(
+                    ops, (size_t)cap_ops * sizeof(int16_t));
                 }
                 nw_align_one(qbuf + qoff[p], m, tbuf + toff[p], n, scheme,
                              sm, dirs, E_row, H_prev, ops, qc,

@@ -200,11 +200,11 @@ def pack_query_bits(all_kmers: np.ndarray, starts: np.ndarray,
 
 def assemble(ops: np.ndarray, qseq: bytes, tseq: bytes,
              n_mismatch: bool):
-    """ops int8 end-to-front -> (cigar str, aligned, matches, mism, gaps)."""
+    """ops int16 end-to-front -> (cigar str, aligned, matches, mism, gaps)."""
     lib = _load()
     if lib is None:
         return None
-    ops = np.ascontiguousarray(ops, dtype=np.int8)
+    ops = np.ascontiguousarray(ops, dtype=np.int16)
     cigar_buf = ctypes.create_string_buffer(12 * max(len(ops), 1) + 16)
     stats = np.zeros(4, dtype=np.int64)
     n = lib.vstpu_assemble(ops.ctypes.data, len(ops), qseq, tseq,
@@ -588,7 +588,7 @@ def assemble_batch(ops_matrix: np.ndarray, cols, qseqs, tseqs,
             ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int,
             ct.c_void_p, ct.c_void_p, ct.c_void_p]
         lib._asm_batch_ready = True
-    ops_matrix = np.ascontiguousarray(ops_matrix, dtype=np.int8)
+    ops_matrix = np.ascontiguousarray(ops_matrix, dtype=np.int16)
     S, B = ops_matrix.shape
     n = len(cols)
     if n == 0:

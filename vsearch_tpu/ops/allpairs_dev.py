@@ -118,7 +118,7 @@ def build_allpairs_stats(W: int, nb: int, Bp: int):
                    + jnp.clip(j, 0, Npr - 1))
             byte = jnp.take_along_axis(
                 dirs2, idx[None, :], axis=0)[0].astype(jnp.int32)
-            rl = (byte >> 4) & 15
+            rl = (byte >> 4) & 0xFFF
             extleft = (byte & DIR_EXTLEFT) != 0
             extup = (byte & DIR_EXTUP) != 0
             left = (byte & DIR_LEFT) != 0
@@ -131,7 +131,7 @@ def build_allpairs_stats(W: int, nb: int, Bp: int):
             cnt_main = jnp.where(op_main == OP_M, jnp.maximum(rl, 1), 1)
             active = (i >= 0) | (j >= 0)
             op_drain = jnp.where(i >= 0, OP_D, OP_I)
-            cnt_drain = jnp.minimum(jnp.where(i >= 0, i, j) + 1, 31)
+            cnt_drain = jnp.minimum(jnp.where(i >= 0, i, j) + 1, 4095)
             op = jnp.where(both, op_main,
                            jnp.where(active, op_drain, 0))
             cnt = jnp.where(both, cnt_main,
@@ -223,8 +223,10 @@ class AllPairsDevice:
         self.lens = jnp.asarray(lens)
         self.forward = build_allpairs_forward(self._key, self.W,
                                               self.PAIR_BATCH)
+        # bytes/cell across a live group: u16 dirs (2) + u8 mr (1), doubled
+        # for the grouped walk's concatenated copy
         self.stats_group = max(1, min(4, self.STATS_PLANE_BUDGET
-                                      // (4 * W * W * self.PAIR_BATCH)))
+                                      // (6 * W * W * self.PAIR_BATCH)))
         self._group: list = []       # pending forward handles
         self._stats_out: list = []   # (stats handle, first batch index)
         self._nbatches = 0

@@ -6,7 +6,7 @@ own ~40-90 ms round-trip, so a batch whose results live in N small arrays
 times slower than its payload warrants.  ``bundle_fetch`` concatenates all
 int32-able per-chunk results into ONE device array (a trivial fused concat
 the device executes in microseconds) so the link latency is paid once;
-backtrack op matrices stay int8 and are fetched alongside (grouped as-is —
+backtrack op matrices stay int16 and are fetched alongside (grouped as-is —
 they dominate payload, not array count).
 
 Used by the usearch_global batch pipeline (core/search.py) and the

@@ -258,7 +258,7 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0,
         return score, overflow, dirs
 
     def backtrack(dirs, qlen, tlen, row_layout: bool = False):
-        """dirs -> ops (S, B) int8 (end-to-front order).
+        """dirs -> ops (S, B) int16 (end-to-front order, flat moves).
 
         Two direction-buffer layouts: the wavefront forward emits
         (D, B, Ms) diagonal-major (cell (i,j) at [i+j, b, i]); the
@@ -305,7 +305,7 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0,
             di = ((op == OP_D) | (op == OP_M)).astype(jnp.int32)
             dj = ((op == OP_I) | (op == OP_M)).astype(jnp.int32)
             return (i - di, j - dj, jnp.where(active, op, prev)), \
-                op.astype(jnp.int8)
+                op.astype(jnp.int16)
 
         init = (qlen - 1, tlen - 1, jnp.zeros(B, dtype=jnp.int32))
         _, ops = jax.lax.scan(step, init, None, length=S)
@@ -314,16 +314,16 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0,
     def backtrack_rle(dirs, qlen, tlen):
         """RLE backtrack over the row-scan forward's fused dir bytes.
 
-        dirs (M, Np, B) uint8 with bits 0-3 the direction flags and bits
-        4-7 the M-run length ending at the cell (nw_pallas2).  Each
-        while-loop step consumes a whole diagonal run (or one I/D move, or
-        a whole boundary drain), so the number of HBM gathers — the
-        backtrack's cost on TPU (~23 ns/element, scalar-loop gather) — is
-        ~#runs instead of #moves: >10x fewer for high-identity pairs.
+        dirs (M, Np, B) uint16 with bits 0-3 the direction flags and bits
+        4-15 the M-run length ending at the cell (nw_pallas2, cap RLCAP).
+        Each while-loop step consumes a whole diagonal run (or one I/D
+        move, or a whole boundary drain), so the number of HBM gathers —
+        the backtrack's cost on TPU (~23 ns/element, scalar-loop gather) —
+        is ~#runs instead of #moves: >100x fewer for high-identity pairs.
 
-        Returns ops (S, B) int8 in end-to-front order, run-length encoded
-        as op | count << 2 (count 1..31; plain 1..3 bytes mean count 1 —
-        the format the host assembler accepts for both kernels)."""
+        Returns ops (S, B) int16 in end-to-front order, run-length encoded
+        as op | count << 2 (count 1..4095; plain 1..3 values mean count 1
+        — the format the host assembler accepts for both kernels)."""
         B = qlen.shape[0]
         Mr, Npr = dirs.shape[0], dirs.shape[1]
         dirs_flat = dirs.reshape(Mr * Npr * B)
@@ -339,7 +339,7 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0,
             idx = ((jnp.clip(i, 0, Mr - 1) * Npr
                     + jnp.clip(j, 0, Npr - 1)) * B + brange)
             byte = dirs_flat[idx].astype(jnp.int32)
-            rl = (byte >> 4) & 15
+            rl = (byte >> 4) & 0xFFF
             extleft = (byte & DIR_EXTLEFT) != 0
             extup = (byte & DIR_EXTUP) != 0
             left = (byte & DIR_LEFT) != 0
@@ -352,21 +352,21 @@ def _build_kernels(scheme_key: tuple, M: int, N: int, Bp: int = 0,
             cnt_main = jnp.where(op_main == OP_M, jnp.maximum(rl, 1), 1)
             active = (i >= 0) | (j >= 0)
             op_drain = jnp.where(i >= 0, OP_D, OP_I)
-            cnt_drain = jnp.minimum(jnp.where(i >= 0, i, j) + 1, 31)
+            cnt_drain = jnp.minimum(jnp.where(i >= 0, i, j) + 1, 4095)
             op = jnp.where(both, op_main,
                            jnp.where(active, op_drain, OP_NONE))
             cnt = jnp.where(both, cnt_main,
                             jnp.where(active, cnt_drain, 0))
             di = jnp.where((op == OP_D) | (op == OP_M), cnt, 0)
             dj = jnp.where((op == OP_I) | (op == OP_M), cnt, 0)
-            packed = (op | (cnt << 2)).astype(jnp.int8)
+            packed = (op | (cnt << 2)).astype(jnp.int16)
             ops = jax.lax.dynamic_update_index_in_dim(ops, packed, t, 0)
             prev = jnp.where(active, op, prev)
             return (t + 1, i - di, j - dj, prev, ops)
 
         state = (jnp.int32(0), qlen - 1, tlen - 1,
                  jnp.zeros(B, dtype=jnp.int32),
-                 jnp.zeros((S, B), dtype=jnp.int8))
+                 jnp.zeros((S, B), dtype=jnp.int16))
         _, _, _, _, ops = jax.lax.while_loop(cond, body, state)
         return ops
 
@@ -854,7 +854,7 @@ class BatchAligner:
         covers ~4x more useful candidates per DP cell.  Returns
         (meta (qp, 4R/qp) int32 — reshaped (4, R) rows q_idx/pos/score/
         overflow, positions 2^30-sentineled on dead or truncated lanes —
-        and ops (S, R) int8)."""
+        and ops (S, R) int16)."""
         qlens = np.ones(qp, dtype=np.int32)
         for i, s in enumerate(qseqs):
             qlens[i] = max(len(s), 1)

@@ -15,10 +15,11 @@ ops/nw_pallas.py as the TPU default).  Design:
   This removes both the wavefront's ~2x padded-diagonal redundancy and its
   per-step dynamic window rotates.
 * the vertical gap state F and the H row are plain per-row carries.
-* direction bits (same 4-bit layout as ops/nw.py) stream to HBM through a
-  double-buffered KROWS-deep staging buffer, layout (M, Np, B) —
-  dirs[i, j, b] — consumed by the layout-aware device backtrack in
-  nw_jax.py.
+* direction bits (same 4-bit layout as ops/nw.py, bits 0..3) plus the
+  diagonal run length (bits 4..15, cap RLCAP) stream to HBM as a uint16
+  plane through a double-buffered KROWS-deep staging buffer, layout
+  (M, Np, B) — dirs[i, j, b] — consumed by the layout-aware device
+  backtrack in nw_jax.py.
 * 16-bit overflow *detection* (hmin/hmax vs score_min/SHRT_MAX,
   align_simd.cpp:2029-2040 semantics) is only materialized when the static
   score-envelope analysis (overflow_possible) says the reference engine
@@ -52,6 +53,11 @@ from .nw import DIR_EXTLEFT, DIR_EXTUP, DIR_LEFT, DIR_UP, SHRT_MAX, ScoreScheme
 
 NEG = -(2 ** 30)
 KROWS = 8  # direction rows per staging DMA
+# Diagonal-run cap in the uint16 dir wire (bits 4..15 hold the run length,
+# bits 0..3 the direction flags).  255 keeps the lockstep match-count plane
+# (with_matches) inside uint8; a clean L=600 alignment backtracks in ~3
+# gathers instead of the old int8 nibble's 40 (cap 15).
+RLCAP = 255
 
 
 def overflow_possible(scheme_key: tuple, M: int, N: int) -> bool:
@@ -84,7 +90,7 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
     """Forward DP for geometry (M query rows, N target cols, TB pairs).
 
     Returns a jitted fn (q4 (B, M) int8, qlen (B,), t4 (B, N) int8,
-    tlen (B,)) -> (score (B,) i32, overflow (B,) bool, dirs (M, N, B) u8)
+    tlen (B,)) -> (score (B,) i32, overflow (B,) bool, dirs (M, N, B) u16)
     with B == TB (TB a multiple of 128; N, M multiples of 8 with M a
     multiple of KROWS).
 
@@ -230,12 +236,13 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                       | jnp.where(dleft, DIR_LEFT, 0)
                       | jnp.where(dextu, DIR_EXTUP, 0)
                       | jnp.where(dextl, DIR_EXTLEFT, 0))
-            # M-run length fused into the high nibble: the number of
-            # consecutive diagonal (no-LEFT/no-UP) cells ending here lets
-            # the RLE backtrack skip whole match runs per gather.  Runs
-            # restart after 15 (1..15, 1..15, ...) so each recorded value
-            # names an exact chunk — the match-count plane below stays in
-            # lockstep with the chunk the backtrack will consume.
+            # M-run length fused into bits 4..15 of the uint16 dir wire:
+            # the number of consecutive diagonal (no-LEFT/no-UP) cells
+            # ending here lets the RLE backtrack skip whole match runs per
+            # gather.  Runs restart after RLCAP (1..RLCAP, 1..RLCAP, ...)
+            # so each recorded value names an exact chunk — the
+            # match-count plane below stays in lockstep with the chunk the
+            # backtrack will consume.
             MR_next = MR
             if os.environ.get("VSEARCH_TPU_NW_NORL", "0") == "1":
                 RL_next = RL
@@ -244,7 +251,7 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                 RLs = jnp.concatenate(
                     (jnp.zeros((1, TB), jnp.int32), RL[:Np - 1]), axis=0)
                 RL_next = jnp.where(leftup, 0,
-                                    jnp.where(RLs >= 15, 1, RLs + 1))
+                                    jnp.where(RLs >= RLCAP, 1, RLs + 1))
                 dirs32 = dirs32 | (RL_next << 4)
                 if with_matches:
                     rq_row = rq_ref[pl.ds(i, 1), :]        # (1, TB) int32
@@ -258,9 +265,9 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
                         axis=0)
                     MR_next = jnp.where(
                         leftup, 0,
-                        jnp.where(RLs >= 15, is_m, MRs + is_m))
+                        jnp.where(RLs >= RLCAP, is_m, MRs + is_m))
                     mstage[slot, k] = MR_next.astype(jnp.uint8)
-            stage[slot, k] = dirs32.astype(jnp.uint8)
+            stage[slot, k] = dirs32.astype(jnp.uint16)
 
             # final-cell score: row qlen-1, column tlen-1
             at_end = last_t & lastq
@@ -359,7 +366,7 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
     out_shape = [
         jax.ShapeDtypeStruct((1, TB), jnp.int32),
         jax.ShapeDtypeStruct((1, TB), jnp.int32),
-        jax.ShapeDtypeStruct((M, Np, TB), jnp.uint8),
+        jax.ShapeDtypeStruct((M, Np, TB), jnp.uint16),
     ]
     if with_matches:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mr HBM
@@ -370,7 +377,7 @@ def build_forward2(scheme_key: tuple, M: int, N: int, TB: int,
     ]
     if with_matches:
         scratch_shapes.append(pltpu.VMEM((M, TB), jnp.int32))  # raw q
-    scratch_shapes.append(pltpu.VMEM((2, KROWS, Np, TB), jnp.uint8))
+    scratch_shapes.append(pltpu.VMEM((2, KROWS, Np, TB), jnp.uint16))
     if with_matches:
         scratch_shapes.append(pltpu.VMEM((2, KROWS, Np, TB), jnp.uint8))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
