@@ -1625,6 +1625,67 @@ static void init_scan(void) {
     scan_ready = 1;
 }
 
+/* clean = every byte is an accepted sequence letter (seq_action == 1).
+ * Clean lines take a memcpy/AND fast path instead of the per-byte
+ * action-map loop (the scan's dominant cost on large inputs); any other
+ * byte falls back to the exact per-byte path for that line/region. */
+static int region_clean(const uint8_t *p, int64_t len) {
+    int64_t j = 0;
+    unsigned acc = 0;
+#ifdef __AVX2__
+    if (len >= 32) {
+        /* nibble-LUT classifier: accept set is upper/lower
+         * ABCDGHKMNRSTUVWY (hi nibble 4/6 with lo in {1,2,3,4,7,8,B,D,E},
+         * hi 5/7 with lo in {2,3,4,5,6,7,9}) */
+        const __m256i lo_lut = _mm256_setr_epi8(
+            0, 1, 3, 3, 3, 2, 2, 3, 1, 2, 0, 1, 0, 1, 1, 0,
+            0, 1, 3, 3, 3, 2, 2, 3, 1, 2, 0, 1, 0, 1, 1, 0);
+        const __m256i hi_lut = _mm256_setr_epi8(
+            0, 0, 0, 0, 1, 2, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+            0, 0, 0, 0, 1, 2, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0);
+        const __m256i m0f = _mm256_set1_epi8(0x0F);
+        const __m256i zero = _mm256_setzero_si256();
+        __m256i bad = zero;
+        for (; j + 32 <= len; j += 32) {
+            __m256i v = _mm256_loadu_si256((const __m256i *)(p + j));
+            __m256i lo = _mm256_and_si256(v, m0f);
+            __m256i hi = _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f);
+            __m256i m = _mm256_and_si256(
+                _mm256_shuffle_epi8(lo_lut, lo),
+                _mm256_shuffle_epi8(hi_lut, hi));
+            bad = _mm256_or_si256(bad, _mm256_cmpeq_epi8(m, zero));
+        }
+        if (!_mm256_testz_si256(bad, bad)) return 0;
+    }
+#endif
+    for (; j + 8 <= len; j += 8) {
+        acc |= (unsigned)(seq_action[p[j]] ^ 1)
+             | (unsigned)(seq_action[p[j + 1]] ^ 1)
+             | (unsigned)(seq_action[p[j + 2]] ^ 1)
+             | (unsigned)(seq_action[p[j + 3]] ^ 1)
+             | (unsigned)(seq_action[p[j + 4]] ^ 1)
+             | (unsigned)(seq_action[p[j + 5]] ^ 1)
+             | (unsigned)(seq_action[p[j + 6]] ^ 1)
+             | (unsigned)(seq_action[p[j + 7]] ^ 1);
+        if (acc) return 0;
+    }
+    for (; j < len; j++) acc |= (unsigned)(seq_action[p[j]] ^ 1);
+    return acc == 0;
+}
+
+/* copy a clean region, optionally upcasing: every accepted letter maps
+ * lower->upper by clearing bit 5 (0x20), so the upcase is a vectorizable
+ * AND instead of a LUT */
+static void copy_clean(uint8_t *dst, const uint8_t *src, int64_t len,
+                       int upcase) {
+    if (!upcase) {
+        memcpy(dst, src, (size_t)len);
+        return;
+    }
+    for (int64_t j = 0; j < len; j++)
+        dst[j] = (uint8_t)(src[j] & 0xDF);
+}
+
 /* (^|;)size=<digits>(;|$) -> value, 1 if absent, -2 on zero value
  * mirrors attributes.cpp header_find_attribute + header_get_size */
 static int64_t parse_size(const uint8_t *h, int64_t n) {
@@ -1685,6 +1746,9 @@ int64_t vstpu_scan_fasta(const uint8_t *buf, int64_t n, int truncateatspace,
             for (int64_t j = i; j < lend; j++)
                 if (buf[j] != ' ' && buf[j] != '\t' && buf[j] != '\r')
                     return -3;
+        } else if (region_clean(buf + i, lend - i)) {
+            copy_clean(seq_out + w, buf + i, lend - i, upcase);
+            w += lend - i;
         } else {
             for (int64_t j = i; j < lend; j++) {
                 uint8_t c = buf[j];
@@ -1752,22 +1816,31 @@ int64_t vstpu_scan_fastq(const uint8_t *buf, int64_t n, int truncateatspace,
             q += stop - i;
             i = lend + 1;
         }
-        /* compact seq+qual in place through the action map */
-        int64_t w2 = raw_start;
-        for (int64_t j = raw_start; j < raw_start + raw_len; j++) {
-            uint8_t c = seq_out[j];
-            unsigned char a = seq_action[c];
-            if (a == 1) {
-                seq_out[w2] = upcase ? upcase_map[c] : c;
-                qual_out[w2] = qual_out[j];
-                w2++;
-            } else if (a == 0) {
-                stripped[c]++;
-            } else if (a == 2) {
-                return -1;
+        /* compact seq+qual in place through the action map; a clean
+         * region (every byte an accepted letter) needs no compaction —
+         * only the optional in-place upcase AND */
+        if (region_clean(seq_out + raw_start, raw_len)) {
+            if (upcase)
+                for (int64_t j = raw_start; j < raw_start + raw_len; j++)
+                    seq_out[j] = (uint8_t)(seq_out[j] & 0xDF);
+            w = raw_start + raw_len;
+        } else {
+            int64_t w2 = raw_start;
+            for (int64_t j = raw_start; j < raw_start + raw_len; j++) {
+                uint8_t c = seq_out[j];
+                unsigned char a = seq_action[c];
+                if (a == 1) {
+                    seq_out[w2] = upcase ? upcase_map[c] : c;
+                    qual_out[w2] = qual_out[j];
+                    w2++;
+                } else if (a == 0) {
+                    stripped[c]++;
+                } else if (a == 2) {
+                    return -1;
+                }
             }
+            w = w2;
         }
-        w = w2;
         nrec++;
         seq_off[nrec] = w;
     }

@@ -540,7 +540,9 @@ def emit_fastq(head_buf, head_off, head_len, seq_buf, qual_buf,
         seq_buf.ctypes.data, qual_buf.ctypes.data,
         rec_start.ctypes.data, rec_len.ctypes.data,
         sel.ctypes.data, n, out.ctypes.data)
-    return out[:w].tobytes()
+    # memoryview, not tobytes(): callers stream this straight into a
+    # file write, and the copy costs ~0.5 s/GB on this host
+    return out[:w].data
 
 
 def emit_fasta(head_buf, head_off, head_len, seq_buf, rec_start, rec_len,
@@ -568,7 +570,7 @@ def emit_fasta(head_buf, head_off, head_len, seq_buf, rec_start, rec_len,
         head_off.ctypes.data, head_len.ctypes.data,
         seq_buf.ctypes.data, rec_start.ctypes.data, rec_len.ctypes.data,
         sel.ctypes.data, n, width, out.ctypes.data)
-    return out[:w].tobytes()
+    return out[:w].data
 
 
 def assemble_batch(ops_matrix: np.ndarray, cols, qseqs, tseqs,
@@ -636,8 +638,11 @@ def scan_fasta(data: bytes, truncateatspace: bool, upcase: bool):
             ct.c_void_p]
         lib.vstpu_scan_fastq.restype = ct.c_int64
         lib._scan_ready = True
-    data_view = np.frombuffer(data, dtype=np.uint8)
-    nmax = int(np.count_nonzero(data_view == ord(">"))) + 1
+    if isinstance(data, (bytes, bytearray)):
+        nmax = data.count(b">") + 1    # single C pass (see scan_fastq)
+    else:
+        data_view = np.frombuffer(data, dtype=np.uint8)
+        nmax = int(np.count_nonzero(data_view == ord(">"))) + 1
     seq_out = np.empty(max(1, len(data)), dtype=np.uint8)
     seq_off = np.zeros(nmax + 1, dtype=np.int64)
     head_off = np.empty(nmax, dtype=np.int64)
@@ -662,10 +667,16 @@ def scan_fastq(data: bytes, truncateatspace: bool, upcase: bool):
     if lib is None:
         return None
     scan_fasta(b"", True, False)  # ensure argtypes registered
-    data_view = np.frombuffer(data, dtype=np.uint8)
-    nmax = (int(np.count_nonzero((data_view[:-1] == ord("\n"))
-                                 & (data_view[1:] == ord("@"))))
-            if len(data) > 1 else 0) + 2
+    if isinstance(data, (bytes, bytearray)):
+        # bytes.count is a single C pass; the numpy expression below
+        # allocates three len(data) temporaries and measured 10-100x
+        # slower on large inputs
+        nmax = data.count(b"\n@") + 2
+    else:
+        data_view = np.frombuffer(data, dtype=np.uint8)
+        nmax = (int(np.count_nonzero((data_view[:-1] == ord("\n"))
+                                     & (data_view[1:] == ord("@"))))
+                if len(data) > 1 else 0) + 2
     seq_out = np.empty(max(1, len(data)), dtype=np.uint8)
     qual_out = np.empty(max(1, len(data)), dtype=np.uint8)
     seq_off = np.zeros(nmax + 1, dtype=np.int64)
