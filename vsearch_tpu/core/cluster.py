@@ -515,6 +515,24 @@ class ClusterEngine:
         if added == 0:
             return
 
+        # batch-align the repair candidates this walk may request: the
+        # host tier's per-call cost is ~2 ms regardless of batch size
+        # (scalar serial path) vs ~0.07 ms/pair batched through the SIMD
+        # groups, so one speculative call beats per-hit singles whenever
+        # two or more extras could align.  Aligning a pair the walk never
+        # reaches (early accept) is wasted DP, not a semantic change.
+        cache = getattr(self, "_repair_cache", None)
+        if cache is not None:
+            need = [h.target for h in hits
+                    if not h.aligned
+                    and (si.qi.query_no, si.qi.strand, h.target) not in cache
+                    and search_acceptable_unaligned(params, si.qi, self.db,
+                                                    h.target)]
+            if len(need) > 1:
+                for t, r in zip(need, self.ctx.align_pairs(
+                        [(si.qi.qsequence, t) for t in need])):
+                    cache[(si.qi.query_no, si.qi.strand, t)] = r
+
         si.rejects = 0
         si.accepts = 0
         for hit in hits:
@@ -723,13 +741,13 @@ class _PrefetchStore:
         lo = 0
         for (cnt, _), plist, (topv, topi) in zip(pending, pref_h, topk_h):
             if isinstance(plist, dict):
-                # compact form: meta rows q_idx / pos / score / overflow
+                # compact form: meta rows q_idx/pos/score/overflow/nsteps
                 ops = np.asarray(plist["ops"])
                 R = ops.shape[1]
-                meta = np.asarray(plist["mat"]).reshape(4, R)
-                q_idx, pos, score, over = meta
+                meta = np.asarray(plist["mat"]).reshape(5, R)
+                q_idx, pos, score, over, nsteps = meta
                 valid = (pos < 2**30) & (pos < dev.n) & (over == 0) \
-                    & (q_idx < cnt)
+                    & (q_idx < cnt) & (nsteps <= ops.shape[0])
                 for lidx in np.nonzero(valid)[0].tolist():
                     p = int(pos[lidx])
                     seqno = int(dev.seqnos[p])

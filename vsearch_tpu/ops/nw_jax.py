@@ -38,6 +38,12 @@ from .nw import (AlignmentResult, DIR_EXTLEFT, DIR_EXTUP, DIR_LEFT, DIR_UP,
 # op codes emitted by the device backtrack
 OP_NONE, OP_M, OP_D, OP_I = 0, 1, 2, 3
 
+# speculative-prefetch ops rows kept after device-side truncation (see
+# _compact_gather_kernel); lanes needing more entries fall back to the
+# host aligner
+PREFETCH_OPS_CAP = int(os.environ.get("VSEARCH_TPU_PREFETCH_OPS_CAP",
+                                      "256"))
+
 NEG_LARGE = jnp.int32(-(2**30))
 
 
@@ -627,12 +633,23 @@ def _compact_gather_kernel(scheme_key: tuple, M: int, N: int, qp: int,
         score = jnp.concatenate(scores) if nchunks > 1 else scores[0]
         over = jnp.concatenate(overs) if nchunks > 1 else overs[0]
         ops = jnp.concatenate(opss, axis=1) if nchunks > 1 else opss[0]
+        # truncate the ops wire to PREFETCH_OPS_CAP rows before the fetch:
+        # with the wide-RLE encoding a family pair backtracks in ~2
+        # entries and a reject-like random pair in ~100-170 (p90), so the
+        # cap covers nearly every lane while cutting the tunneled fetch
+        # ~4x (the (S, R) matrix dominated the per-round transfer).  A
+        # per-lane entry count rides in meta row 4; lanes that overflow
+        # the cap are dropped by the host store and fall back to the host
+        # aligner like any other uncovered pair.
+        nsteps = jnp.sum((ops != 0).astype(jnp.int32), axis=0)
         meta = jnp.stack([
             q_idx,
             jnp.where(live, pos, jnp.int32(2**30)),
             score.astype(jnp.int32),
-            over.astype(jnp.int32)], axis=0)           # (4, R)
-        return meta.reshape(qp, (4 * R) // qp), ops
+            over.astype(jnp.int32),
+            nsteps], axis=0)                           # (5, R)
+        return (meta.reshape(qp, (5 * R) // qp),
+                ops[:PREFETCH_OPS_CAP])
 
     return run
 
@@ -852,9 +869,11 @@ class BatchAligner:
         on the 50k cluster bench).  Compaction gathers the query operands
         per lane by a device-computed (query, candidate) index, so R
         covers ~4x more useful candidates per DP cell.  Returns
-        (meta (qp, 4R/qp) int32 — reshaped (4, R) rows q_idx/pos/score/
-        overflow, positions 2^30-sentineled on dead or truncated lanes —
-        and ops (S, R) int16)."""
+        (meta (qp, 5R/qp) int32 — reshaped (5, R) rows q_idx/pos/score/
+        overflow/nsteps, positions 2^30-sentineled on dead or truncated
+        lanes — and ops (min(S, PREFETCH_OPS_CAP), R) int16; lanes whose
+        entry count exceeds the cap carry nsteps > ops rows and must fall
+        back to the host aligner)."""
         qlens = np.ones(qp, dtype=np.int32)
         for i, s in enumerate(qseqs):
             qlens[i] = max(len(s), 1)
