@@ -1890,17 +1890,26 @@ int64_t vstpu_derep_assign(const uint8_t *seq, const int64_t *off, int64_t n,
                            int use_rc, int64_t *cluster_of,
                            uint8_t *strand_of) {
     init_derep();
-    /* normalized copy of the packed buffer */
+    /* normalized copy of the packed buffer (parallel: pure per-byte map) */
     int64_t total = off[n];
     uint8_t *norm = (uint8_t *)malloc((size_t)total);
     if (!norm) return -1;
+    #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < total; i++) norm[i] = norm_map[seq[i]];
+
+    /* per-record hashes (parallel: the serial probe below then touches
+     * each record's bytes only on hash collision) */
+    uint64_t *hashes = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+    if (!hashes) { free(norm); return -1; }
+    #pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; r++)
+        hashes[r] = hash_bytes(norm + off[r], off[r + 1] - off[r]);
 
     uint64_t cap = 1;
     while (cap < (uint64_t)n * 2 + 8) cap <<= 1;
     int64_t *slot_rec = (int64_t *)malloc(cap * sizeof(int64_t));
     uint64_t *slot_hash = (uint64_t *)malloc(cap * sizeof(uint64_t));
-    if (!slot_rec || !slot_hash) { free(norm); free(slot_rec);
+    if (!slot_rec || !slot_hash) { free(norm); free(hashes); free(slot_rec);
                                    free(slot_hash); return -1; }
     for (uint64_t i = 0; i < cap; i++) slot_rec[i] = -1;
 
@@ -1911,7 +1920,7 @@ int64_t vstpu_derep_assign(const uint8_t *seq, const int64_t *off, int64_t n,
     for (int64_t r = 0; r < n; r++) {
         const uint8_t *s = norm + off[r];
         int64_t len = off[r + 1] - off[r];
-        uint64_t h = hash_bytes(s, len);
+        uint64_t h = hashes[r];
         int64_t found = -1;
         uint64_t j = h & (cap - 1);
         while (slot_rec[j] >= 0) {
@@ -1930,8 +1939,8 @@ int64_t vstpu_derep_assign(const uint8_t *seq, const int64_t *off, int64_t n,
                 free(rcbuf);
                 rccap = len * 2 + 64;
                 rcbuf = (uint8_t *)malloc((size_t)rccap);
-                if (!rcbuf) { free(norm); free(slot_rec); free(slot_hash);
-                              return -1; }
+                if (!rcbuf) { free(norm); free(hashes); free(slot_rec);
+                              free(slot_hash); return -1; }
             }
             for (int64_t k = 0; k < len; k++)
                 rcbuf[k] = comp_map[s[len - 1 - k]];
@@ -1961,6 +1970,7 @@ int64_t vstpu_derep_assign(const uint8_t *seq, const int64_t *off, int64_t n,
         }
     }
     free(rcbuf);
+    free(hashes);
     free(norm);
     free(slot_rec);
     free(slot_hash);

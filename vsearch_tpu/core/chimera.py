@@ -521,14 +521,6 @@ class ChimeraEngine:
                 merged = [(s, c) for (s, c, _) in merged[:self.tophits]]
                 cache = self._part_align_cache
                 pseq = rq.parts[lp]
-                # one batched host call instead of lazy singles: the host
-                # tier costs ~2 ms per call regardless of batch size, and
-                # the replay may request most of these candidates anyway
-                miss = [s for (s, _) in merged if (gp, s) not in cache]
-                if len(miss) > 1:
-                    for t, r in zip(miss, self.ctx.align_pairs(
-                            [(pseq, t) for t in miss])):
-                        cache[(gp, t)] = r
 
                 def get_alignment(t, gp=gp, pseq=pseq):
                     res = cache.get((gp, t))
@@ -568,11 +560,6 @@ class ChimeraEngine:
             return []
         qi = self._qi(gp)
         cache = self._part_align_cache
-        miss = [s for (s, _) in cands if (gp, s) not in cache]
-        if len(miss) > 1:     # batched speculative repair (see resolve)
-            for t, r in zip(miss, self.ctx.align_pairs(
-                    [(qi.qsequence, t) for t in miss])):
-                cache[(gp, t)] = r
 
         def get_alignment(t, gp=gp):
             res = cache.get((gp, t))
